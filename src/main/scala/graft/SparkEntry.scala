@@ -1,13 +1,445 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.Fns
+import graft.operators._
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Conventions shared by every query and its DuckDB oracle:
+  *   - float aggregations accumulate in decimal and cast out once
+  *     (Fns.exactSum / dotExact), so results are bit-identical across
+  *     engines and partition counts;
+  *   - every division is guarded with nullif;
+  *   - timestamps are normalized to TIMESTAMP_NTZ (what DuckDB calls
+  *     TIMESTAMP), so parquet round-trips agree;
+  *   - computed doubles are rounded identically on both sides.
+  */
 object SparkEntry {
+
+  /** Events with `ts` (raw nanos long, see Tables.events) converted to
+    * TIMESTAMP_NTZ — the type DuckDB calls TIMESTAMP, so parquet output
+    * round-trips agree with the oracle.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+
+  private def ordersNtz(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+
+  private def lineitemNtz(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).withColumn("l_shipdate", col("l_shipdate").cast("timestamp_ntz"))
+
+  private def bars(s: SparkSession, dir: String): DataFrame =
+    Ohlc.dailyBars(events(s, dir))
+
+  // String literals in comparisons coerce to the ts column's own timestamp
+  // type, so cutoffs work whether the source reads as LTZ or NTZ.
+  private def tsNtz(litStr: String): Column = lit(litStr)
+
+  private val entityDay = Window.partitionBy(col("user_id")).orderBy(col("d"))
+
+  private def exactSumD(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.weightedPrice(
+      Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      Tables.part(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference surface: stock-pipeline semantics ----
+    "q_ohlc_daily" -> ((s, dir) =>
+      bars(s, dir).select("user_id", "d", "open", "high", "low", "close", "volume")),
+
+    "q_incremental_append" -> ((s, dir) => {
+      val ev = events(s, dir)
+      Incremental
+        .newerThanExisting(ev.where(col("ts") < tsNtz("2024-01-20")), ev, "user_id", "ts")
+        .select("event_id", "user_id", "ts")
+    }),
+
+    "q_latest_date" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("latest_ts"), to_date(max(col("ts"))).as("latest_d"))),
+
+    "q_sma" -> ((s, dir) =>
+      bars(s, dir).select(
+        col("user_id"), col("d"), col("close"),
+        Fns.sma(col("close"), 5, entityDay).as("sma_5"))),
+
+    "q_dollar_volume" -> ((s, dir) =>
+      bars(s, dir).select(
+        col("user_id"), col("d"),
+        round(Fns.dollarVolume(col("open"), col("close"), col("volume")), 6)
+          .as("dollar_volume"))),
+
+    "q_gap_off_peak" -> ((s, dir) =>
+      bars(s, dir).select(
+        col("user_id"), col("d"), col("open"),
+        round((col("open") - lag(col("open"), 1).over(entityDay))
+          / nullif(lag(col("open"), 1).over(entityDay), lit(0.0)) * 100, 6).as("gap_pct"))),
+
+    "q_gap_on_peak" -> ((s, dir) =>
+      bars(s, dir).select(
+        col("user_id"), col("d"),
+        round((col("close") - col("open")) / nullif(col("open"), lit(0.0)) * 100, 6)
+          .as("gap_pct"))),
+
+    "q_pct_change_ndays" -> ((s, dir) => {
+      val firstC = first(col("close")).over(entityDay.rowsBetween(-4, Window.currentRow))
+      bars(s, dir).select(
+        col("user_id"), col("d"), col("close"),
+        round((col("close") - firstC) / nullif(firstC, lit(0.0)) * 100, 6).as("pct_change"))
+    }),
+
+    "q_pivot_wide" -> ((s, dir) =>
+      PivotOps.pivotAgg(
+        events(s, dir), "user_id", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"),
+        exactSumD(col("value")))),
+
+    "q_weighted_price" -> ((s, dir) =>
+      Analytics.weightedPrice(Tables.lineitem(s, dir), Tables.part(s, dir))),
+
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("last_purchase_value"))
+      AsOfJoin
+        .asOf(clicks, purchases, "user_id", "ts", Seq("last_purchase_value"))
+        .select("event_id", "user_id", "ts", "last_purchase_value")
+    }),
+
+    "q_market_day" -> ((s, dir) =>
+      events(s, dir)
+        .select(to_date(col("ts")).as("d")).distinct()
+        .withColumn("prev_market_day", Fns.prevMarketDay(col("d")))),
+
+    "q_parse_magnitude" -> ((s, dir) => {
+      val raw = concat(col("p_size").cast("string"),
+        when(col("p_partkey") % 2 === 0, " M").otherwise(" B"))
+      Tables.part(s, dir).select(
+        col("p_partkey"), raw.as("raw"), Fns.parseMagnitude(raw).as("shares"))
+    }),
+
+    "q_normalize_symbol" -> ((s, dir) => {
+      val sym = concat(
+        upper(substring(regexp_replace(col("p_name"), " ", ""), 1, 4)),
+        when(col("p_partkey") % 3 === 0, ".B")
+          .when(col("p_partkey") % 3 === 1, "_A")
+          .otherwise(""))
+      Tables.part(s, dir).select(
+        col("p_partkey"), sym.as("symbol"),
+        Fns.normalizeSymbolSql(sym).as("sql_symbol"),
+        Fns.normalizeSymbolYf(sym).as("yf_symbol"))
+    }),
+
+    "q_schema_evolution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = PivotOps.pivotAgg(
+        ev.where(col("ts") < tsNtz("2024-01-15") && col("event_type").isin("click", "view")),
+        "user_id", "event_type", Seq("click", "view"), exactSumD(col("value")))
+      val b = PivotOps.pivotAgg(
+        ev.where(col("ts") >= tsNtz("2024-01-15")
+          && col("event_type").isin("click", "view", "purchase")),
+        "user_id", "event_type", Seq("click", "view", "purchase"), exactSumD(col("value")))
+      PivotOps.unionEvolved(Seq("a" -> a, "b" -> b))
+        .select("snapshot", "user_id", "click", "view", "purchase")
+    }),
+
+    "q_window_agg" -> ((s, dir) => EventsStream.windowedAgg(events(s, dir))),
+
+    // ---- core analytics ----
+    "q1_pricing_summary" -> ((s, dir) =>
+      Analytics.pricingSummary(lineitemNtz(s, dir), "2000-09-02")),
+
+    "q3_top_orders" -> ((s, dir) =>
+      Analytics.topOrders(
+        Tables.customer(s, dir), ordersNtz(s, dir), Tables.lineitem(s, dir),
+        "BUILDING", 10)),
+
+    "q5_region_revenue" -> ((s, dir) =>
+      Analytics.regionRevenue(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+        ordersNtz(s, dir), Tables.lineitem(s, dir), "ASIA")),
+
+    // ---- LLM-training-data operators ----
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashFingerprints(Tables.documents(s, dir)).select("id", "simhash")),
+
+    "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 0.4)),
+
+    "q_dedup_embedding" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.40)),
+
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topK(emb, emb.orderBy(col("vec_id")).limit(1), 10)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.cosinePairsBucketed(Tables.embeddings(s, dir), 0.2, planes = 8)),
+
+    "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+
+    "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+
+    "q_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount("text").as("n_ws_tokens"),
+        TextAnalysis.regexTokenCount("text").as("n_re_tokens"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))),
+
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.featurize(s, Tables.documents(s, dir)).toDF())
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val normSql =
+    "sqrt((SELECT CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i)))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_ohlc_daily" ->
+      """SELECT user_id, CAST(ts AS DATE) AS d,
+        | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        | arg_max(value, ts) AS close, count(*) AS volume
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_incremental_append" ->
+      """SELECT i.event_id, i.user_id, i.ts FROM events i
+        |LEFT JOIN (SELECT user_id, max(ts) AS m FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-20' GROUP BY 1) e
+        |  ON i.user_id = e.user_id
+        |WHERE e.m IS NULL OR i.ts > e.m""".stripMargin,
+
+    "q_latest_date" ->
+      "SELECT user_id, max(ts) AS latest_ts, CAST(max(ts) AS DATE) AS latest_d FROM events GROUP BY user_id",
+
+    "q_sma" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d, close,
+        |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY d) >= 5
+        |    THEN CAST(sum(CAST(close AS DECIMAL(28,6)))
+        |           OVER (PARTITION BY user_id ORDER BY d
+        |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) / 5
+        |  END AS sma_5
+        |FROM bars""".stripMargin,
+
+    "q_dollar_volume" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_min(value, ts) AS open,
+        |         arg_max(value, ts) AS close, count(*) AS volume
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d, round((open + close) / 2 * volume, 6) AS dollar_volume
+        |FROM bars""".stripMargin,
+
+    "q_gap_off_peak" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_min(value, ts) AS open
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d, open,
+        |  round((open - lag(open, 1) OVER w) / nullif(lag(open, 1) OVER w, 0) * 100, 6) AS gap_pct
+        |FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY d)""".stripMargin,
+
+    "q_gap_on_peak" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_min(value, ts) AS open,
+        |         arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d, round((close - open) / nullif(open, 0) * 100, 6) AS gap_pct
+        |FROM bars""".stripMargin,
+
+    "q_pct_change_ndays" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d, close,
+        |  round((close - first_value(close) OVER w) / nullif(first_value(close) OVER w, 0) * 100, 6)
+        |    AS pct_change
+        |FROM bars
+        |WINDOW w AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_pivot_wide" ->
+      """SELECT user_id,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS "view"
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_weighted_price" ->
+      """SELECT p_brand,
+        | round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |   / nullif(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 0), 6) AS weighted_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.value AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q_market_day" ->
+      """SELECT d,
+        |  d - CAST(CASE WHEN pw >= 5 THEN pw - 4 WHEN pw = 0 THEN 3 ELSE 1 END AS INTEGER) AS prev_market_day
+        |FROM (SELECT DISTINCT CAST(ts AS DATE) AS d, (dayofweek(CAST(ts AS DATE)) + 6) % 7 AS pw
+        |      FROM events)""".stripMargin,
+
+    "q_parse_magnitude" ->
+      """SELECT p_partkey,
+        | concat(CAST(p_size AS VARCHAR), CASE WHEN p_partkey % 2 = 0 THEN ' M' ELSE ' B' END) AS raw,
+        | CAST(CASE WHEN p_partkey % 2 = 0 THEN p_size * 1000000.0 ELSE p_size * 1000000000.0 END AS BIGINT) AS shares
+        |FROM part""".stripMargin,
+
+    "q_normalize_symbol" ->
+      """SELECT p_partkey, sym AS symbol,
+        | lower(replace(sym, '.', '_')) AS sql_symbol,
+        | regexp_replace(sym, '[._]', '-', 'g') AS yf_symbol
+        |FROM (SELECT p_partkey,
+        |        concat(upper(substring(replace(p_name, ' ', ''), 1, 4)),
+        |               CASE WHEN p_partkey % 3 = 0 THEN '.B'
+        |                    WHEN p_partkey % 3 = 1 THEN '_A' ELSE '' END) AS sym
+        |      FROM part)""".stripMargin,
+
+    "q_schema_evolution" ->
+      """SELECT 'a' AS snapshot, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS "view",
+        |  CAST(NULL AS DOUBLE) AS purchase
+        |FROM events WHERE ts < TIMESTAMP '2024-01-15' AND event_type IN ('click', 'view')
+        |GROUP BY user_id
+        |UNION ALL
+        |SELECT 'b' AS snapshot, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS "view",
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-15' AND event_type IN ('click', 'view', 'purchase')
+        |GROUP BY user_id""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+
+    "q_dedup_embedding" ->
+      s"""WITH n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round((SELECT CAST(sum(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i))
+         |      / nullif(a.nrm * b.nrm, 0), 6) AS cosine
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |WHERE cosine > 0.40""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, $normSql AS qn
+         |           FROM embeddings ORDER BY vec_id LIMIT 1),
+         |n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings)
+         |SELECT vec_id, cosine FROM (
+         |  SELECT n.vec_id,
+         |    round((SELECT CAST(sum(CAST(CAST(n.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i))
+         |      / nullif(n.nrm * q.qn, 0), 6) AS cosine
+         |  FROM n, q WHERE n.vec_id <> q.qid)
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+        | CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |      WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |      WHEN es_hits >= fr_hits THEN 'es'
+        |      ELSE 'fr' END AS pred_lang
+        |FROM (SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en_hits,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein|nicht)\b')) AS de_hits,
+        |  len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|una)\b')) AS es_hits,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une)\b')) AS fr_hits
+        |FROM documents)""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        | CAST(toks AS BIGINT) AS n_tokens,
+        | round(punct / nullif(chars, 0), 6) AS punct_ratio,
+        | round(stops / nullif(toks, 0), 6) AS stopword_ratio,
+        | round(least(chars / 500.0, 1.0) * 0.5
+        |     + least(stops / nullif(toks, 0) * 5.0, 1.0) * 0.3
+        |     + (1.0 - least(punct / nullif(chars, 0) * 10.0, 1.0)) * 0.2, 6) AS quality
+        |FROM (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS punct,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS stops,
+        |  CAST(length(text) AS DOUBLE) AS chars
+        |FROM documents)""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_re_tokens
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.Fns.exactSum
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The relational core the reference delegates to PostgreSQL: multi-aggregate
+  * scans, star joins, weighted prices (stock_data_pipeline/sector.py:86-112
+  * calculate_sector_price = Σ(price × shares) / shares_outstanding).
+  *
+  * All money sums go through `exactSum` (decimal accumulate, one cast out) so
+  * results are bit-stable across partition counts — a distributed double sum
+  * is merge-order-dependent; a decimal sum is not.
+  */
+object Analytics {
+
+  /** TPC-H Q1-shaped pricing summary: single scan, 8 aggregates, group on two
+    * low-cardinality columns. The shipdate filter and the 7-column projection
+    * push down to the parquet scan.
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem
+      // string literal coerces to the column's timestamp type (LTZ or NTZ)
+      .where(col("l_shipdate") <= lit(cutoff))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("sum_charge"),
+        round(exactSum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(exactSum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+        round(exactSum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Top revenue orders for a market segment (TPC-H Q3 shape): two shuffle
+    * joins on the fact keys + top-k. Customer filter prunes before the join.
+    */
+  def topOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                segment: String, k: Int): DataFrame =
+    customer
+      .where(col("c_mktsegment") === segment)
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Revenue by nation (TPC-H Q5 shape): star join where the dimension chain
+    * region→nation is broadcast (tiny), so only the two fact tables shuffle.
+    */
+  def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame, regionName: String): DataFrame = {
+    val dims = broadcast(
+      region.where(col("r_name") === regionName)
+        .join(nation, col("n_regionkey") === col("r_regionkey")))
+    customer
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Weighted average price per group — the sector-price calculation
+    * re-expressed: Σ(price × weight) / Σ(weight) (sector.py:86-112).
+    */
+  def weightedPrice(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(
+          exactSum(col("l_extendedprice") * col("l_quantity")) /
+            nullif(exactSum(col("l_quantity")), lit(0.0)),
+          6).as("weighted_price"))
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines. Everything here is
+  * built from codegen'd catalyst expressions (higher-order functions +
+  * xxhash64) — no UDFs — and every near-dup path goes through a bucketing
+  * stage so candidate generation is never all-pairs: at 100 TB the join key
+  * is always (band, hash) or (chunk, bits), whose buckets stay small, and
+  * the quadratic step runs per-bucket, not per-corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on md5(text), keep the smallest id. One
+    * shuffle on the 128-bit digest — uniform keys, no skew.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Character k-shingle set of `textCol` (distinct). */
+  def charShingles(textCol: String, k: Int): Column = expr(
+    s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substring($textCol, i, $k)))")
+
+  /** Whitespace tokens of `textCol`, lowercased. */
+  def tokens(textCol: String): Column =
+    split(trim(lower(col(textCol))), "\\s+")
+
+  /** Word n-gram set over an already-materialized token array column.
+    * Tokenization must be a separate column: referencing split() inside the
+    * transform lambda would re-tokenize the full text once per gram.
+    */
+  def ngramsOfTokens(toksCol: String, n: Int): Column = expr(
+    s"""array_distinct(transform(
+       |  sequence(1, greatest(size($toksCol) - ${n - 1}, 1)),
+       |  i -> concat_ws(' ', slice($toksCol, i, $n))))""".stripMargin)
+
+  /** MinHash signature: `num` permutations — one compiled pass per row via
+    * graft.plans.MinHashSignature (each shingle hashed once, permutations
+    * are long-mixes; no per-element lambda interpretation).
+    */
+  def minhashSignature(shinglesCol: String, num: Int): Column =
+    graft.plans.Exprs.minhash(col(shinglesCol), num)
+
+  /** LSH band keys: signature sliced into `bands` bands of `rowsPerBand`,
+    * each band hashed to one bucket key.
+    */
+  def lshBands(sigCol: String, bands: Int, rowsPerBand: Int): Column = expr(
+    s"""transform(sequence(0, ${bands - 1}),
+       |  b -> named_struct('band', b, 'bucket', xxhash64(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand))))""".stripMargin)
+
+  /** MinHash-LSH candidate pairs over word 3-grams: shingle → signature →
+    * band-bucket → per-bucket pairing → distinct pairs with the estimated
+    * Jaccard (fraction of agreeing signature slots).
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = docs
+      .select(col(idCol).as("id"), tokens(textCol).as("__toks"))
+      .select(col("id"), ngramsOfTokens("__toks", 3).as("__sh"))
+      .withColumn("__sig", minhashSignature("__sh", numHashes))
+      .select(col("id"), col("__sig"), explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
+    val buckets = sigs
+      .groupBy(col("bb.band"), col("bb.bucket"))
+      .agg(collect_list(struct(col("id"), col("__sig"))).as("members"))
+      .where(size(col("members")) > 1)
+    buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        (expr("size(filter(zip_with(a.__sig, b.__sig, (x, y) -> x = y), v -> v))").cast("double")
+          / lit(numHashes)).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard on LSH candidates: re-join candidate ids to their
+    * n-gram sets and compute |∩| / |∪| precisely; keep pairs ≥ threshold.
+    * The expensive exact step only ever touches LSH survivors.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      threshold: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("gid"), tokens(textCol).as("__toks"))
+      .select(col("gid"), ngramsOfTokens("__toks", 3).as("grams"))
+    val cands = minhashCandidates(docs, textCol, idCol).select("id_a", "id_b")
+    cands
+      .join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+      .join(grams.withColumnRenamed("gid", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(
+          size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+            size(array_union(col("grams_a"), col("grams_b"))).cast("double"),
+          6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash fingerprint over whitespace tokens — one compiled
+    * vote-and-assemble pass per row (graft.plans.SimHash64).
+    */
+  def simhash(textCol: String): Column =
+    graft.plans.Exprs.simhash(split(trim(lower(col(textCol))), "\\s+"))
+
+  /** Per-doc SimHash fingerprints plus the 4 × 16-bit chunk keys used for
+    * candidate bucketing (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+    */
+  def simhashFingerprints(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("id"), simhash(textCol).as("simhash"))
+      .select(col("id"), col("simhash"),
+        expr("transform(sequence(0, 3), c -> (shiftright(simhash, c * 16) & 65535))").as("chunks"))
+
+  /** SimHash near-dup pairs: bucket on (chunk index, chunk bits), pair within
+    * buckets, verify exact hamming distance ≤ `maxHamming` via bit_count.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"), simhash(textCol).as("fp"))
+    val chunked = fps.select(
+      col("id"), col("fp"),
+      posexplode(expr("transform(sequence(0, 3), c -> (shiftright(fp, c * 16) & 65535))"))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val buckets = chunked
+      .groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(collect_list(struct(col("id"), col("fp"))).as("members"))
+      .where(size(col("members")) > 1)
+    buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

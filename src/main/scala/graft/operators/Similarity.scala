@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.Fns.dotExact
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Cosine is computed with per-element double products accumulated in decimal
+  * (see Fns.dotExact): exact, associative, and therefore identical under any
+  * partitioning — floating-point fold order can never flip a threshold or a
+  * rank.
+  *
+  * Scale paths: the brute-force variants are the small-side / verification
+  * baseline; `lshBuckets`+`cosinePairsBucketed` is the 100 TB path — random
+  * hyperplane signs bucket the corpus so the pairwise step is per-bucket.
+  */
+object Similarity {
+
+  /** embedding L2 norm, exact. */
+  def normExact(c: String): Column =
+    sqrt(dotExact(c, c))
+
+  /** All pairs (a < b) with cosine > threshold — brute force, for corpora
+    * small enough to broadcast one side (the verification baseline).
+    *
+    * Two-phase evaluation: a codegen'd double dot product (graft.plans
+    * .ArrayDotProduct) screens the O(n²) pairs with a small safety margin,
+    * and only survivors pay the decimal-exact recompute that defines the
+    * final value — exactness of the brute-force oracle at ~the cost of the
+    * cheap kernel.
+    */
+  def cosinePairs(embeddings: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"), normExact(vecCol).as("nrm"))
+    val a = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .where(graft.plans.Exprs.dot(col("va"), col("vb"))
+        / nullif(col("na") * col("nb"), lit(0.0)) > threshold - 1e-6)
+      .select(col("id_a"), col("id_b"),
+        round(dotExact("va", "vb") / nullif(col("na") * col("nb"), lit(0.0)), 6).as("cosine"))
+      .where(col("cosine") > threshold)
+  }
+
+  /** Brute-force top-k neighbors of one query vector: one scan, one dot
+    * product per row, top-k via sort-limit (tiny result).
+    */
+  def topK(embeddings: DataFrame, query: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(query.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normExact(vecCol).as("qn")))
+    embeddings
+      .select(col(idCol), col(vecCol).as("v"), normExact(vecCol).as("nrm"))
+      .crossJoin(q)
+      .where(col(idCol) =!= col("qid"))
+      .select(col(idCol),
+        round(dotExact("v", "qv") / nullif(col("nrm") * col("qn"), lit(0.0)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH signature: sign bits of dot products against
+    * `planes` pseudo-random hyperplanes derived from xxhash64(dim, plane) —
+    * deterministic, no driver-side randomness, computed fully in codegen.
+    */
+  def lshSignature(vecCol: String, planes: Int): Column = expr(
+    s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint),
+       |  (acc, p) -> acc | if(
+       |    aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
+       |                       (x, i) -> cast(x as double) * (cast(xxhash64(i, p) % 1000 as double) / 1000.0)),
+       |              cast(0 as double), (a, v) -> a + v) > 0,
+       |    shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin)
+
+  /** Bucketed near-neighbor pairs: same LSH signature ⇒ candidate; exact
+    * cosine verifies. The groupBy key is the signature — candidate work is
+    * Σ bucket², never corpus².
+    */
+  def cosinePairsBucketed(embeddings: DataFrame, threshold: Double, planes: Int = 12,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = embeddings.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      normExact(vecCol).as("nrm"), lshSignature(vecCol, planes).as("sig"))
+    val buckets = sig
+      .groupBy(col("sig"))
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("members"))
+      .where(size(col("members")) > 1)
+    buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dotExact("a.v", "b.v") / nullif(col("a.nrm") * col("b.nrm"), lit(0.0)), 6)
+          .as("cosine"))
+      .where(col("cosine") > threshold)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: language ID, quality scoring,
+  * token counting, fingerprinting. All pure column expressions — one narrow
+  * projection over the corpus, no shuffle, fully codegen'd; at 100 TB these
+  * run at scan speed.
+  */
+object TextAnalysis {
+
+  private val langStopwords: Seq[(String, String)] = Seq(
+    "en" -> "(the|and|of|to|in|is)",
+    "de" -> "(der|die|und|das|ein|nicht)",
+    "es" -> "(el|la|de|que|los|una)",
+    "fr" -> "(le|la|les|des|et|une)")
+
+  /** Heuristic language ID: count language-marker stopword hits, pick the
+    * best score with a fixed priority tie-break (en > de > es > fr).
+    */
+  def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = langStopwords.foldLeft(docs.select(col(idCol), col(textCol))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"${lang}_hits",
+          size(expr(s"regexp_extract_all(lower($textCol), '\\\\b$markers\\\\b', 0)")).cast("long"))
+    }
+    scored.select(
+      col(idCol),
+      col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"),
+      when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits")
+        && col("en_hits") >= col("fr_hits"), "en")
+        .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
+        .when(col("es_hits") >= col("fr_hits"), "es")
+        .otherwise("fr").as("pred_lang"))
+  }
+
+  /** Whitespace token count (int64, matching SQL engines' len()). */
+  def tokenCount(textCol: String): Column =
+    size(split(trim(col(textCol)), "\\s+")).cast("long")
+
+  /** BPE-ish token count: alphanumeric runs and single non-space symbols
+    * each count as one token.
+    */
+  def regexTokenCount(textCol: String): Column =
+    size(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)")).cast("long")
+
+  /** Quality score from length / punctuation ratio / stopword ratio —
+    * the standard cheap pre-filter for web-scale corpora.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokenCount(textCol).cast("double")
+    val punct = size(expr(s"regexp_extract_all($textCol, '[^a-zA-Z0-9\\\\s]', 0)")).cast("double")
+    val stops = size(expr(
+      s"regexp_extract_all(lower($textCol), '\\\\b(the|and|of|to|in|is|a)\\\\b', 0)")).cast("double")
+    val chars = length(col(textCol)).cast("double")
+    docs.select(
+      col(idCol),
+      toks.cast("long").as("n_tokens"),
+      round(punct / nullif(chars, lit(0.0)), 6).as("punct_ratio"),
+      round(stops / nullif(toks, lit(0.0)), 6).as("stopword_ratio"),
+      round(
+        least(chars / lit(500.0), lit(1.0)) * lit(0.5)
+          + least(stops / nullif(toks, lit(0.0)) * lit(5.0), lit(1.0)) * lit(0.3)
+          + (lit(1.0) - least(punct / nullif(chars, lit(0.0)) * lit(10.0), lit(1.0))) * lit(0.2),
+        6).as("quality"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercase, strip
+    * non-alphanumerics, collapse whitespace) — catches trivially-reformatted
+    * duplicates that exact hashing misses.
+    */
+  def fingerprint(textCol: String): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " ")))
+}

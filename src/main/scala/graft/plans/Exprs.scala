@@ -1,0 +1,18 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftBridge}
+
+/** Column-API wrappers for graft's custom catalyst expressions. */
+object Exprs {
+  /** Codegen'd float-array dot product (see [[ArrayDotProduct]]). */
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(ArrayDotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Compiled MinHash signature (see [[MinHashSignature]]). */
+  def minhash(shingles: Column, numHashes: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), numHashes))
+
+  /** Compiled 64-bit SimHash fingerprint (see [[SimHash64]]). */
+  def simhash(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Self-check: mimic the driver's t2 gate. Run graft.Verify at a given SF,
+then execute each oracle SQL in DuckDB over the same parquet tables and
+compare (columns sorted by name, rows sorted, exact values)."""
+import json, subprocess, sys, glob, os
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    if os.environ.get("SKIP_VERIFY") != "1":
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
+            capture_output=True, text=True, cwd="/root/repo")
+        sys.stdout.write(r.stdout[-3000:])
+        sys.stderr.write(r.stderr[-3000:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(OUT)):
+        p = os.path.join(OUT, name)
+        if not os.path.isdir(p):
+            continue
+        files = glob.glob(f"{p}/*.parquet")
+        if not files:
+            results[name] = "NO_OUTPUT"
+            continue
+        spark_df = con.execute(f"SELECT * FROM '{p}/*.parquet'").df()
+        if name not in oracle:
+            results[name] = f"rows_only:{len(spark_df)}"
+            continue
+        try:
+            oracle_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        s, o = canon(spark_df), canon(oracle_df)
+        if list(s.columns) != list(o.columns):
+            results[name] = f"SCHEMA_MISMATCH spark={list(s.columns)} oracle={list(o.columns)}"
+            continue
+        if len(s) != len(o):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(s)} oracle={len(o)}"
+            continue
+        if s.dtypes.tolist() != o.dtypes.tolist():
+            results[name] = (f"DTYPE_DIFF spark={s.dtypes.to_dict()} oracle={o.dtypes.to_dict()}")
+            # fall through to value compare anyway
+        try:
+            pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+            results[name] = f"OK:{len(s)}"
+        except AssertionError as e:
+            results[name] = "VALUE_MISMATCH: " + str(e).replace("\n", " | ")[:500]
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows_only")))
+    for k, v in sorted(results.items()):
+        print(f"{k:25s} {v}")
+    print(f"\n{n_ok}/{len(results)} pass")
+
+if __name__ == "__main__":
+    main()
