@@ -34,14 +34,19 @@ object EventsStream {
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double, duration_sec: Double)
 
   /** Sessionization with explicit state: a session closes after `gapSec` of
-    * inactivity (processing-time timeout so it works with MemoryStream
-    * tests). State per user is O(1); keys partition across executors.
+    * event-time inactivity — either inline (the key's next event arrives
+    * past the gap) or via event-time timeout once the watermark passes the
+    * gap. Event-time (not processing-time) timeout matters operationally:
+    * batches trigger only on data/watermark progress, so an idle stream is
+    * idle — no busy empty-batch loop. State per user is O(1).
     */
   def sessionize(events: Dataset[Ev], gapSec: Long = 1800): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", "10 seconds") else events
+    src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) => {
           if (state.hasTimedOut) {
             val s = state.get
@@ -65,7 +70,11 @@ object EventsStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapSec * 1000)
+              if (streaming) {
+                // must stay ahead of the current watermark or Spark rejects it
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(s.lastMs + gapSec * 1000, wm + 1))
+              }
             }
             closed.result().iterator
           }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val near1 = "the quick brown fox jumps over the lazy dog again and again every day"
+  private val near2 = "the quick brown fox jumps over the lazy dog again and again every night"
+  private val far = "completely different content about spark query engines and columnar formats"
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val docs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy($"keep_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 1L && out(0).getLong(2) === 2L)
+    assert(out(1).getLong(1) === 3L && out(1).getLong(2) === 1L)
+  }
+
+  test("minhash LSH surfaces near-duplicate pairs with high estimated jaccard") {
+    val docs = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs).collect()
+    val pair = cands.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.isDefined, s"expected (1,2) candidate, got ${cands.mkString(",")}")
+    assert(pair.get.getDouble(2) > 0.5)
+    assert(!cands.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("ngram jaccard confirms near-dups above threshold") {
+    val docs = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(docs, 0.4).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 2L)
+    assert(out(0).getDouble(2) > 0.4 && out(0).getDouble(2) < 1.0)
+  }
+
+  test("simhash: identical docs have identical fingerprints; near-dups small hamming") {
+    val docs = Seq((1L, near1), (2L, near1), (3L, far)).toDF("doc_id", "text")
+    val fps = Dedup.simhashFingerprints(docs).collect()
+    val byId = fps.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) === byId(2L))
+    assert(java.lang.Long.bitCount(byId(1L) ^ byId(3L)) > 3)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
+  test("fingerprints of the sf0.001 corpus are deterministic across runs") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Dedup.minhashCandidates(docs).count()
+    val b = Dedup.minhashCandidates(docs).count()
+    assert(a === b)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.Fns
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class FnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sma is null until the window fills, then averages the trailing n rows") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("a", 4, 40.0))
+      .toDF("k", "t", "v")
+    val w = Window.partitionBy($"k").orderBy($"t")
+    val out = df.select($"t", Fns.sma($"v", 3, w).as("sma")).orderBy($"t").collect()
+    assert(out(0).isNullAt(1) && out(1).isNullAt(1))
+    assert(out(2).getDouble(1) === 20.0)
+    assert(out(3).getDouble(1) === 30.0)
+  }
+
+  test("dollarVolume = (open+close)/2 * volume") {
+    val r = Seq((10.0, 14.0, 100L)).toDF("o", "c", "v")
+      .select(Fns.dollarVolume($"o", $"c", $"v")).head()
+    assert(r.getDouble(0) === 1200.0)
+  }
+
+  test("gap off-peak compares open to previous open; on-peak is intraday") {
+    val df = Seq(("a", 1, 100.0, 110.0), ("a", 2, 120.0, 150.0)).toDF("k", "t", "open", "close")
+    val w = Window.partitionBy($"k").orderBy($"t")
+    val rows = df.select($"t", Fns.gapOffPeak($"open", w).as("off"),
+      Fns.gapOnPeak($"open", $"close").as("on")).orderBy($"t").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getDouble(1) === 20.0) // (120-100)/100*100
+    assert(rows(0).getDouble(2) === 10.0) // (110-100)/100*100
+    assert(rows(1).getDouble(2) === 25.0) // (150-120)/120*100
+  }
+
+  test("pctChangeFromFirst is relative to the window start") {
+    val df = Seq(("a", 1, 100.0), ("a", 2, 150.0), ("a", 3, 120.0)).toDF("k", "t", "v")
+    val w = Window.partitionBy($"k").orderBy($"t")
+    val out = df.select($"t", Fns.pctChangeFromFirst($"v", 5, w).as("p")).orderBy($"t").collect()
+    assert(out(0).getDouble(1) === 0.0)
+    assert(out(1).getDouble(1) === 50.0)
+    assert(out(2).getDouble(1) === 20.0)
+  }
+
+  test("parseMagnitude handles M/B suffixes, separators, and garbage") {
+    val df = Seq("12.3 M", "1.2 B", "1,234.5 M", "nonsense").toDF("s")
+      .select(Fns.parseMagnitude($"s").as("v"))
+    val out = df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(out(0) === 12300000L)
+    assert(out(1) === 1200000000L)
+    assert(out(2) === 1234500000L)
+    assert(out(3) === null)
+  }
+
+  test("symbol normalization matches the reference rules") {
+    val df = Seq("BRK.B", "A_X").toDF("s").select(
+      Fns.normalizeSymbolSql($"s").as("sql"), Fns.normalizeSymbolYf($"s").as("yf"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) === "brk_b" && rows(0).getString(1) === "BRK-B")
+    assert(rows(1).getString(0) === "a_x" && rows(1).getString(1) === "A-X")
+  }
+
+  test("prevMarketDay: weekend and Monday map to Friday, midweek to previous day") {
+    // 2024-01-08 = Monday, 2024-01-06 = Saturday, 2024-01-07 = Sunday, 2024-01-10 = Wednesday
+    val df = Seq("2024-01-08", "2024-01-06", "2024-01-07", "2024-01-10").toDF("d")
+      .select(Fns.prevMarketDay(to_date($"d")).cast("string").as("p"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0) === "2024-01-05") // Mon -> Fri
+    assert(out(1) === "2024-01-05") // Sat -> Fri
+    assert(out(2) === "2024-01-05") // Sun -> Fri
+    assert(out(3) === "2024-01-09") // Wed -> Tue
+  }
+
+  test("exactSum over doubles equals decimal-exact result regardless of partitioning") {
+    val vals = (1 to 10000).map(i => i * 0.01)
+    val one = vals.toDF("v").repartition(1).agg(Fns.exactSum($"v")).head.getDouble(0)
+    val many = vals.toDF("v").repartition(13).agg(Fns.exactSum($"v")).head.getDouble(0)
+    assert(one === many)
+    assert(math.abs(one - 500050.0) < 1e-9)
+  }
+}

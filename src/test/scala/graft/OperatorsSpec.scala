@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("Ohlc.dailyBars picks open/close by time and aggregates high/low/volume") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 30.0),
+      (1L, ts("2024-01-01 16:00:00"), 20.0),
+      (1L, ts("2024-01-02 09:00:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val bars = Ohlc.dailyBars(ev).orderBy($"d").collect()
+    assert(bars.length === 2)
+    val b0 = bars(0)
+    assert(b0.getDouble(2) === 10.0) // open
+    assert(b0.getDouble(3) === 30.0) // high
+    assert(b0.getDouble(4) === 10.0) // low
+    assert(b0.getDouble(5) === 20.0) // close
+    assert(b0.getLong(6) === 3L)     // volume
+  }
+
+  test("Incremental.newerThanExisting keeps only strictly-newer rows per key") {
+    val existing = Seq((1L, ts("2024-01-05 00:00:00"), 1.0), (2L, ts("2024-01-01 00:00:00"), 2.0))
+      .toDF("user_id", "ts", "value")
+    val incoming = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 10.0), // duplicate instant — dropped
+      (1L, ts("2024-01-06 00:00:00"), 11.0), // newer — kept
+      (2L, ts("2024-01-02 00:00:00"), 12.0), // newer — kept
+      (3L, ts("2023-12-31 00:00:00"), 13.0)  // unseen key — kept
+    ).toDF("user_id", "ts", "value")
+    val out = Incremental.newerThanExisting(existing, incoming, "user_id", "ts")
+      .select($"value").as[Double].collect().sorted
+    assert(out.toSeq === Seq(11.0, 12.0, 13.0))
+  }
+
+  test("AsOfJoin.asOf picks the most recent right row at-or-before, else null") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l1"), (1L, ts("2024-01-03 10:00:00"), "l2"),
+      (2L, ts("2024-01-01 00:00:00"), "l3"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 100.0), (1L, ts("2024-01-02 00:00:00"), 200.0))
+      .toDF("user_id", "ts", "px")
+    val out = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("px"))
+      .orderBy($"tag").collect()
+    assert(out(0).getDouble(3) === 100.0)  // equal ts visible
+    assert(out(1).getDouble(3) === 200.0)  // latest at-or-before
+    assert(out(2).isNullAt(3))             // no prior snapshot
+  }
+
+  test("PivotOps: declared-vocabulary pivot and evolved-schema union") {
+    val df = Seq((1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0)).toDF("k", "t", "v")
+    val wide = PivotOps.pivotAgg(df, "k", "t", Seq("x", "y", "z"), sum($"v"))
+    assert(wide.columns.toSeq === Seq("k", "x", "y", "z"))
+    val r1 = wide.where($"k" === 1L).head()
+    assert(r1.getDouble(1) === 1.0 && r1.getDouble(2) === 2.0 && r1.isNullAt(3))
+
+    val a = Seq((1L, 1.0)).toDF("k", "x")
+    val b = Seq((2L, 2.0, 3.0)).toDF("k", "x", "y")
+    val u = PivotOps.unionEvolved(Seq("a" -> a, "b" -> b)).orderBy($"k").collect()
+    assert(u(0).isNullAt(u(0).fieldIndex("y")))
+    assert(u(1).getDouble(u(1).fieldIndex("y")) === 3.0)
+  }
+
+  test("Analytics.weightedPrice = sum(price*qty)/sum(qty) per brand") {
+    val li = Seq((1L, 10.0, 2.0), (1L, 20.0, 3.0), (2L, 5.0, 1.0)).toDF("l_partkey", "l_extendedprice", "l_quantity")
+    val p = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")
+    val out = Analytics.weightedPrice(li, p).orderBy($"p_brand").collect()
+    assert(out(0).getDouble(1) === 16.0) // (10*2+20*3)/(2+3)
+    assert(out(1).getDouble(1) === 5.0)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Similarity
+import graft.plans.Exprs
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),  // nearly parallel to 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 1
+    (4L, Array(0.0f, 0.0f, 2.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("ArrayDotProduct matches a hand-computed dot in both eval paths") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val codegen = df.select(Exprs.dot($"a", $"b")).head.getDouble(0)
+    assert(codegen === 32.0)
+    // interpreted path (eval): force by using it inside a filter on a tiny df
+    val filtered = df.where(Exprs.dot($"a", $"b") > 31.9).count()
+    assert(filtered === 1L)
+  }
+
+  test("cosinePairs finds near-parallel pairs only") {
+    val pairs = Similarity.cosinePairs(vecs, 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(pairs(0).getDouble(2) > 0.99)
+    assert(Similarity.cosinePairs(vecs, 0.999999).isEmpty)
+  }
+
+  test("topK ranks by cosine descending and excludes the query itself") {
+    val q = vecs.where($"vec_id" === 1L)
+    val out = Similarity.topK(vecs, q, 3).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L, 3L, 4L))
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+  }
+
+  test("bucketed LSH pairs are a subset of brute force at the same threshold") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.cosinePairs(emb, 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsBucketed(emb, 0.2, planes = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.nonEmpty)
+  }
+}

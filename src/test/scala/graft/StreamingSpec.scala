@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedAgg emits finalized hourly windows once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventsStream.windowedAgg(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")))
+    val query = out.writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+        Ev(2L, ts("2024-01-01 10:20:00"), "click", 2.0))
+      query.processAllAvailable()
+      // watermark passes 11:00 only after an event at >= 12:00
+      input.addData(Ev(3L, ts("2024-01-01 12:30:00"), "view", 5.0))
+      query.processAllAvailable()
+      input.addData(Ev(4L, ts("2024-01-01 14:30:00"), "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+      val w10 = rows.find(_.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      assert(w10.isDefined, s"expected finalized 10:00 window, got ${rows.mkString(";")}")
+      assert(w10.get.getLong(2) === 2L)
+      assert(w10.get.getDouble(3) === 3.0)
+    } finally query.stop()
+  }
+
+  test("sessionize closes a session when the inactivity gap is exceeded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = EventsStream.sessionize(input.toDS(), gapSec = 1800)
+    val query = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(1L, ts("2024-01-01 10:10:00"), "click", 2.0))
+      query.processAllAvailable()
+      // next event is far beyond the gap → previous session closes
+      input.addData(Ev(1L, ts("2024-01-01 13:00:00"), "click", 7.0))
+      query.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      assert(rows.length === 1, s"got ${rows.mkString(";")}")
+      val s = rows.head
+      assert(s.getLong(0) === 1L)
+      assert(s.getLong(1) === 2L)
+      assert(s.getDouble(2) === 3.0)
+      assert(s.getDouble(3) === 600.0)
+    } finally query.stop()
+  }
+
+  test("windowedAgg batch and streaming logic share one implementation (batch path)") {
+    val ev = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:59:00"), "click", 2.0),
+      (ts("2024-01-01 11:01:00"), "view", 3.0)
+    ).toDF("ts", "event_type", "value")
+    val out = EventsStream.windowedAgg(ev).orderBy($"wstart", $"event_type").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(2) === 2L && out(0).getDouble(3) === 3.0)
+  }
+}

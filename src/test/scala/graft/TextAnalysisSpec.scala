@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace vs regex tokenization") {
+    val df = Seq((1L, "Hello, world! 42 times")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount("text"),
+      TextAnalysis.regexTokenCount("text")).head()
+    assert(r.getLong(0) === 4L)
+    // hello , world ! 42 times
+    assert(r.getLong(1) === 6L)
+  }
+
+  test("fingerprint is invariant to case, punctuation and extra whitespace") {
+    val df = Seq((1L, "The   quick, brown fox!"), (2L, "the quick brown fox")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprint("text")).as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  test("langId picks the language with the most stopword hits") {
+    val docs = Seq(
+      (1L, "the cat and the dog went to the house in the rain"),
+      (2L, "der hund und die katze sind ein team nicht wahr"),
+      (3L, "el perro y la casa de que los gatos una vez")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs).orderBy($"doc_id").collect()
+    assert(out(0).getString(5) === "en")
+    assert(out(1).getString(5) === "de")
+    assert(out(2).getString(5) === "es")
+  }
+
+  test("qualityScore components are bounded and rounded") {
+    val out = TextAnalysis.qualityScore(Tables.documents(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getDouble(4)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("multimodal featurize: deterministic 16-bin byte histogram summing to ~1") {
+    val feats = Multimodal.featurize(spark, Tables.documents(spark, sfDir)).collect()
+    assert(feats.length === 500)
+    feats.take(10).foreach { f =>
+      assert(f.features.length === 16)
+      assert(math.abs(f.features.sum - 1.0) < 1e-9)
+      assert(f.byte_len > 0)
+    }
+    // deterministic across runs
+    val again = Multimodal.featurize(spark, Tables.documents(spark, sfDir)).collect()
+    assert(feats.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
+  }
+}
