@@ -103,7 +103,7 @@ object SparkEntry {
       PivotOps.pivotAgg(
         events(s, dir), "user_id", "event_type",
         Seq("click", "error", "purchase", "signup", "view"),
-        exactSumD(col("value")))),
+        "value", exactSumD)),
 
     "q_weighted_price" -> ((s, dir) =>
       Analytics.weightedPrice(Tables.lineitem(s, dir), Tables.part(s, dir))),
@@ -146,11 +146,11 @@ object SparkEntry {
       val ev = events(s, dir)
       val a = PivotOps.pivotAgg(
         ev.where(col("ts") < tsNtz("2024-01-15") && col("event_type").isin("click", "view")),
-        "user_id", "event_type", Seq("click", "view"), exactSumD(col("value")))
+        "user_id", "event_type", Seq("click", "view"), "value", exactSumD)
       val b = PivotOps.pivotAgg(
         ev.where(col("ts") >= tsNtz("2024-01-15")
           && col("event_type").isin("click", "view", "purchase")),
-        "user_id", "event_type", Seq("click", "view", "purchase"), exactSumD(col("value")))
+        "user_id", "event_type", Seq("click", "view", "purchase"), "value", exactSumD)
       PivotOps.unionEvolved(Seq("a" -> a, "b" -> b))
         .select("snapshot", "user_id", "click", "view", "purchase")
     }),

@@ -20,6 +20,11 @@ object Ohlc {
       tsCol: String = "ts",
       valueCol: String = "value"): DataFrame =
     events
+      // Shuffle on the entity alone (not (entity, day)): hash-partitioning by
+      // entity still satisfies the aggregate's clustering requirement, and
+      // every downstream per-entity window (SMA, gaps, pct-change) then reuses
+      // this one exchange instead of adding its own.
+      .repartition(col(entity))
       .groupBy(col(entity), to_date(col(tsCol)).as("d"))
       .agg(
         min_by(col(valueCol), col(tsCol)).as("open"),

@@ -11,19 +11,38 @@ import org.apache.spark.sql.functions._
   */
 object PivotOps {
 
-  /** Pivot with a DECLARED vocabulary: passing `values` explicitly skips the
-    * extra distinct-collect job Spark otherwise runs, so the plan is a single
-    * hash-aggregate — one shuffle on the key. At 100 TB the vocabulary
-    * (event types / tickers) is catalog metadata, not something to re-derive
-    * from the data each run.
+  /** Pivot with a DECLARED vocabulary, as one conditional aggregation:
+    * `agg(when(pivotCol = v, x)) as v` per value. Spark's `.pivot` API runs a
+    * two-phase aggregate (two shuffles) even with explicit values; this is a
+    * single hash-aggregate — one shuffle on the key, partial aggregation
+    * map-side. At 100 TB the vocabulary (event types / tickers) is catalog
+    * metadata, not something to re-derive from the data each run.
+    *
+    * `agg` receives the filtered input column and must produce the
+    * aggregate, e.g. `c => sum(c.cast("decimal(28,6)")).cast("double")`.
     */
   def pivotAgg(
       df: DataFrame,
       key: String,
       pivotCol: String,
       values: Seq[String],
+      valueCol: String,
+      agg: Column => Column): DataFrame = {
+    val aggs = values.map { v =>
+      agg(when(col(pivotCol) === v, col(valueCol))).as(v)
+    }
+    df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Dynamic-vocabulary pivot (vocabulary discovered from the data) — the
+    * built-in two-phase path, for when the value set is genuinely unknown.
+    */
+  def pivotDynamic(
+      df: DataFrame,
+      key: String,
+      pivotCol: String,
       agg: Column): DataFrame =
-    df.groupBy(col(key)).pivot(pivotCol, values).agg(agg)
+    df.groupBy(col(key)).pivot(pivotCol).agg(agg)
 
   /** Union snapshots whose wide schemas drifted: missing columns become NULL
     * (the reference's ALTER TABLE ADD COLUMN ... NULL path, sector.py:70-84).

@@ -54,7 +54,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("PivotOps: declared-vocabulary pivot and evolved-schema union") {
     val df = Seq((1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0)).toDF("k", "t", "v")
-    val wide = PivotOps.pivotAgg(df, "k", "t", Seq("x", "y", "z"), sum($"v"))
+    val wide = PivotOps.pivotAgg(df, "k", "t", Seq("x", "y", "z"), "v", sum)
     assert(wide.columns.toSeq === Seq("k", "x", "y", "z"))
     val r1 = wide.where($"k" === 1L).head()
     assert(r1.getDouble(1) === 1.0 && r1.getDouble(2) === 2.0 && r1.isNullAt(3))
