@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration of graft's custom expressions, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` works anywhere the library is
+  * on the classpath:
+  *
+  *   - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
+  *     (the standard extension hook), or
+  *   - `GraftFunctions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two array<float> vectors"),
+      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, k) - k-permutation MinHash signature"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(n: Int, IntegerType) => MinHashSignature(exprs(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash: second argument must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash fingerprint"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+
+  /** Register on an already-built session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

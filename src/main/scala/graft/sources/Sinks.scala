@@ -1,0 +1,40 @@
+package graft.sources
+
+import graft.operators.Incremental
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Output — the Spark-native replacement for the reference's
+  * to_sql(if_exists="append") + S3 CSV uploads (main.py, ticker tables;
+  * functions.py initialize_table). Parquet partitioned by day is the
+  * at-scale equivalent of the reference's date-keyed SQL tables: partition
+  * pruning serves the date-range reads, append is atomic per partition.
+  */
+object Sinks {
+
+  /** Day-partitioned parquet append. */
+  def writeByDay(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("day", to_date(col(tsCol)))
+      .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+
+  /** Idempotent incremental append: filter the incoming frame to rows
+    * strictly newer than the target's per-key max(ts) (the reference's
+    * check_table_append_compatibility + to_sql append), then append. On an
+    * empty/absent target, everything is new.
+    */
+  def appendNewerThan(
+      spark: SparkSession,
+      incoming: DataFrame,
+      path: String,
+      key: String,
+      tsCol: String): Unit = {
+    val fresh =
+      try {
+        val existing = spark.read.parquet(path)
+        Incremental.newerThanExisting(existing, incoming, key, tsCol)
+      } catch {
+        case _: Exception => incoming // first write: no target yet
+      }
+    fresh.write.mode(SaveMode.Append).parquet(path)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion — the Spark-native replacement for the reference's IO layer
+  * (pandas read_csv of S3 downloads, xlsx holdings sheets, yfinance pulls:
+  * stock_data_pipeline/functions.py:76-92 get_s3_table, sector.py:156-173
+  * create_sector_shares_dataframe, main.py's per-ticker loop).
+  *
+  * Cloud object stores mount as filesystems here (s3a:// paths work
+  * unchanged); schema normalization is the reference's lowercase/underscore
+  * convention.
+  */
+object Sources {
+
+  /** Reference column-name normalization: lowercase, spaces → underscores
+    * (main.py `[column.lower() for column in ...]`,
+    * sector.py `column.lower().replace(" ", "_")`).
+    */
+  def normalizeColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase.replace(" ", "_")).toIndexedSeq: _*)
+
+  /** CSV with headers and an explicit schema. Schema-on-read with a declared
+    * schema (not inferSchema) — inference is a full extra pass over the data,
+    * unacceptable at scale and nondeterministic across files.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    normalizeColumns(
+      spark.read.option("header", "true").schema(schema).csv(path))
+
+  /** CSV with inference, for small config-style tables only (the reference's
+    * sector list / shares CSVs). Deliberately separate so the scalable path
+    * never silently infers.
+    */
+  def readCsvSmall(spark: SparkSession, path: String): DataFrame =
+    normalizeColumns(
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path))
+
+  /** Holdings table ingestion — the create_sector_shares_dataframe cleanup
+    * (sector.py:156-173) on a (ticker, weight, shares_held) source: drop the
+    * placeholder '-' rows, nulls and tickers containing '6' (the reference's
+    * data-quality rules), normalize symbols, scale weight to a fraction.
+    */
+  def cleanHoldings(raw: DataFrame): DataFrame =
+    normalizeColumns(raw)
+      .where(col("ticker").isNotNull && col("ticker") =!= "-"
+        && !col("ticker").contains("6"))
+      .withColumn("ticker", lower(regexp_replace(col("ticker"), "\\.", "_")))
+      .withColumn("weight", col("weight") / 100)
+
+  /** An events directory as a stream: parquet files dropped into `dir` are
+    * consumed incrementally — file-source streaming is the zero-infra
+    * stand-in for the reference's daily re-pull loop.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    // watermarks require TIMESTAMP (LTZ), so unlike the batch/oracle path
+    // the stream keeps the session-zone type (UTC session ⇒ same instants)
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

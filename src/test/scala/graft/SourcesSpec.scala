@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.plans.GraftFunctions
+import graft.sources.{Sinks, Sources}
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readCsvSmall normalizes headers the way the reference does") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "holdings.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("Ticker,Weight,Shares Held")
+    w.println("BRK.B,12.5,100")
+    w.println("-,1.0,5")
+    w.println("A6Z,2.0,7")
+    w.println("MSFT,50.0,200")
+    w.close()
+    val df = Sources.readCsvSmall(spark, f.getAbsolutePath)
+    assert(df.columns.toSeq === Seq("ticker", "weight", "shares_held"))
+    val clean = Sources.cleanHoldings(df).orderBy($"ticker").collect()
+    assert(clean.map(_.getString(0)).toSeq === Seq("brk_b", "msft"))
+    assert(clean(0).getDouble(1) === 0.125)
+  }
+
+  test("appendNewerThan is idempotent for already-seen timestamps") {
+    val out = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath + "/t"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch1 = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("user_id", "ts", "value")
+    Sinks.appendNewerThan(spark, batch1, out, "user_id", "ts")
+    // re-append same batch → nothing new; plus one genuinely new row
+    val batch2 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-02 00:00:00"), 2.0)).toDF("user_id", "ts", "value")
+    Sinks.appendNewerThan(spark, batch2, out, "user_id", "ts")
+    val rows = spark.read.parquet(out).orderBy($"ts").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(1.0, 2.0))
+  }
+
+  test("events stream source feeds the shared windowedAgg transform") {
+    val streamDir = Files.createTempDirectory("graft_stream")
+    Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("part-0.parquet"))
+    val stream = Sources.readEventsStream(spark, streamDir.toString)
+    assert(stream.isStreaming)
+    val agg = graft.streaming.EventsStream.windowedAgg(stream)
+    val query = agg.writeStream.format("memory").queryName("src_win")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // append mode: nothing finalizes (watermark never passes), but the
+      // pipeline runs — state is bounded, schema is the batch schema
+      assert(spark.table("src_win").schema.fieldNames.toSeq
+        === Seq("wstart", "event_type", "n", "total"))
+    } finally query.stop()
+  }
+
+  test("graft_* SQL functions are callable after registration") {
+    GraftFunctions.register(spark)
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT graft_dot(a, b) FROM vecs").head.getDouble(0) === 11.0)
+    Seq((Seq("a", "b", "c"))).toDF("toks").createOrReplaceTempView("toks_v")
+    val sig = spark.sql("SELECT graft_minhash(toks, 8) FROM toks_v").head.getSeq[Long](0)
+    assert(sig.length === 8)
+    val fp = spark.sql("SELECT graft_simhash(toks) FROM toks_v").head.getLong(0)
+    // same fingerprint via the Column API on equivalent input
+    val viaColumn = Seq("a b c").toDF("text")
+      .select(graft.operators.Dedup.simhash("text")).head.getLong(0)
+    assert(fp === viaColumn)
+  }
+}
