@@ -161,6 +161,12 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, dir) =>
       Analytics.pricingSummary(lineitemNtz(s, dir), "2000-09-02")),
 
+    "q_topk_per_key" -> ((s, dir) =>
+      plans.GroupTopK.topKPerKey(
+        ordersNtz(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)),
+
     "q3_top_orders" -> ((s, dir) =>
       Analytics.topOrders(
         Tables.customer(s, dir), ordersNtz(s, dir), Tables.lineitem(s, dir),
@@ -356,6 +362,14 @@ object SparkEntry {
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,

@@ -1,7 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** Bridge into the `sql`-private Expression ⇄ Column conversions so graft's
   * custom catalyst expressions (graft.plans.*) can be used through the
@@ -9,5 +9,24 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Lazy wrapper conversion — fine when the expression feeds a standard
+    * Dataset operator (the analyzer finishes the conversion there).
+    */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER catalyst conversion. Required when the expression is embedded in
+    * a custom LogicalPlan node: the analyzer does not descend into unknown
+    * nodes to convert leftover ColumnNodeExpression wrappers, which are not
+    * serializable and would blow up at task serialization.
+    */
+  def catalystExpression(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame from a (possibly unresolved) logical plan — runs the full
+    * analyzer, so UnresolvedAttribute children resolve against the child.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.plans.GroupTopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class GroupTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKPerKey returns exactly the window-rank result on a known frame") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 40.0),
+      ("b", 5L, 5.0), ("b", 6L, 5.0), // tie on value → id breaks it
+      ("c", 7L, 1.0)
+    ).toDF("k", "id", "v")
+    val top = GroupTopK.topKPerKey(df, Seq("k"), Seq($"v".desc, $"id".asc), 2)
+      .select("k", "id").as[(String, Long)].collect().toSet
+    assert(top === Set(("a", 4L), ("a", 2L), ("b", 5L), ("b", 6L), ("c", 7L)))
+  }
+
+  test("topKPerKey matches the window formulation on real data, any partitioning") {
+    val orders = Tables.orders(spark, sfDir).repartition(7)
+    val viaCustom = GroupTopK.topKPerKey(
+      orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq($"o_totalprice".desc, $"o_orderkey".asc), 3)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(w)).where($"rn" <= 3)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    assert(viaCustom === viaWindow)
+    assert(viaCustom.nonEmpty)
+  }
+
+  test("physical plan uses the two-stage heap operator, not a full sort") {
+    val df = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_totalprice")
+    val top = GroupTopK.topKPerKey(df, Seq("o_custkey"), Seq($"o_totalprice".desc), 2)
+    val plan = top.queryExecution.executedPlan.toString()
+    assert(plan.contains("GroupTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("sort "), plan)
+  }
+}
