@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RewriteWindowTopK: the window row_number idiom gets the heap operator") {
+    Graft.enable(spark)
+    val orders = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val q = orders.withColumn("rn", row_number().over(w)).where($"rn" <= 3)
+
+    val optimized = q.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("GroupTopK"), optimized)
+
+    // and the rewritten plan computes the same result as the un-rewritten one
+    val expected = {
+      // fresh plan in a session without the rule: emulate by collecting from
+      // a RewriteWindowTopK-free computation (distinct path: sort + slice)
+      orders.collect().groupBy(_.getLong(0)).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(3).toSeq
+      }.map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = q.select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("RewriteWindowTopK leaves non-top-k window queries alone") {
+    Graft.enable(spark)
+    val orders = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate")
+    // lag over a window is not a rank-filter pattern
+    val q = orders.withColumn("prev", lag($"o_totalprice", 1).over(w)).where($"prev" > 0)
+    assert(!q.queryExecution.optimizedPlan.toString().contains("GroupTopK"))
+  }
+
+  test("saltedJoin equals the plain join result") {
+    val fact = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
+    val dim = Tables.part(spark, sfDir).withColumnRenamed("p_partkey", "l_partkey")
+      .select("l_partkey", "p_brand")
+    val plain = fact.join(dim, "l_partkey")
+      .groupBy("p_brand").agg(sum($"l_quantity").as("q"))
+      .as[(String, Double)].collect().toMap
+    val salted = Skew.saltedJoin(fact, dim, "l_partkey", 8)
+      .groupBy("p_brand").agg(sum($"l_quantity").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(salted === plain)
+  }
+
+  test("saltedSum equals a direct aggregation") {
+    val df = Tables.lineitem(spark, sfDir)
+    val direct = df.groupBy("l_returnflag")
+      .agg(sum($"l_quantity".cast("decimal(28,6)")).cast("double").as("s"))
+      .as[(String, Double)].collect().toMap
+    val salted = Skew.saltedSum(df, "l_returnflag", "l_quantity", 16)
+      .as[(String, Double)].collect().toMap
+    assert(salted === direct)
+  }
+}
