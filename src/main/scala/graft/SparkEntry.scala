@@ -197,6 +197,11 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.cosinePairsBucketed(Tables.embeddings(s, dir), 0.2, planes = 8)),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.orderBy(col("vec_id").desc).limit(1), 10)
+    }),
+
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
 
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),

@@ -55,33 +55,44 @@ object Dedup {
     * band-bucket → per-bucket pairing → distinct pairs with the estimated
     * Jaccard (fraction of agreeing signature slots).
     */
+  /** `maxBucketSize` drops degenerate buckets (e.g. a boilerplate string
+    * shared by millions of docs would otherwise cost O(bucket²)); dropped
+    * buckets mean those docs are mutual near-dups en masse and deserve a
+    * dedicated exact-hash pass, not pairwise comparison.
+    */
   def minhashCandidates(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = docs
       .select(col(idCol).as("id"), tokens(textCol).as("__toks"))
       .select(col("id"), ngramsOfTokens("__toks", 3).as("__sh"))
       .withColumn("__sig", minhashSignature("__sh", numHashes))
-      .select(col("id"), col("__sig"), explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
-    val buckets = sigs
+      .select(col("id"), col("__sig"))
+    // bucket stage carries only ids — the (heavy) signature stays out of the
+    // band explosion/shuffle and is joined back for surviving pairs only
+    val banded = sigs
+      .select(col("id"), explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
+    val buckets = banded
       .groupBy(col("bb.band"), col("bb.bucket"))
-      .agg(collect_list(struct(col("id"), col("__sig"))).as("members"))
-      .where(size(col("members")) > 1)
-    buckets
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .where(col("a.id") < col("b.id"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("__sig").as("__sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("__sig").as("__sig_b")), "id_b")
       .select(
-        col("a.id").as("id_a"),
-        col("b.id").as("id_b"),
-        (expr("size(filter(zip_with(a.__sig, b.__sig, (x, y) -> x = y), v -> v))").cast("double")
+        col("id_a"), col("id_b"),
+        (expr("size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), v -> v))").cast("double")
           / lit(numHashes)).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard on LSH candidates: re-join candidate ids to their

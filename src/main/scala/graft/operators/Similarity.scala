@@ -72,6 +72,49 @@ object Similarity {
        |              cast(0 as double), (a, v) -> a + v) > 0,
        |    shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin)
 
+  /** IVF (inverted-file) approximate top-k: coarse-quantize every vector to
+    * its nearest of `nlist` centroids, then search only the query's
+    * `nprobe` nearest lists. Work drops from O(n) dot products per query to
+    * O(n/nlist · nprobe) — the standard ANN scale path when the corpus no
+    * longer fits one scan per query.
+    *
+    * Centroids here are the `nlist` lowest-id vectors (deterministic,
+    * self-contained); in production they come from a k-means job and the
+    * assignment table is precomputed and bucketed on `cent_id`.
+    */
+  def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dot = graft.plans.Exprs.dot _
+    val cents = broadcast(
+      embeddings.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cv"),
+          normExact(vecCol).as("cn")))
+    val vecs = embeddings.select(col(idCol), col(vecCol).as("v"), normExact(vecCol).as("nrm"))
+    val assignments = vecs
+      .crossJoin(cents)
+      .select(col(idCol), col("v"), col("nrm"), col("cent_id"),
+        (dot(col("v"), col("cv")) / nullif(col("nrm") * col("cn"), lit(0.0))).as("ccos"))
+      .groupBy(col(idCol))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max_by(col("cent_id"), col("ccos")).as("cent_id"))
+    val q = broadcast(query
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), normExact(vecCol).as("qn")))
+    val probeLists = broadcast(q
+      .crossJoin(cents)
+      .select(col("qid"), col("qv"), col("qn"), col("cent_id"),
+        (dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0))).as("ccos"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+      .limit(nprobe))
+    assignments
+      .join(probeLists, "cent_id")
+      .where(col(idCol) =!= col("qid"))
+      .select(col(idCol),
+        round(dotExact("v", "qv") / nullif(col("nrm") * col("qn"), lit(0.0)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucketed near-neighbor pairs: same LSH signature ⇒ candidate; exact
     * cosine verifies. The groupBy key is the signature — candidate work is
     * Σ bucket², never corpus².

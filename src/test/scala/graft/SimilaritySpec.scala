@@ -37,6 +37,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getDouble(1) > out(1).getDouble(1))
   }
 
+  test("ivfTopK: exact cosines, deterministic, reasonable recall vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.orderBy($"vec_id".desc).limit(1) // a non-centroid query vector
+    val brute = Similarity.topK(emb, q, 10).collect()
+    val bruteCos = brute.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 8).collect()
+    assert(ivf.length === 10)
+    // any id IVF returns that brute force also ranked must carry the exact same cosine
+    ivf.foreach { r =>
+      bruteCos.get(r.getLong(0)).foreach(c => assert(c === r.getDouble(1)))
+    }
+    val recall = ivf.map(_.getLong(0)).count(bruteCos.contains) / 10.0
+    assert(recall >= 0.2, s"recall $recall")
+    val again = Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 8).collect()
+    assert(ivf.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+  }
+
   test("bucketed LSH pairs are a subset of brute force at the same threshold") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.cosinePairs(emb, 0.2)
