@@ -202,6 +202,32 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.orderBy(col("vec_id").desc).limit(1), 10)
     }),
 
+    "q_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(get_json_object(col("props"), "$.k")).as("n_k"))),
+
+    "q_quantiles" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+
+    "q_distinct_users" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+
+    "q_approx_distinct" -> ((s, dir) =>
+      // HLL++ sketch — engine-specific estimate, rows-only check
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))),
+
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
 
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -421,6 +447,22 @@ object SparkEntry {
          |  FROM n, q WHERE n.vec_id <> q.qid)
          |ORDER BY cosine DESC, vec_id
          |LIMIT 10""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | count(json_extract_string(props, '$.k')) AS n_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_lang_id" ->
       """SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
