@@ -99,6 +99,19 @@ object SparkEntry {
         round((col("close") - firstC) / nullif(firstC, lit(0.0)) * 100, 6).as("pct_change"))
     }),
 
+    "q_drawdown" -> ((s, dir) => {
+      val runMax = max(col("close"))
+        .over(entityDay.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      bars(s, dir).select(
+        col("user_id"), col("d"), col("close"),
+        round((col("close") / nullif(runMax, lit(0.0)) - 1) * 100, 6).as("drawdown_pct"))
+    }),
+
+    "q_anti_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(ordersNtz(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
     "q_pivot_wide" -> ((s, dir) =>
       PivotOps.pivotAgg(
         events(s, dir), "user_id", "event_type",
@@ -184,6 +197,10 @@ object SparkEntry {
 
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir)).select("id", "simhash")),
+
+    "q_winnow_fingerprint" -> ((s, dir) =>
+      Dedup.winnowFingerprints(Tables.documents(s, dir))
+        .select(col("id"), size(col("fps")).cast("long").as("n_fps"), col("fps"))),
 
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 0.4)),
 
@@ -316,6 +333,20 @@ object SparkEntry {
         |    AS pct_change
         |FROM bars
         |WINDOW w AS (PARTITION BY user_id ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_drawdown" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d, close,
+        |  round((close / nullif(max(close) OVER (PARTITION BY user_id ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - 1) * 100, 6)
+        |    AS drawdown_pct
+        |FROM bars""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
 
     "q_pivot_wide" ->
       """SELECT user_id,

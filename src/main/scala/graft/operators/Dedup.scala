@@ -127,6 +127,15 @@ object Dedup {
   def simhash(textCol: String): Column =
     graft.plans.Exprs.simhash(split(trim(lower(col(textCol))), "\\s+"))
 
+  /** Winnowing fingerprint sets (rolling-hash minima) per document — robust
+    * to insertions/reordering: any shared substring of ≥ k+w−1 bytes yields
+    * shared fingerprints, so containment/overlap detection works where
+    * whole-text hashing fails.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"), graft.plans.Exprs.winnow(col(textCol), k, w).as("fps"))
+
   /** Per-doc SimHash fingerprints plus the 4 × 16-bit chunk keys used for
     * candidate bucketing (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
     */

@@ -15,4 +15,8 @@ object Exprs {
   /** Compiled 64-bit SimHash fingerprint (see [[SimHash64]]). */
   def simhash(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  /** Winnowing rolling-hash fingerprint set (see [[Winnow]]). */
+  def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
+    GraftBridge.column(Winnow(GraftBridge.expression(text), k, w))
 }

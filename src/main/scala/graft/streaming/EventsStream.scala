@@ -29,6 +29,24 @@ object EventsStream {
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
   }
 
+  /** Daily OHLCV bars maintained continuously — the streaming face of
+    * Ohlc.dailyBars (identical aggregate functions), with a 1-day watermark
+    * bounding state to the open day per entity.
+    */
+  def streamingBars(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 day") else events
+    src
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("user_id"), col("w.start").cast("date").as("d"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class SessionState(nEvents: Long, total: Double, startMs: Long, lastMs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double, duration_sec: Double)

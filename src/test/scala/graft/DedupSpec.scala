@@ -45,6 +45,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
 
+  test("winnowing fingerprints overlap heavily for shifted/extended text") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the field"
+    val shifted = "PREFIX ADDED HERE " + base
+    val docs = Seq((1L, base), (2L, shifted), (3L, far)).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val overlap12 = fps(1L).intersect(fps(2L)).size.toDouble / fps(1L).size
+    val overlap13 = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    assert(overlap12 > 0.7, s"shifted overlap $overlap12")
+    assert(overlap13 < 0.2, s"unrelated overlap $overlap13")
+    // identical text → identical fingerprints
+    val again = Dedup.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(again === fps)
+  }
+
   test("fingerprints of the sf0.001 corpus are deterministic across runs") {
     val docs = Tables.documents(spark, sfDir)
     val a = Dedup.minhashCandidates(docs).count()

@@ -61,6 +61,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingBars finalizes a day's OHLCV identical to the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val barsStream = EventsStream.streamingBars(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")))
+    val query = barsStream.writeStream.format("memory").queryName("bars_stream")
+      .outputMode("append").start()
+    try {
+      val day1 = Seq(
+        Ev(1L, ts("2024-01-01 09:00:00"), "t", 10.0),
+        Ev(1L, ts("2024-01-01 12:00:00"), "t", 30.0),
+        Ev(1L, ts("2024-01-01 16:00:00"), "t", 20.0))
+      input.addData(day1: _*)
+      query.processAllAvailable()
+      // advance the watermark past day 1 (1-day delay → needs ts ≥ Jan 3)
+      input.addData(Ev(1L, ts("2024-01-03 09:00:00"), "t", 5.0))
+      query.processAllAvailable()
+      input.addData(Ev(1L, ts("2024-01-05 09:00:00"), "t", 6.0))
+      query.processAllAvailable()
+      val got = spark.table("bars_stream")
+        .where($"d" === "2024-01-01")
+        .select("open", "high", "low", "close", "volume").collect()
+      assert(got.length === 1, spark.table("bars_stream").collect().mkString(";"))
+      assert(got(0).getDouble(0) === 10.0 && got(0).getDouble(1) === 30.0
+        && got(0).getDouble(2) === 10.0 && got(0).getDouble(3) === 20.0
+        && got(0).getLong(4) === 3L)
+    } finally query.stop()
+  }
+
   test("windowedAgg batch and streaming logic share one implementation (batch path)") {
     val ev = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
