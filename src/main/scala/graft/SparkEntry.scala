@@ -134,7 +134,8 @@ object SparkEntry {
     "q_market_day" -> ((s, dir) =>
       events(s, dir)
         .select(to_date(col("ts")).as("d")).distinct()
-        .withColumn("prev_market_day", Fns.prevMarketDay(col("d")))),
+        .withColumn("prev_market_day", Fns.prevMarketDay(col("d")))
+        .withColumn("is_market_day", Fns.isMarketDay(col("d")))),
 
     "q_parse_magnitude" -> ((s, dir) => {
       val raw = concat(col("p_size").cast("string"),
@@ -372,7 +373,8 @@ object SparkEntry {
 
     "q_market_day" ->
       """SELECT d,
-        |  d - CAST(CASE WHEN pw >= 5 THEN pw - 4 WHEN pw = 0 THEN 3 ELSE 1 END AS INTEGER) AS prev_market_day
+        |  d - CAST(CASE WHEN pw >= 5 THEN pw - 4 WHEN pw = 0 THEN 3 ELSE 1 END AS INTEGER) AS prev_market_day,
+        |  pw < 5 AS is_market_day
         |FROM (SELECT DISTINCT CAST(ts AS DATE) AS d, (dayofweek(CAST(ts AS DATE)) + 6) % 7 AS pw
         |      FROM events)""".stripMargin,
 

@@ -94,6 +94,15 @@ object Fns {
        |  cast(0 as decimal(30,12)),
        |  (acc, v) -> cast(acc + v as decimal(30,12))) as double)""".stripMargin)
 
+  /** Weekday-based market-day test — functions.py:60-66 (get_market_day;
+    * the reference's NYSE calendar lookup degraded to its weekday core, as
+    * its own TODO suggests). Saturday/Sunday → false.
+    */
+  def isMarketDay(d: Column): Column = {
+    val dow = dayofweek(d) // 1=Sun..7=Sat
+    dow =!= 1 && dow =!= 7
+  }
+
   /** Previous-market-day adjustment — functions.py:103-115.
     * Python weekday() is Mon=0..Sun=6; Spark dayofweek() is Sun=1..Sat=7.
     * Sat/Sun → previous Friday; Mon → previous Friday; Tue-Fri → previous day.
