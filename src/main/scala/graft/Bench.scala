@@ -16,6 +16,9 @@ object Bench {
     // Optional comma-separated filter for local triage, e.g.
     // SPARK_GRAFT_ONLY=q_sma,q_ann_topk; full run when unset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // Untimed warmup: JIT + codegen + parquet reader init shouldn't be
+    // attributed to whichever query happens to run first.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{AsOfJoin, Incremental}
+import graft.plans.GroupTopK
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Randomized differential tests: each operator vs a naive in-memory
+  * reference implementation on scalacheck-generated data (fixed seeds —
+  * reproducible).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class E(k: Long, t: Long, v: Double)
+
+  private def genData(seed: Long, n: Int): Seq[E] = {
+    val gen = Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 5L)
+      t <- Gen.choose(0L, 200L)
+      v <- Gen.choose(1, 1000).map(_ / 10.0)
+    } yield E(k, t, v))
+    gen(Gen.Parameters.default, Seed(seed)).getOrElse(Seq.empty)
+  }
+
+  test("asOf join equals the naive most-recent-at-or-before lookup (random data)") {
+    for (seed <- 1L to 5L) {
+      val all = genData(seed, 120).zipWithIndex.map { case (e, i) => (e.k, e.t * 1000L + i, e.v) }
+      val (l, r) = all.splitAt(60)
+      val left = l.toDF("k", "t", "lv")
+      val right = r.map { case (k, t, v) => (k, t, v) }.toDF("k", "t", "rv")
+      val got = AsOfJoin.asOf(left, right.select($"k", $"t", $"rv"), "k", "t", Seq("rv"))
+        .select($"k", $"t", $"rv").collect()
+        .map(row => (row.getLong(0), row.getLong(1)) ->
+          (if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toMap
+      l.foreach { case (k, t, _) =>
+        val expected = r.filter(x => x._1 == k && x._2 <= t).sortBy(_._2).lastOption.map(_._3)
+        assert(got((k, t)) === expected, s"seed=$seed key=$k t=$t")
+      }
+    }
+  }
+
+  test("GroupTopK equals naive sort-take per key (random data)") {
+    for (seed <- 10L to 13L) {
+      val data = genData(seed, 150).zipWithIndex.map { case (e, i) => (e.k, i.toLong, e.v) }
+      val df = data.toDF("k", "id", "v").repartition(5)
+      val got = GroupTopK.topKPerKey(df, Seq("k"), Seq($"v".desc, $"id".asc), 4)
+        .select("k", "id").as[(Long, Long)].collect().toSet
+      val expected = data.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(4).map(r => (r._1, r._2))
+      }.toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("incremental append equals naive newer-than filter (random data)") {
+    for (seed <- 20L to 23L) {
+      val all = genData(seed, 100).zipWithIndex.map { case (e, i) => (e.k, e.t * 1000L + i, e.v) }
+      val (ex, in) = all.splitAt(50)
+      val existing = ex.toDF("k", "t", "v")
+      val incoming = in.toDF("k", "t", "v")
+      val got = Incremental.newerThanExisting(existing, incoming, "k", "t")
+        .select("k", "t").as[(Long, Long)].collect().toSet
+      val maxByKey = ex.groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).max }
+      val expected = in.filter(x => maxByKey.get(x._1).forall(x._2 > _)).map(x => (x._1, x._2)).toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+}
