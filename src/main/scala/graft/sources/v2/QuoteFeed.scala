@@ -1,0 +1,134 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector emulating the reference's per-ticker market-data
+  * pull (stock_data_pipeline/load_yfinance_data.py CollectDailyData /
+  * main.py's per-ticker loop) as a DISTRIBUTED source: one input partition
+  * per ticker, so a 500-ticker ingest fans out across executors instead of
+  * looping on a driver, and requested-column pruning reaches the reader.
+  *
+  * The feed itself is deterministic synthetic OHLC ticks (seeded per
+  * ticker) — the yfinance HTTP call's stand-in; a real connector would swap
+  * the generator inside [[QuotePartitionReader]] for the API client and
+  * keep every other piece.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft-quotes")
+  *     .option("tickers", "aapl,msft,xom")
+  *     .option("days", "30")
+  *     .load()
+  * }}}
+  */
+class QuoteFeedProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-quotes"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    QuoteFeed.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new QuoteFeedTable(
+      Option(properties.get("tickers")).getOrElse("aapl,msft").split(',').toSeq.map(_.trim),
+      Option(properties.get("days")).map(_.toInt).getOrElse(30))
+}
+
+object QuoteFeed {
+  val schema: StructType = StructType(Seq(
+    StructField("ticker", StringType, nullable = false),
+    StructField("day", DateType, nullable = false),
+    StructField("open", DoubleType, nullable = false),
+    StructField("high", DoubleType, nullable = false),
+    StructField("low", DoubleType, nullable = false),
+    StructField("close", DoubleType, nullable = false),
+    StructField("volume", LongType, nullable = false)))
+}
+
+class QuoteFeedTable(tickers: Seq[String], days: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_quotes(${tickers.mkString(",")})"
+  override def schema(): StructType = QuoteFeed.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new QuoteScanBuilder(tickers, days)
+}
+
+class QuoteScanBuilder(tickers: Seq[String], days: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = QuoteFeed.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-quotes tickers=${tickers.size} days=$days cols=${required.fieldNames.mkString(",")}"
+    override def planInputPartitions(): Array[InputPartition] =
+      tickers.map(t => QuotePartition(t, days, required.fieldNames): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+          new QuotePartitionReader(partition.asInstanceOf[QuotePartition])
+      }
+  }
+}
+
+case class QuotePartition(ticker: String, days: Int, columns: Array[String])
+    extends InputPartition
+
+/** Deterministic per-ticker generator (xorshift seeded by ticker name) —
+  * the slot where a real implementation calls the upstream API once per
+  * partition and iterates its response.
+  */
+class QuotePartitionReader(p: QuotePartition) extends PartitionReader[InternalRow] {
+  private val epochDay0 = 19723L // 2024-01-01
+  private var i = -1
+  private var price = 50.0 + (math.abs(p.ticker.hashCode) % 200)
+  private var seed = p.ticker.hashCode.toLong | 1L
+
+  private def nextRand(): Double = {
+    seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+    (seed >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= p.days) return false
+    val open = price
+    val drift = (nextRand() - 0.5) * 4.0
+    val close = math.max(1.0, open + drift)
+    val high = math.max(open, close) + nextRand()
+    val low = math.max(0.5, math.min(open, close) - nextRand())
+    val volume = 100000L + (nextRand() * 1000000L).toLong
+    price = close
+    val all = Map[String, Any](
+      "ticker" -> UTF8String.fromString(p.ticker),
+      "day" -> (epochDay0 + i).toInt,
+      "open" -> math.round(open * 100) / 100.0,
+      "high" -> math.round(high * 100) / 100.0,
+      "low" -> math.round(low * 100) / 100.0,
+      "close" -> math.round(close * 100) / 100.0,
+      "volume" -> volume)
+    row = InternalRow.fromSeq(p.columns.toIndexedSeq.map(all))
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class QuoteFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def feed = spark.read.format("graft-quotes")
+    .option("tickers", "aapl,msft,xom,brk_b")
+    .option("days", "20")
+    .load()
+
+  test("DSv2 quote feed: one partition per ticker, deterministic content") {
+    val df = feed
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("ticker", "day", "open", "high", "low", "close", "volume"))
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 80)
+    val a = df.where($"ticker" === "aapl").orderBy($"day").collect()
+    val b = feed.where($"ticker" === "aapl").orderBy($"day").collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    // OHLC invariants hold
+    a.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(h >= o && h >= c && l <= o && l <= c)
+    }
+  }
+
+  test("DSv2 quote feed: column pruning reaches the scan") {
+    val pruned = feed.select("ticker", "close")
+    val scan = pruned.queryExecution.executedPlan.toString()
+    assert(scan.contains("cols=ticker,close"), scan)
+  }
+
+  test("quote feed composes with the stock operators (SMA over the feed)") {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"ticker").orderBy($"day")
+    val sma = feed.select($"ticker", $"day", $"close",
+      functions.Fns.sma($"close", 5, w).as("sma_5"))
+    val rows = sma.where($"ticker" === "msft" && $"sma_5".isNotNull).count()
+    assert(rows === 16) // 20 days - 4 warmup rows
+  }
+}
