@@ -62,15 +62,11 @@ object Similarity {
 
   /** Random-hyperplane LSH signature: sign bits of dot products against
     * `planes` pseudo-random hyperplanes derived from xxhash64(dim, plane) —
-    * deterministic, no driver-side randomness, computed fully in codegen.
+    * deterministic, no driver-side randomness, one compiled pass per row
+    * (graft.plans.HyperplaneLSH).
     */
-  def lshSignature(vecCol: String, planes: Int): Column = expr(
-    s"""aggregate(sequence(0, ${planes - 1}), cast(0 as bigint),
-       |  (acc, p) -> acc | if(
-       |    aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-       |                       (x, i) -> cast(x as double) * (cast(xxhash64(i, p) % 1000 as double) / 1000.0)),
-       |              cast(0 as double), (a, v) -> a + v) > 0,
-       |    shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin)
+  def lshSignature(vecCol: String, planes: Int): Column =
+    graft.plans.Exprs.hyperplaneLsh(col(vecCol), planes)
 
   /** IVF (inverted-file) approximate top-k: coarse-quantize every vector to
     * its nearest of `nlist` centroids, then search only the query's

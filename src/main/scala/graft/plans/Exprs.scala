@@ -16,6 +16,10 @@ object Exprs {
   def simhash(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 
+  /** Compiled random-hyperplane LSH signature (see [[HyperplaneLSH]]). */
+  def hyperplaneLsh(vec: Column, planes: Int): Column =
+    GraftBridge.column(HyperplaneLSH(GraftBridge.expression(vec), planes))
+
   /** Winnowing rolling-hash fingerprint set (see [[Winnow]]). */
   def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
     GraftBridge.column(Winnow(GraftBridge.expression(text), k, w))
