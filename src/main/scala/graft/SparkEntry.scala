@@ -194,6 +194,9 @@ object SparkEntry {
     // ---- LLM-training-data operators ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
 
+    "q_dedup_keep" -> ((s, dir) => Dedup.deduplicate(Tables.documents(s, dir))
+      .select("doc_id", "lang", "source", "n_chars")),
+
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
 
     "q_dedup_simhash" -> ((s, dir) =>
@@ -459,6 +462,10 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+
+    "q_dedup_keep" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings)

@@ -20,6 +20,19 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Keep-rows exact dedup: the surviving documents themselves (lowest id
+    * per identical text), not the hash groups — what a curation pipeline
+    * feeds downstream. Window-free: semi-join against the keeper ids so the
+    * (wide) document rows shuffle once on the join key.
+    */
+  def deduplicate(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keepers = docs
+      .groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** Character k-shingle set of `textCol` (distinct). */
   def charShingles(textCol: String, k: Int): Column = expr(
     s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substring($textCol, i, $k)))")

@@ -90,6 +90,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize runs on the RocksDB state store (production state backend)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    try {
+      val input = MemoryStream[Ev]
+      val query = EventsStream.sessionize(input.toDS(), gapSec = 1800)
+        .writeStream.format("memory").queryName("sessions_rocks")
+        .outputMode("append").start()
+      try {
+        input.addData(Ev(9L, ts("2024-01-01 10:00:00"), "click", 1.0))
+        query.processAllAvailable()
+        input.addData(Ev(9L, ts("2024-01-01 13:00:00"), "click", 2.0))
+        query.processAllAvailable()
+        val rows = spark.table("sessions_rocks").collect()
+        assert(rows.length === 1 && rows.head.getLong(1) === 1L)
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("windowedAgg batch and streaming logic share one implementation (batch path)") {
     val ev = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
