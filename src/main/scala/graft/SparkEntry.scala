@@ -131,6 +131,26 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "last_purchase_value")
     }),
 
+    "q_sector_price" -> ((s, dir) => {
+      // the reference's calculate_sector_price (sector.py:86-112): price
+      // history ⋈ share snapshots ⋈ shares outstanding, all date-aligned —
+      // one asOfMany pass = one shuffle for all three alignments
+      val ev = events(s, dir)
+      val history = bars(s, dir).select("user_id", "d", "close")
+      val shares = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(max_by(col("value"), col("ts")).as("shares"))
+      val outstanding = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(max_by(col("value"), col("ts")).as("outstanding"))
+      AsOfJoin
+        .asOfMany(history, Seq(shares -> Seq("shares"), outstanding -> Seq("outstanding")),
+          "user_id", "d")
+        .select(col("user_id"), col("d"), col("close"),
+          round(col("close") * col("shares") / nullif(col("outstanding"), lit(0.0)), 6)
+            .as("calculated_price"))
+    }),
+
     "q_market_day" -> ((s, dir) =>
       events(s, dir)
         .select(to_date(col("ts")).as("d")).distinct()
@@ -373,6 +393,22 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q_sector_price" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS shares
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |outst AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS outstanding
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT b.user_id, b.d, b.close,
+        |  round(b.close * sh.shares / nullif(outst.outstanding, 0), 6) AS calculated_price
+        |FROM bars b
+        |ASOF LEFT JOIN sh ON b.user_id = sh.user_id AND b.d >= sh.d
+        |ASOF LEFT JOIN outst ON b.user_id = outst.user_id AND b.d >= outst.d""".stripMargin,
 
     "q_market_day" ->
       """SELECT d,

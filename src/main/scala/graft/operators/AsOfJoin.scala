@@ -24,17 +24,36 @@ object AsOfJoin {
       right: DataFrame,
       key: String,
       tsCol: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String]): DataFrame =
+    asOfMany(left, Seq(right -> rightVals), key, tsCol)
+
+  /** Multi-table as-of: align the left frame with ANY number of sparse
+    * snapshot tables in a single union + single window pass — the
+    * reference's sector-price calculation joins three date-keyed tables
+    * (price history ⋈ share snapshots ⋈ shares outstanding,
+    * sector.py:86-112); this does all alignments with exactly one shuffle
+    * total, where chained range/equi joins would shuffle once per table.
+    *
+    * All value column names (across all rights and the left) must be
+    * distinct.
+    */
+  def asOfMany(
+      left: DataFrame,
+      rights: Seq[(DataFrame, Seq[String])],
+      key: String,
+      tsCol: String): DataFrame = {
     val l = left.withColumn("__side", lit(1))
-    val r = right
-      .select((key +: tsCol +: rightVals).map(col): _*)
-      .withColumn("__side", lit(0))
-    val u = l.unionByName(r, allowMissingColumns = true)
+    val u = rights.foldLeft(l) { case (acc, (right, vals)) =>
+      acc.unionByName(
+        right.select((key +: tsCol +: vals).map(col): _*).withColumn("__side", lit(0)),
+        allowMissingColumns = true)
+    }
     val w = Window
       .partitionBy(col(key))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(u) { (df, c) =>
+    val allVals = rights.flatMap(_._2)
+    val filled = allVals.foldLeft(u) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     filled.where(col("__side") === 1).drop("__side")

@@ -52,6 +52,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(3))             // no prior snapshot
   }
 
+  test("asOfMany aligns multiple snapshot tables in one pass, same as chained asOf") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "t", "tag")
+    val r1 = Seq((1L, 8L, 100.0), (1L, 15L, 200.0)).toDF("k", "t", "x")
+    val r2 = Seq((1L, 12L, 7.0), (2L, 1L, 9.0)).toDF("k", "t", "y")
+    val many = AsOfJoin.asOfMany(left, Seq(r1 -> Seq("x"), r2 -> Seq("y")), "k", "t")
+      .select("tag", "x", "y").orderBy("tag").collect()
+    val chained = AsOfJoin.asOf(
+      AsOfJoin.asOf(left, r1, "k", "t", Seq("x")), r2, "k", "t", Seq("y"))
+      .select("tag", "x", "y").orderBy("tag").collect()
+    assert(many.map(_.toString).toSeq === chained.map(_.toString).toSeq)
+    assert(many(0).getDouble(1) === 100.0 && many(0).isNullAt(2)) // a: x@8, no y yet
+    assert(many(1).getDouble(1) === 200.0 && many(1).getDouble(2) === 7.0) // b
+    assert(many(2).isNullAt(1) && many(2).getDouble(2) === 9.0) // c: only y
+  }
+
   test("PivotOps: declared-vocabulary pivot and evolved-schema union") {
     val df = Seq((1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0)).toDF("k", "t", "v")
     val wide = PivotOps.pivotAgg(df, "k", "t", Seq("x", "y", "z"), "v", sum)
