@@ -45,11 +45,12 @@ object SparkEntry {
 
   private def exactSumD(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's headline computation: daily bars ⋈ share snapshots ⋈
+    * shares outstanding → calculated sector price (sector.py:86-112).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.weightedPrice(
-      Tables.lineitem(spark, "/root/testdata/sf0.001"),
-      Tables.part(spark, "/root/testdata/sf0.001"))
+    queries("q_sector_price")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
