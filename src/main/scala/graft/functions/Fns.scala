@@ -59,11 +59,13 @@ object Fns {
     (value - start) * lit(100) / start
   }
 
-  /** "12.3 M" / "1.2 B" → long shares — sectors.py:124-135. */
+  /** "12.3 M" / "1.2 B" → long shares — sectors.py:124-135 (the reference
+    * uppercases the magnitude char, so lowercase suffixes are accepted).
+    */
   def parseMagnitude(s: Column): Column = {
     val trimmed = trim(s)
-    val num = regexp_replace(trimmed, "[,\\s]|[MB]$", "").cast("double")
-    val suffix = upper(regexp_extract(trimmed, "([MB])$", 1))
+    val num = regexp_replace(trimmed, "[,\\s]|(?i)[MB]$", "").cast("double")
+    val suffix = upper(regexp_extract(trimmed, "(?i)([MB])$", 1))
     when(suffix === "M", (num * 1e6).cast("long"))
       .when(suffix === "B", (num * 1e9).cast("long"))
   }

@@ -85,6 +85,11 @@ case class GroupTopKExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // Memory: each task holds ≤ k rows per DISTINCT KEY SEEN IN ITS PARTITION.
+  // For extreme key cardinality × large k this is the operator's bound —
+  // size executors for (keys-per-partition × k × row width), or fall back
+  // to the window formulation, which spills. The common analytics case
+  // (bounded key space, small k) is exactly where the heap wins.
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order

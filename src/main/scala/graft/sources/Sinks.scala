@@ -33,7 +33,12 @@ object Sinks {
         val existing = spark.read.parquet(path)
         Incremental.newerThanExisting(existing, incoming, key, tsCol)
       } catch {
-        case _: Exception => incoming // first write: no target yet
+        // only "target doesn't exist yet" means first write — anything else
+        // (corrupt files, permissions) must surface
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.toLowerCase.contains("path does not exist") =>
+          incoming
       }
     fresh.write.mode(SaveMode.Append).parquet(path)
   }

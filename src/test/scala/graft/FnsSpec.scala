@@ -44,13 +44,14 @@ class FnsSpec extends SparkSpec {
   }
 
   test("parseMagnitude handles M/B suffixes, separators, and garbage") {
-    val df = Seq("12.3 M", "1.2 B", "1,234.5 M", "nonsense").toDF("s")
+    val df = Seq("12.3 M", "1.2 B", "1,234.5 M", "nonsense", "2.5 b").toDF("s")
       .select(Fns.parseMagnitude($"s").as("v"))
     val out = df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
     assert(out(0) === 12300000L)
     assert(out(1) === 1200000000L)
     assert(out(2) === 1234500000L)
     assert(out(3) === null)
+    assert(out(4) === 2500000000L) // lowercase suffix, like the reference
   }
 
   test("symbol normalization matches the reference rules") {
