@@ -270,6 +270,15 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))),
 
+    "q_sample_hash" -> ((s, dir) =>
+      Sampling.deterministicSample(Tables.documents(s, dir), "doc_id", 0.125)
+        .select("doc_id", "lang", "source")),
+
+    "q_corpus_mix" -> ((s, dir) =>
+      Sampling.mixCorpora(Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.5))
+        .select("doc_id", "lang")),
+
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
 
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -540,6 +549,17 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'""".stripMargin,
+
+    "q_corpus_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+        |   OR lang = 'de'
+        |   OR lang = 'fr'
+        |   OR (lang = 'es' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')""".stripMargin,
 
     "q_lang_id" ->
       """SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,

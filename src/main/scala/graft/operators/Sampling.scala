@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. `rand()`-based
+  * sampling changes membership on every retry/re-run and can't be
+  * reproduced by another engine; hashing a stable id gives a sample that is
+  * (a) identical across reruns, cluster sizes and engines, (b) consistent —
+  * a row's membership never depends on what other rows exist, so samples
+  * compose across snapshots, and (c) cheap — a scan-level filter with no
+  * shuffle.
+  *
+  * Membership test: the first 4 hex chars of md5(id) compared against a
+  * fixed-width hex threshold (lexicographic order on fixed-width lowercase
+  * hex IS numeric order), i.e. keep ⇔ hash-prefix < floor(fraction·16^4).
+  */
+object Sampling {
+
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    f"${math.round(fraction * 65536).toInt}%04x"
+  }
+
+  /** Membership predicate for a deterministic `fraction` sample keyed on
+    * `id` (granularity 1/65536). fraction ≥ 1 keeps everything — the
+    * 4-hex-digit comparison trick only holds for thresholds below 0x10000.
+    */
+  def samplePredicate(id: Column, fraction: Double): Column =
+    if (fraction >= 1.0) lit(true)
+    else substring(md5(id.cast("string")), 1, 4) < lit(hexThreshold(fraction))
+
+  /** Keep a deterministic `fraction` of rows, keyed on `idCol`. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.where(samplePredicate(col(idCol), fraction))
+
+  /** Corpus mixing: per-stratum sampling rates (e.g. upweight rare
+    * languages, downweight boilerplate sources) in ONE scan — the standard
+    * training-mixture op. Strata absent from `fractions` are dropped.
+    */
+  def mixCorpora(df: DataFrame, stratumCol: String, idCol: String,
+                 fractions: Map[String, Double]): DataFrame = {
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, fraction)) =>
+      acc || (col(stratumCol) === stratum && samplePredicate(col(idCol), fraction))
+    }
+    df.where(keep)
+  }
+}
