@@ -68,6 +68,33 @@ object Similarity {
   def lshSignature(vecCol: String, planes: Int): Column =
     graft.plans.Exprs.hyperplaneLsh(col(vecCol), planes)
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale =
+    * max|x|/127, elements rounded to int8 — 4× smaller storage/shuffle for
+    * a ~1e-2 cosine error, the standard trade for 100 TB embedding tables.
+    * Pure column expressions (array ops are per-element here, not per-pair:
+    * this runs once per row at ingest, so HOF interpretation cost is fine).
+    */
+  def quantizeInt8(vecCol: String): (Column, Column) = {
+    val scale = expr(
+      s"aggregate($vecCol, cast(0 as double), (m, x) -> greatest(m, abs(cast(x as double)))) / 127.0")
+    val quantized = expr(
+      s"transform($vecCol, x -> cast(round(cast(x as double) / (__qscale)) as tinyint))")
+    (scale, quantized)
+  }
+
+  /** Dequantized vector (array<double>) from int8 codes + scale. */
+  def dequantize(codesCol: String, scaleCol: String): Column =
+    expr(s"transform($codesCol, c -> cast(c as double) * $scaleCol)")
+
+  /** Quantize an embeddings frame: id, scale, int8 codes. */
+  def quantized(embeddings: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val (scale, q) = quantizeInt8(vecCol)
+    embeddings
+      .select(col(idCol), col(vecCol), nullif(scale, lit(0.0)).as("__qscale"))
+      .select(col(idCol), col("__qscale").as("qscale"), q.as("codes"))
+  }
+
   /** IVF (inverted-file) approximate top-k: coarse-quantize every vector to
     * its nearest of `nlist` centroids, then search only the query's
     * `nprobe` nearest lists. Work drops from O(n) dot products per query to

@@ -54,6 +54,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
   }
 
+  test("int8 quantization: 4x smaller codes, small cosine error after round-trip") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = Similarity.quantized(emb)
+    assert(q.schema("codes").dataType.simpleString === "array<tinyint>")
+    // round-trip: cosine(original, dequantized) ≈ 1 for every vector
+    val joined = emb.join(q, "vec_id")
+      .select($"vec_id", $"embedding",
+        Similarity.dequantize("codes", "qscale").as("deq"))
+    val cosErr = joined.select(
+      (expr("aggregate(zip_with(embedding, deq, (a, b) -> cast(a as double) * b), cast(0 as double), (s, x) -> s + x)") /
+        (sqrt(expr("aggregate(embedding, cast(0 as double), (s, x) -> s + cast(x as double) * cast(x as double))")) *
+          sqrt(expr("aggregate(deq, cast(0 as double), (s, x) -> s + x * x)")))).as("cos"))
+      .agg(min($"cos")).head.getDouble(0)
+    assert(cosErr > 0.995, s"worst round-trip cosine $cosErr")
+  }
+
   test("bucketed LSH pairs are a subset of brute force at the same threshold") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.cosinePairs(emb, 0.2)
