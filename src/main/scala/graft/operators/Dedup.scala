@@ -41,14 +41,11 @@ object Dedup {
   def tokens(textCol: String): Column =
     split(trim(lower(col(textCol))), "\\s+")
 
-  /** Word n-gram set over an already-materialized token array column.
-    * Tokenization must be a separate column: referencing split() inside the
-    * transform lambda would re-tokenize the full text once per gram.
+  /** Word n-gram set over an already-materialized token array column — one
+    * compiled pass per row (graft.plans.WordNgrams).
     */
-  def ngramsOfTokens(toksCol: String, n: Int): Column = expr(
-    s"""array_distinct(transform(
-       |  sequence(1, greatest(size($toksCol) - ${n - 1}, 1)),
-       |  i -> concat_ws(' ', slice($toksCol, i, $n))))""".stripMargin)
+  def ngramsOfTokens(toksCol: String, n: Int): Column =
+    graft.plans.Exprs.wordNgrams(col(toksCol), n)
 
   /** MinHash signature: `num` permutations — one compiled pass per row via
     * graft.plans.MinHashSignature (each shingle hashed once, permutations
@@ -81,7 +78,11 @@ object Dedup {
       bands: Int = 16,
       maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = docs
+    // a small corpus often arrives as one parquet file = one partition;
+    // spread it so the O(shingles × hashes) signature work uses every core
+    val spread = docs.repartition(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val sigs = spread
       .select(col(idCol).as("id"), tokens(textCol).as("__toks"))
       .select(col("id"), ngramsOfTokens("__toks", 3).as("__sh"))
       .withColumn("__sig", minhashSignature("__sh", numHashes))

@@ -32,7 +32,11 @@ object Similarity {
     */
   def cosinePairs(embeddings: DataFrame, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val n = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"), normExact(vecCol).as("nrm"))
+    // spread the streamed side: a single-file corpus would otherwise run
+    // the O(n²) pair loop on one core
+    val spread = embeddings.repartition(
+      embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val n = spread.select(col(idCol).as("id"), col(vecCol).as("v"), normExact(vecCol).as("nrm"))
     val a = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))

@@ -8,6 +8,10 @@ object Exprs {
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Compiled distinct word n-grams (see [[WordNgrams]]). */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n))
+
   /** Compiled MinHash signature (see [[MinHashSignature]]). */
   def minhash(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), numHashes))
