@@ -26,6 +26,22 @@ class SourcesSpec extends SparkSpec {
     assert(clean(0).getDouble(1) === 0.125)
   }
 
+  test("readCsv with a declared schema skips inference and normalizes headers") {
+    val dir = Files.createTempDirectory("graft_csv2").toFile
+    val f = new java.io.File(dir, "prices.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("Date,Close Price")
+    w.println("2024-01-02,101.5")
+    w.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Date", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("Close Price", org.apache.spark.sql.types.DoubleType)))
+    val df = Sources.readCsv(spark, f.getAbsolutePath, schema)
+    assert(df.columns.toSeq === Seq("date", "close_price"))
+    val r = df.head()
+    assert(r.getDate(0).toString === "2024-01-02" && r.getDouble(1) === 101.5)
+  }
+
   test("appendNewerThan is idempotent for already-seen timestamps") {
     val out = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath + "/t"
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -43,6 +43,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("multimodal attachBinary: payload bytes + typed metadata struct") {
+    val df = graft.operators.Multimodal.attachBinary(Tables.documents(spark, sfDir))
+    assert(df.schema.fieldNames.toSeq === Seq("doc_id", "payload", "meta"))
+    assert(df.schema("payload").dataType.simpleString === "binary")
+    assert(df.schema("meta").dataType.simpleString === "struct<kind:string,width:int,height:int>")
+    val r = df.orderBy($"doc_id").head()
+    assert(new String(r.getAs[Array[Byte]](1), "UTF-8").nonEmpty)
+    assert(Set("image", "audio", "video").contains(r.getStruct(2).getString(0)))
+  }
+
+  test("charShingles produces distinct k-grams") {
+    val out = Seq((1L, "abcabc")).toDF("doc_id", "text")
+      .select(graft.operators.Dedup.charShingles("text", 3)).head.getSeq[String](0)
+    assert(out.toSet === Set("abc", "bca", "cab"))
+  }
+
   test("multimodal featurize: deterministic 16-bin byte histogram summing to ~1") {
     val feats = Multimodal.featurize(spark, Tables.documents(spark, sfDir)).collect()
     assert(feats.length === 500)
