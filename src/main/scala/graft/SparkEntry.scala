@@ -258,6 +258,22 @@ object SparkEntry {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.95)"), 6).as("p95"))),
 
+    "q_zscore" -> ((s, dir) => {
+      // normalization stats from decimal-exact sums (NOT the stddev builtin,
+      // whose float accumulation differs per engine/partitioning)
+      val ev = events(s, dir)
+      val stats = ev.groupBy(col("event_type")).agg(
+        exactSumD(col("value")).as("s1"),
+        exactSumD(col("value") * col("value")).as("s2"),
+        count(lit(1)).cast("double").as("n"))
+        .select(col("event_type"),
+          (col("s1") / col("n")).as("mu"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mu")) / nullif(col("sigma"), lit(0.0)), 6).as("zscore"))
+    }),
+
     "q_distinct_users" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))
@@ -545,6 +561,21 @@ object SparkEntry {
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_zscore" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY event_type),
+        |norm AS (
+        |  SELECT event_type, s1 / n AS mu,
+        |         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+        |  FROM stats)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - norm.mu) / nullif(norm.sigma, 0), 6) AS zscore
+        |FROM events e JOIN norm ON e.event_type = norm.event_type""".stripMargin,
 
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
