@@ -17,7 +17,15 @@ object Bench {
     // SPARK_GRAFT_ONLY=q_sma,q_ann_topk; full run when unset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     // Untimed warmup: JIT + codegen + parquet reader init shouldn't be
-    // attributed to whichever query happens to run first.
+    // attributed to whichever query happens to run first. One query per
+    // kernel family (events / documents-text / embeddings / multimodal),
+    // run at the smallest SF — codegen caches key on the plan shape, not
+    // the data volume, so this warms every compiled kernel cheaply.
+    val warmupSf = "/root/testdata/sf0.001"
+    Seq("q_dedup_minhash", "q_ngram_jaccard", "q_ann_topk", "q_dedup_embedding",
+      "q_token_count", "q_multimodal_features").foreach { w =>
+      try SparkEntry.queries(w)(spark, warmupSf).count() catch { case _: Throwable => () }
+    }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

@@ -233,7 +233,7 @@ object SparkEntry {
 
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir), 0.4)),
 
-    "q_dedup_embedding" -> ((s, dir) => Similarity.cosinePairs(Tables.embeddings(s, dir), 0.40)),
+    "q_dedup_embedding" -> ((s, dir) => Similarity.cosinePairsExact(Tables.embeddings(s, dir), 0.40)),
 
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -445,12 +445,17 @@ object SparkEntry {
         |ASOF LEFT JOIN sh ON b.user_id = sh.user_id AND b.d >= sh.d
         |ASOF LEFT JOIN outst ON b.user_id = outst.user_id AND b.d >= outst.d""".stripMargin,
 
-    "q_market_day" ->
-      """SELECT d,
-        |  d - CAST(CASE WHEN pw >= 5 THEN pw - 4 WHEN pw = 0 THEN 3 ELSE 1 END AS INTEGER) AS prev_market_day,
-        |  pw < 5 AS is_market_day
-        |FROM (SELECT DISTINCT CAST(ts AS DATE) AS d, (dayofweek(CAST(ts AS DATE)) + 6) % 7 AS pw
-        |      FROM events)""".stripMargin,
+    "q_market_day" -> {
+      // one holiday list, shared with Fns.marketHolidays — the two engines
+      // cannot drift
+      val hol = Fns.marketHolidays.map(h => s"DATE '$h'").mkString(", ")
+      s"""SELECT d,
+         |  (SELECT max(d - CAST(i AS INTEGER)) FROM range(1, 9) t(i)
+         |   WHERE (dayofweek(d - CAST(i AS INTEGER)) + 6) % 7 < 5
+         |     AND (d - CAST(i AS INTEGER)) NOT IN ($hol)) AS prev_market_day,
+         |  ((dayofweek(d) + 6) % 7 < 5 AND d NOT IN ($hol)) AS is_market_day
+         |FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)""".stripMargin
+    },
 
     "q_parse_magnitude" ->
       """SELECT p_partkey,

@@ -96,24 +96,45 @@ object Fns {
        |  cast(0 as decimal(30,12)),
        |  (acc, v) -> cast(acc + v as decimal(30,12))) as double)""".stripMargin)
 
-  /** Weekday-based market-day test — functions.py:60-66 (get_market_day;
-    * the reference's NYSE calendar lookup degraded to its weekday core, as
-    * its own TODO suggests). Saturday/Sunday → false.
+  /** NYSE full-day closures 2020–2026 (observed dates, incl. the 2025-01-09
+    * national day of mourning). The reference resolves market days through
+    * the `pandas_market_calendars` NYSE calendar (functions.py:60-66); this
+    * static table is that calendar's closure list for the supported range.
+    * In production this is a tiny dimension loaded from a calendar source —
+    * swap the literal list for a broadcast lookup without touching callers.
+    */
+  val marketHolidays: Seq[String] = Seq(
+    "2020-01-01", "2020-01-20", "2020-02-17", "2020-04-10", "2020-05-25",
+    "2020-07-03", "2020-09-07", "2020-11-26", "2020-12-25",
+    "2021-01-01", "2021-01-18", "2021-02-15", "2021-04-02", "2021-05-31",
+    "2021-07-05", "2021-09-06", "2021-11-25", "2021-12-24",
+    "2022-01-17", "2022-02-21", "2022-04-15", "2022-05-30", "2022-06-20",
+    "2022-07-04", "2022-09-05", "2022-11-24", "2022-12-26",
+    "2023-01-02", "2023-01-16", "2023-02-20", "2023-04-07", "2023-05-29",
+    "2023-06-19", "2023-07-04", "2023-09-04", "2023-11-23", "2023-12-25",
+    "2024-01-01", "2024-01-15", "2024-02-19", "2024-03-29", "2024-05-27",
+    "2024-06-19", "2024-07-04", "2024-09-02", "2024-11-28", "2024-12-25",
+    "2025-01-01", "2025-01-09", "2025-01-20", "2025-02-17", "2025-04-18",
+    "2025-05-26", "2025-06-19", "2025-07-04", "2025-09-01", "2025-11-27",
+    "2025-12-25",
+    "2026-01-01", "2026-01-19", "2026-02-16", "2026-04-03", "2026-05-25",
+    "2026-06-19", "2026-07-03", "2026-09-07", "2026-11-26", "2026-12-25")
+
+  /** Market-day test — functions.py:60-66 (get_market_day): weekdays that
+    * are not NYSE closures. The literal holiday set compiles to an InSet
+    * membership probe — still pure codegen, no join.
     */
   def isMarketDay(d: Column): Column = {
     val dow = dayofweek(d) // 1=Sun..7=Sat
-    dow =!= 1 && dow =!= 7
+    dow =!= 1 && dow =!= 7 && !d.cast("date").isin(marketHolidays.map(java.sql.Date.valueOf): _*)
   }
 
-  /** Previous-market-day adjustment — functions.py:103-115.
-    * Python weekday() is Mon=0..Sun=6; Spark dayofweek() is Sun=1..Sat=7.
-    * Sat/Sun → previous Friday; Mon → previous Friday; Tue-Fri → previous day.
+  /** Most recent market day strictly before `d` — functions.py:103-115's
+    * step-back loop, unrolled: the longest possible NYSE closure run is a
+    * 3-day weekend plus special closures, so an 8-day lookback always
+    * contains a market day. The unrolled when-cascade stays codegen'd.
     */
-  def prevMarketDay(d: Column): Column = {
-    val pyWeekday = (dayofweek(d) + lit(5)) % lit(7)
-    val adjust = when(pyWeekday >= 5, pyWeekday - lit(4))
-      .when(pyWeekday === 0, lit(3))
-      .otherwise(lit(1))
-    date_sub(d, adjust)
-  }
+  def prevMarketDay(d: Column): Column =
+    (1 to 8).map(i => date_sub(d, i))
+      .foldRight(lit(null).cast("date")) { (c, acc) => when(isMarketDay(c), c).otherwise(acc) }
 }

@@ -70,6 +70,51 @@ object Dedup {
     * buckets mean those docs are mutual near-dups en masse and deserve a
     * dedicated exact-hash pass, not pairwise comparison.
     */
+  /** MinHash signatures (id, __sig) for every document — the shared input
+    * of the LSH candidate and exact-verify stages. Callers composing several
+    * near-dup passes compute this ONCE and feed it to
+    * `lshCandidatePairs` / `minhashCandidates(sigs = …)` rather than
+    * letting each stage re-shingle the corpus.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64): DataFrame = {
+    // a small corpus often arrives as one parquet file = one partition;
+    // spread it so the O(shingles × hashes) signature work uses every core
+    val spread = docs.repartition(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    spread
+      .select(col(idCol).as("id"), tokens(textCol).as("__toks"))
+      .select(col("id"), ngramsOfTokens("__toks", 3).as("__sh"))
+      .withColumn("__sig", minhashSignature("__sh", numHashes))
+      .select(col("id"), col("__sig"))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) from banded signatures. The
+    * bucket stage carries only ids — the (heavy) signature stays out of the
+    * band explosion/shuffle.
+    */
+  def lshCandidatePairs(
+      sigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = sigs
+      .select(col("id"), explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
+    val buckets = banded
+      .groupBy(col("bb.band"), col("bb.bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+    buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
   def minhashCandidates(
       docs: DataFrame,
       textCol: String = "text",
@@ -77,29 +122,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 10000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    // a small corpus often arrives as one parquet file = one partition;
-    // spread it so the O(shingles × hashes) signature work uses every core
-    val spread = docs.repartition(
-      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    val sigs = spread
-      .select(col(idCol).as("id"), tokens(textCol).as("__toks"))
-      .select(col("id"), ngramsOfTokens("__toks", 3).as("__sh"))
-      .withColumn("__sig", minhashSignature("__sh", numHashes))
-      .select(col("id"), col("__sig"))
-    // bucket stage carries only ids — the (heavy) signature stays out of the
-    // band explosion/shuffle and is joined back for surviving pairs only
-    val banded = sigs
-      .select(col("id"), explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
-    val buckets = banded
-      .groupBy(col("bb.band"), col("bb.bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
-    val pairs = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .distinct()
+    val sigs = minhashSignatures(docs, textCol, idCol, numHashes)
+    val pairs = lshCandidatePairs(sigs, numHashes, bands, maxBucketSize)
     pairs
       .join(sigs.select(col("id").as("id_a"), col("__sig").as("__sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("__sig").as("__sig_b")), "id_b")
@@ -112,16 +136,24 @@ object Dedup {
   /** Exact n-gram Jaccard on LSH candidates: re-join candidate ids to their
     * n-gram sets and compute |∩| / |∪| precisely; keep pairs ≥ threshold.
     * The expensive exact step only ever touches LSH survivors.
+    *
+    * `candidates` (id_a, id_b) lets a pipeline that already ran LSH feed
+    * its pairs in; by default the candidate stage runs here, WITHOUT the
+    * est_jaccard signature join-back that `minhashCandidates` pays — the
+    * exact Jaccard below supersedes the estimate, so signatures are
+    * computed exactly once in this lineage.
     */
   def ngramJaccard(
       docs: DataFrame,
       threshold: Double,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      candidates: Option[DataFrame] = None): DataFrame = {
     val grams = docs
       .select(col(idCol).as("gid"), tokens(textCol).as("__toks"))
       .select(col("gid"), ngramsOfTokens("__toks", 3).as("grams"))
-    val cands = minhashCandidates(docs, textCol, idCol).select("id_a", "id_b")
+    val cands = candidates.getOrElse(
+      lshCandidatePairs(minhashSignatures(docs, textCol, idCol)).select("id_a", "id_b"))
     cands
       .join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
       .join(grams.withColumnRenamed("gid", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")

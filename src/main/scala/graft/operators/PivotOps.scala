@@ -51,4 +51,21 @@ object PivotOps {
     snapshots
       .map { case (tag, df) => df.withColumn("snapshot", lit(tag)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Project a wide table onto a declared vocabulary: keep `keyCols` plus
+    * exactly the `vocabulary` columns — dropping columns for entities that
+    * left the index (the reference's old-ticker column removal,
+    * sector.py:126-131) and adding typed NULL columns for entities not yet
+    * seen. unionEvolved handles schema *growth*; this is the other half of
+    * the drift story, and together they make any snapshot conform to the
+    * current catalog vocabulary.
+    */
+  def projectToVocabulary(df: DataFrame, keyCols: Seq[String], vocabulary: Seq[String],
+                          fillType: String = "double"): DataFrame = {
+    val present = df.columns.toSet
+    val cols = keyCols.map(col) ++ vocabulary.map { v =>
+      if (present(v)) col(v) else lit(null).cast(fillType).as(v)
+    }
+    df.select(cols: _*)
+  }
 }

@@ -64,6 +64,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine-threshold pair join, grid-blocked — the 100 TB shape for
+    * the oracle-exact semantics (every pair with cosine > τ, no recall
+    * loss). An exact all-pairs threshold join is intrinsically O(n²)
+    * compute; what this operator fixes is the *distribution* and the
+    * *bandwidth* of that quadratic:
+    *
+    *   - rows are hashed into `blocks` blocks and replicated to grid cells
+    *     (i ≤ j), a theta-join on an equi key (Okcan & Riedewald, SIGMOD'11)
+    *     — every cell is an independent |Bᵢ|×|Bⱼ| task, so the pair loop
+    *     parallelizes evenly across the cluster with NO broadcast of either
+    *     side and no BroadcastNestedLoopJoin;
+    *   - the replicated payload is int8 quantization codes (4× smaller than
+    *     float vectors), screened by a codegen'd integer dot product plus a
+    *     per-pair quantization error BOUND (|Σqa·qb·sa·sb − a·b| ≤
+    *     sa·sb·(½Σ|qa| + ½Σ|qb| + d/4), from |x − s·q| ≤ s/2), so the
+    *     screen can never drop a true pair — recall is provably 1.0;
+    *   - only screen survivors (≈ true pairs + bound slack) are joined back
+    *     to their float vectors for the decimal-exact cosine that defines
+    *     the output.
+    *
+    * When approximate recall is acceptable, `cosinePairsBucketed` below is
+    * the sub-quadratic path; this one is for when the answer must be exact.
+    */
+  def cosinePairsExact(embeddings: DataFrame, threshold: Double, blocks: Int = 16,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // everything feeding the grid is COMPILED per-row work (Int8Quantize,
+    // ArrayDotProduct): these projections re-evaluate after the explode, so
+    // an interpreted HOF here would multiply by the replication factor.
+    // The screen norm is the compiled double norm — its ~1e-15 relative
+    // error is absorbed by the explicit 1e-9 screen margin; the decimal
+    // norm only appears in the survivors' exact projection below.
+    val lite = embeddings
+      .select(col(idCol).as("id"),
+        sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm"),
+        graft.plans.Exprs.quantizeInt8(col(vecCol)).as("q"))
+      .select(col("id"), col("nrm"), col("q.qscale").as("qscale"),
+        col("q.codes").as("codes"), col("q.s1").as("s1"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+    val sideA = lite
+      .withColumn("gj", explode(expr(s"sequence(blk, ${blocks - 1})")))
+      .select(col("blk").as("gi"), col("gj"), col("id").as("ia"), col("nrm").as("na"),
+        col("qscale").as("sa"), col("codes").as("ca"), col("s1").as("s1a"))
+    val sideB = lite
+      .withColumn("gi", explode(expr("sequence(0, blk)")))
+      .select(col("gi"), col("blk").as("gj"), col("id").as("ib"), col("nrm").as("nb"),
+        col("qscale").as("sb"), col("codes").as("cb"), col("s1").as("s1b"))
+    val errBound = col("sa") * col("sb") *
+      (lit(0.5) * (col("s1a") + col("s1b")) + lit(0.25) * size(col("ca")))
+    val screened = sideA.join(sideB, Seq("gi", "gj"))
+      // diagonal cells see each unordered pair twice (both rows on both
+      // sides); off-diagonal cells exactly once with arbitrary id order
+      .where(col("gi") < col("gj") || col("ia") < col("ib"))
+      .where((graft.plans.Exprs.dotInt8(col("ca"), col("cb")).cast("double")
+        * col("sa") * col("sb") + errBound)
+        / nullif(col("na") * col("nb"), lit(0.0)) > threshold - 1e-9)
+      .select(least(col("ia"), col("ib")).as("id_a"), greatest(col("ia"), col("ib")).as("id_b"))
+    // exact decimal cosine ONLY for survivors: vectors join back by id, and
+    // the decimal norms are computed inside the post-join projection so the
+    // interpreted-decimal work is per-survivor, not per-corpus-row
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    screened
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dotExact("va", "vb")
+          / nullif(sqrt(dotExact("va", "va")) * sqrt(dotExact("vb", "vb")), lit(0.0)), 6)
+          .as("cosine"))
+      .where(col("cosine") > threshold)
+  }
+
   /** Random-hyperplane LSH signature: sign bits of dot products against
     * `planes` pseudo-random hyperplanes derived from xxhash64(dim, plane) —
     * deterministic, no driver-side randomness, one compiled pass per row
@@ -72,74 +142,117 @@ object Similarity {
   def lshSignature(vecCol: String, planes: Int): Column =
     graft.plans.Exprs.hyperplaneLsh(col(vecCol), planes)
 
-  /** Symmetric int8 quantization of an embedding column: per-vector scale =
-    * max|x|/127, elements rounded to int8 — 4× smaller storage/shuffle for
-    * a ~1e-2 cosine error, the standard trade for 100 TB embedding tables.
-    * Pure column expressions (array ops are per-element here, not per-pair:
-    * this runs once per row at ingest, so HOF interpretation cost is fine).
-    */
-  def quantizeInt8(vecCol: String): (Column, Column) = {
-    val scale = expr(
-      s"aggregate($vecCol, cast(0 as double), (m, x) -> greatest(m, abs(cast(x as double)))) / 127.0")
-    val quantized = expr(
-      s"transform($vecCol, x -> cast(round(cast(x as double) / (__qscale)) as tinyint))")
-    (scale, quantized)
-  }
-
   /** Dequantized vector (array<double>) from int8 codes + scale. */
   def dequantize(codesCol: String, scaleCol: String): Column =
     expr(s"transform($codesCol, c -> cast(c as double) * $scaleCol)")
 
-  /** Quantize an embeddings frame: id, scale, int8 codes. */
+  /** Quantize an embeddings frame: id, scale, int8 codes — one compiled
+    * pass per row (graft.plans.Int8Quantize): per-vector scale = max|x|/127,
+    * 4× smaller storage/shuffle for a ~1e-2 cosine error, the standard
+    * trade for 100 TB embedding tables.
+    */
   def quantized(embeddings: DataFrame, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
-    val (scale, q) = quantizeInt8(vecCol)
+                vecCol: String = "embedding"): DataFrame =
     embeddings
-      .select(col(idCol), col(vecCol), nullif(scale, lit(0.0)).as("__qscale"))
-      .select(col(idCol), col("__qscale").as("qscale"), q.as("codes"))
+      .select(col(idCol), graft.plans.Exprs.quantizeInt8(col(vecCol)).as("q"))
+      .select(col(idCol), col("q.qscale").as("qscale"), col("q.codes").as("codes"))
+
+  /** Deterministic seed centroids: the `nlist` lowest-id vectors,
+    * L2-normalized. nlist rows is model-sized (like a broadcast dim) —
+    * collecting them to the driver is the same footprint as broadcasting
+    * them, and every real IVF implementation holds its codebook driver-side.
+    */
+  def seedCentroids(embeddings: DataFrame, nlist: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
+    embeddings.orderBy(col(idCol)).limit(nlist).select(col(vecCol))
+      .collect().map { r =>
+        val v = r.getSeq[Float](0).toArray.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+
+  /** Lloyd's k-means over the embedding column — the production source of
+    * IVF codebooks. Each iteration is one map-side compiled assignment
+    * (NearestCentroid, zero shuffle) + one partial-aggregated groupBy on
+    * (centroid, dim): the only shuffled rows are the k×dims partial sums,
+    * never the vectors. Deterministic: seeded from the lowest-id vectors,
+    * ties to the lowest centroid index.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    var cents = seedCentroids(embeddings, k, idCol, vecCol)
+    val vecs = embeddings.select(col(vecCol).as("v"))
+    for (_ <- 1 to iters) {
+      val assigned = vecs.withColumn("cent_idx", graft.plans.Exprs.nearestCentroid(col("v"), cents))
+      val sums = assigned
+        .select(col("cent_idx"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cent_idx"), col("dim"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val dims = cents.head.length
+      val next = Array.tabulate(cents.length)(i => cents(i).clone())
+      sums.groupBy(_.getInt(0)).foreach { case (ci, rows) =>
+        val mean = new Array[Double](dims)
+        rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        val n = math.sqrt(mean.map(x => x * x).sum)
+        next(ci) = if (n == 0) mean else mean.map(_ / n)
+      }
+      cents = next
+    }
+    cents
   }
 
-  /** IVF (inverted-file) approximate top-k: coarse-quantize every vector to
-    * its nearest of `nlist` centroids, then search only the query's
-    * `nprobe` nearest lists. Work drops from O(n) dot products per query to
-    * O(n/nlist · nprobe) — the standard ANN scale path when the corpus no
-    * longer fits one scan per query.
-    *
-    * Centroids here are the `nlist` lowest-id vectors (deterministic,
-    * self-contained); in production they come from a k-means job and the
-    * assignment table is precomputed and bucketed on `cent_id`.
+  /** The persisted IVF index: every vector with its coarse-quantization
+    * cell. Assignment is a single compiled map-side pass — the plan between
+    * scan and sink has ZERO shuffles (write `partitionBy("cent_idx")` and
+    * probes become partition-pruned scans; on a cluster, bucket it).
     */
-  def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dot = graft.plans.Exprs.dot _
-    val cents = broadcast(
-      embeddings.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).as("cent_id"), col(vecCol).as("cv"),
-          normExact(vecCol).as("cn")))
-    val vecs = embeddings.select(col(idCol), col(vecCol).as("v"), normExact(vecCol).as("nrm"))
-    val assignments = vecs
-      .crossJoin(cents)
-      .select(col(idCol), col("v"), col("nrm"), col("cent_id"),
-        (dot(col("v"), col("cv")) / nullif(col("nrm") * col("cn"), lit(0.0))).as("ccos"))
-      .groupBy(col(idCol))
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        max_by(col("cent_id"), col("ccos")).as("cent_id"))
+  def buildIvfIndex(embeddings: DataFrame, centroids: Array[Array[Double]],
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol), col(vecCol).as("v"), normExact(vecCol).as("nrm"),
+      graft.plans.Exprs.nearestCentroid(col(vecCol), centroids).as("cent_idx"))
+
+  /** Top-k against a prebuilt index: the `nprobe` probe cells are picked
+    * driver-side against the codebook (O(nlist·dims), no job), the scan
+    * touches only those cells (a partition filter when the index is
+    * partitioned by cent_idx), and the only distributed work is one dot
+    * product per probed row + a TakeOrdered(k).
+    */
+  def ivfTopKIndexed(index: DataFrame, centroids: Array[Array[Double]],
+                     query: DataFrame, k: Int, nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qRow = query.select(col(idCol), col(vecCol)).head()
+    val qv = qRow.getSeq[Float](1).toArray.map(_.toDouble)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qv).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nprobe).map(_._1)
     val q = broadcast(query
       .select(col(idCol).as("qid"), col(vecCol).as("qv"), normExact(vecCol).as("qn")))
-    val probeLists = broadcast(q
-      .crossJoin(cents)
-      .select(col("qid"), col("qv"), col("qn"), col("cent_id"),
-        (dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0))).as("ccos"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-      .limit(nprobe))
-    assignments
-      .join(probeLists, "cent_id")
+    index
+      .where(col("cent_idx").isin(probes.toSeq: _*))
+      .crossJoin(q)
       .where(col(idCol) =!= col("qid"))
       .select(col(idCol),
         round(dotExact("v", "qv") / nullif(col("nrm") * col("qn"), lit(0.0)), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** IVF (inverted-file) approximate top-k: coarse-quantize every vector to
+    * its nearest of `nlist` centroids, then search only the query's
+    * `nprobe` nearest cells. Work drops from O(n) dot products per query to
+    * O(n/nlist · nprobe) — the standard ANN scale path when the corpus no
+    * longer fits one scan per query. Self-contained convenience over
+    * seedCentroids + buildIvfIndex + ivfTopKIndexed; repeated-query callers
+    * should persist the index (partitioned by cent_idx) and probe that.
+    */
+  def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = seedCentroids(embeddings, nlist, idCol, vecCol)
+    ivfTopKIndexed(buildIvfIndex(embeddings, cents, idCol, vecCol), cents,
+      query, k, nprobe, idCol, vecCol)
   }
 
   /** Bucketed near-neighbor pairs: same LSH signature ⇒ candidate; exact

@@ -8,6 +8,10 @@ object Exprs {
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Codegen'd int8-code dot product (see [[Int8DotProduct]]). */
+  def dotInt8(a: Column, b: Column): Column =
+    GraftBridge.column(Int8DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Compiled distinct word n-grams (see [[WordNgrams]]). */
   def wordNgrams(tokens: Column, n: Int): Column =
     GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n))
@@ -23,6 +27,14 @@ object Exprs {
   /** Compiled random-hyperplane LSH signature (see [[HyperplaneLSH]]). */
   def hyperplaneLsh(vec: Column, planes: Int): Column =
     GraftBridge.column(HyperplaneLSH(GraftBridge.expression(vec), planes))
+
+  /** Compiled one-pass int8 quantization (see [[Int8Quantize]]). */
+  def quantizeInt8(vec: Column): Column =
+    GraftBridge.column(Int8Quantize(GraftBridge.expression(vec)))
+
+  /** Compiled map-side IVF centroid assignment (see [[NearestCentroid]]). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centroids))
 
   /** Winnowing rolling-hash fingerprint set (see [[Winnow]]). */
   def winnow(text: Column, k: Int = 8, w: Int = 4): Column =

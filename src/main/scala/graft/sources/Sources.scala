@@ -50,6 +50,26 @@ object Sources {
       .withColumn("ticker", lower(regexp_replace(col("ticker"), "\\.", "_")))
       .withColumn("weight", col("weight") / 100)
 
+  /** The pivoted holdings snapshot — create_sector_shares_dataframe's
+    * output shape (sector.py:156-173): ONE row per ingestion date with a
+    * `<ticker>_shares` AND a `<ticker>_weight` column per holding (the
+    * reference keeps the weight fraction alongside shares in the wide
+    * table). Declared-vocabulary conditional aggregation: single pass, one
+    * exchange on the date key.
+    */
+  def holdingsWide(clean: DataFrame, asOfDate: String, tickers: Seq[String]): DataFrame = {
+    val aggs = tickers.flatMap { t =>
+      Seq(
+        max(when(col("ticker") === t, col("shares_held")))
+          .as(s"${t}_shares"),
+        max(when(col("ticker") === t, col("weight")))
+          .as(s"${t}_weight"))
+    }
+    clean
+      .groupBy(lit(asOfDate).cast("date").as("date"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** An events directory as a stream: parquet files dropped into `dir` are
     * consumed incrementally — file-source streaming is the zero-infra
     * stand-in for the reference's daily re-pull loop.

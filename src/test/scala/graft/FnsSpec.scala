@@ -73,6 +73,24 @@ class FnsSpec extends SparkSpec {
     assert(out(3) === "2024-01-09") // Wed -> Tue
   }
 
+  test("market day honors NYSE holidays, not just weekends") {
+    // 2024-01-15 = MLK Monday (closed); 2023-11-23 = Thanksgiving Thursday
+    val df = Seq("2024-01-15", "2024-01-12", "2023-11-23").toDF("d")
+      .select(Fns.isMarketDay(to_date($"d")).as("m"))
+    val out = df.collect().map(_.getBoolean(0))
+    assert(out.toSeq === Seq(false, true, false))
+  }
+
+  test("prevMarketDay steps over holidays") {
+    // Tue 2024-01-16: previous market day is Fri 2024-01-12 (MLK Monday closed)
+    // Fri 2023-11-24: previous market day is Wed 2023-11-22 (Thanksgiving Thursday)
+    val df = Seq("2024-01-16", "2023-11-24").toDF("d")
+      .select(Fns.prevMarketDay(to_date($"d")).cast("string").as("p"))
+    val out = df.collect().map(_.getString(0))
+    assert(out(0) === "2024-01-12")
+    assert(out(1) === "2023-11-22")
+  }
+
   test("exactSum over doubles equals decimal-exact result regardless of partitioning") {
     val vals = (1 to 10000).map(i => i * 0.01)
     val one = vals.toDF("v").repartition(1).agg(Fns.exactSum($"v")).head.getDouble(0)

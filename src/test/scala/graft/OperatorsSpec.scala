@@ -81,6 +81,16 @@ class OperatorsSpec extends SparkSpec {
     assert(u(1).getDouble(u(1).fieldIndex("y")) === 3.0)
   }
 
+  test("PivotOps.projectToVocabulary drops departed columns and adds missing ones") {
+    // snapshot has x (stays), w (ticker left the index), lacks z (new ticker)
+    val snap = Seq((1L, 1.0, 9.0)).toDF("k", "x", "w")
+    val out = PivotOps.projectToVocabulary(snap, Seq("k"), Seq("x", "z"))
+    assert(out.columns.toSeq === Seq("k", "x", "z"))
+    val r = out.head()
+    assert(r.getDouble(1) === 1.0 && r.isNullAt(2))
+    assert(out.schema("z").dataType.simpleString === "double")
+  }
+
   test("Analytics.weightedPrice = sum(price*qty)/sum(qty) per brand") {
     val li = Seq((1L, 10.0, 2.0), (1L, 20.0, 3.0), (2L, 5.0, 1.0)).toDF("l_partkey", "l_extendedprice", "l_quantity")
     val p = Seq((1L, "B1"), (2L, "B2")).toDF("p_partkey", "p_brand")

@@ -54,6 +54,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
   }
 
+  test("ivf assignment is map-side (no join/shuffle before the probe filter)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val index = Similarity.buildIvfIndex(emb, cents)
+    val plan = index.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
+  test("persisted IVF index: probes prune cell partitions, results match unpersisted path") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.kmeansCentroids(emb, 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(emb, cents).write.mode("overwrite")
+      .partitionBy("cent_idx").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val q = emb.orderBy($"vec_id".desc).limit(1)
+    val out = Similarity.ivfTopKIndexed(index, cents, q, 10, nprobe = 2)
+    val rows = out.collect()
+    assert(rows.length === 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cent_idx"),
+      s"probe must prune cent_idx partitions:\n$plan")
+    // same result as building the index inline with the same codebook
+    val inline = Similarity.ivfTopKIndexed(Similarity.buildIvfIndex(emb, cents), cents, q, 10, nprobe = 2)
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      inline.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("int8 quantization: 4x smaller codes, small cosine error after round-trip") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = Similarity.quantized(emb)
@@ -68,6 +97,24 @@ class SimilaritySpec extends SparkSpec {
           sqrt(expr("aggregate(deq, cast(0 as double), (s, x) -> s + x * x)")))).as("cos"))
       .agg(min($"cos")).head.getDouble(0)
     assert(cosErr > 0.995, s"worst round-trip cosine $cosErr")
+  }
+
+  test("cosinePairsExact matches brute force exactly, with no nested-loop join") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.cosinePairs(emb, 0.35)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.cosinePairsExact(emb, 0.35, blocks = 4)
+    val got = blocked.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(got === brute)
+    assert(brute.nonEmpty)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "grid join must be an equi join")
+    // tiny-dim edge: 3-dim toy vectors incl. near-parallel pair
+    val toyBrute = Similarity.cosinePairs(vecs, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val toyBlocked = Similarity.cosinePairsExact(vecs, 0.9, blocks = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(toyBlocked === toyBrute)
   }
 
   test("bucketed LSH pairs are a subset of brute force at the same threshold") {

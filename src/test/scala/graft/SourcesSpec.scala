@@ -26,6 +26,17 @@ class SourcesSpec extends SparkSpec {
     assert(clean(0).getDouble(1) === 0.125)
   }
 
+  test("holdingsWide pivots shares AND weight per ticker, one row per date") {
+    val clean = Seq(("brk_b", 0.125, 100L), ("msft", 0.5, 200L))
+      .toDF("ticker", "weight", "shares_held")
+    val wide = Sources.holdingsWide(clean, "2024-01-02", Seq("brk_b", "msft"))
+    assert(wide.columns.toSeq ===
+      Seq("date", "brk_b_shares", "brk_b_weight", "msft_shares", "msft_weight"))
+    val r = wide.head()
+    assert(r.getLong(1) === 100L && r.getDouble(2) === 0.125)
+    assert(r.getLong(3) === 200L && r.getDouble(4) === 0.5)
+  }
+
   test("readCsv with a declared schema skips inference and normalizes headers") {
     val dir = Files.createTempDirectory("graft_csv2").toFile
     val f = new java.io.File(dir, "prices.csv")
