@@ -30,8 +30,16 @@ object GroupTopK {
 
   /** Top `k` rows per `keys` group under `order` (total order ⇒
     * deterministic result). Output rows are an unordered set.
+    *
+    * `maxKeysPerTask` bounds the partial stage's in-memory key map: once a
+    * map-side task has seen that many distinct keys, rows for NEW keys pass
+    * through to the shuffle unreduced (always correct — the final stage
+    * decides) while already-tracked keys keep combining. Memory is bounded
+    * at maxKeysPerTask·k rows per task no matter the key cardinality; the
+    * trade is shuffle volume, never correctness or completion.
     */
-  def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+  def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
+                 maxKeysPerTask: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     // idempotently make the planner aware of the custom node
     if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy)) {
@@ -46,7 +54,7 @@ object GroupTopK {
     })
     val keyExprs: Seq[Expression] = keys.map(n => GraftBridge.catalystExpression(df.col(n)))
     GraftBridge.ofRows(spark,
-      GroupTopKPlan(keyExprs, sortOrders, k, df.queryExecution.analyzed))
+      GroupTopKPlan(keyExprs, sortOrders, k, df.queryExecution.analyzed, maxKeysPerTask))
   }
 }
 
@@ -54,8 +62,10 @@ case class GroupTopKPlan(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxKeysPerTask: Int = 1 << 20) extends UnaryNode {
   require(k > 0, "k must be positive")
+  require(maxKeysPerTask > 0, "maxKeysPerTask must be positive")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopKPlan =
     copy(child = newChild)
@@ -63,18 +73,33 @@ case class GroupTopKPlan(
 
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupTopKPlan(keys, order, k, child) =>
-      val partial = GroupTopKExec(keys, order, k, partial = true, planLater(child))
-      GroupTopKExec(keys, order, k, partial = false, partial) :: Nil
+    case GroupTopKPlan(keys, order, k, child, maxKeys) =>
+      val partial = GroupTopKExec(keys, order, k, partial = true, maxKeys, planLater(child))
+      GroupTopKExec(keys, order, k, partial = false, maxKeys, partial) :: Nil
     case _ => Nil
   }
 }
 
+/** Two execution modes:
+  *
+  *   - `partial` (map side): bounded heap map — ≤ k rows per key leave the
+  *     task, at most `maxKeys` keys tracked; overflow keys pass through
+  *     unreduced so memory stays bounded at any key cardinality.
+  *   - final (reduce side): requires the child CLUSTERED by key AND SORTED
+  *     by (key, order) — EnsureRequirements inserts Spark's external,
+  *     spill-capable SortExec above the exchange — and then emits the
+  *     first k rows of each key group in one O(1)-memory streaming pass.
+  *     The sort input is the partials' bounded output (≈ k·|keys|), never
+  *     the full fact table; this is the same partial/sorted-final shape as
+  *     Spark's own WindowGroupLimit, with a hash heap instead of a sorted
+  *     partial on the map side.
+  */
 case class GroupTopKExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxKeys: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -85,46 +110,102 @@ case class GroupTopKExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
-  // Memory: each task holds ≤ k rows per DISTINCT KEY SEEN IN ITS PARTITION.
-  // For extreme key cardinality × large k this is the operator's bound —
-  // size executors for (keys-per-partition × k × row width), or fall back
-  // to the window formulation, which spills. The common analytics case
-  // (bounded key space, small k) is exactly where the heap wins.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else keys.map(SortOrder(_, Ascending)) ++ order
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val maxTracked = maxKeys
     val childOutput = child.output
-    child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ord = RowOrdering.create(sortOrder, childOutput)
-      // max-heap under `ord`: head is the WORST of the current top-k,
-      // evicted when a better row arrives
-      val heaps = new java.util.HashMap[UnsafeRow, JPriorityQueue[UnsafeRow]]()
-      val cmp = new java.util.Comparator[UnsafeRow] {
-        override def compare(a: UnsafeRow, b: UnsafeRow): Int = -ord.compare(a, b)
+    if (partial) {
+      child.execute().mapPartitions { it =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val ord = RowOrdering.create(sortOrder, childOutput)
+        // max-heap under `ord`: head is the WORST of the current top-k,
+        // evicted when a better row arrives
+        val heaps = new java.util.HashMap[UnsafeRow, JPriorityQueue[UnsafeRow]]()
+        val cmp = new java.util.Comparator[UnsafeRow] {
+          override def compare(a: UnsafeRow, b: UnsafeRow): Int = -ord.compare(a, b)
+        }
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        new Iterator[InternalRow] {
+          private var passThrough: InternalRow = null
+          private var flush: Iterator[UnsafeRow] = null
+
+          private def advance(): Unit = {
+            while (passThrough == null && flush == null) {
+              if (!it.hasNext) {
+                import scala.jdk.CollectionConverters._
+                flush = heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+              } else {
+                val row = it.next()
+                val uRow = row match {
+                  case u: UnsafeRow => u
+                  case other => toUnsafe(other)
+                }
+                val key = keyProj.apply(uRow)
+                var heap = heaps.get(key)
+                if (heap == null) {
+                  if (heaps.size() >= maxTracked) {
+                    // key-map full: ship this row unreduced, keep memory flat
+                    passThrough = uRow
+                  } else {
+                    heap = new JPriorityQueue[UnsafeRow](limit, cmp)
+                    heaps.put(key.copy(), heap)
+                    heap.add(uRow.copy())
+                  }
+                } else if (heap.size < limit) {
+                  heap.add(uRow.copy())
+                } else if (ord.compare(uRow, heap.peek()) < 0) {
+                  heap.poll()
+                  heap.add(uRow.copy())
+                }
+              }
+            }
+          }
+
+          override def hasNext: Boolean = {
+            if (passThrough == null && (flush == null || !flush.hasNext)) {
+              if (flush != null) return false
+              advance()
+            }
+            passThrough != null || flush.hasNext
+          }
+
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            if (passThrough != null) { val r = passThrough; passThrough = null; r }
+            else flush.next()
+          }
+        }
       }
-      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
-      it.foreach { row =>
-        val uRow = row match {
-          case u: UnsafeRow => u
-          case other => toUnsafe(other)
-        }
-        val key = keyProj.apply(uRow)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new JPriorityQueue[UnsafeRow](limit, cmp)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < limit) {
-          heap.add(uRow.copy())
-        } else if (ord.compare(uRow, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(uRow.copy())
+    } else {
+      // sorted streaming final: first k rows of each key group
+      child.execute().mapPartitions { it =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        var prevKey: UnsafeRow = null
+        var seen = 0
+        it.flatMap { row =>
+          val uRow = row match {
+            case u: UnsafeRow => u
+            case other => toUnsafe(other)
+          }
+          val key = keyProj.apply(uRow)
+          if (prevKey == null || key != prevKey) {
+            prevKey = key.copy()
+            seen = 0
+          }
+          seen += 1
+          if (seen <= limit) Iterator.single(uRow) else Iterator.empty
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }
   }
 

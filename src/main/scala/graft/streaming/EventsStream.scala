@@ -47,6 +47,88 @@ object EventsStream {
         col("open"), col("high"), col("low"), col("close"), col("volume"))
   }
 
+  /** Watermarked stream-stream interval join: each fact (click) row pairs
+    * with the dim (purchase) rows for the same key within `lookbackSec`
+    * BEFORE it. Both sides' state is bounded by watermark + interval — the
+    * built-in symmetric hash join handles cleanup. This is the Spark-native
+    * shape when "recent context rows" are wanted; when ONLY the latest
+    * at-or-before row matters, use [[streamingAsOf]].
+    */
+  def streamStreamJoin(facts: DataFrame, dims: DataFrame, lookbackSec: Long = 3600): DataFrame = {
+    val f = (if (facts.isStreaming) facts.withWatermark("ts", "1 hour") else facts)
+      .select(col("user_id"), col("ts").as("fact_ts"), col("value").as("fact_value"))
+    val d = (if (dims.isStreaming) dims.withWatermark("ts", "1 hour") else dims)
+      .select(col("user_id").as("d_user_id"), col("ts").as("dim_ts"),
+        col("value").as("dim_value"))
+    f.join(d,
+      col("user_id") === col("d_user_id") &&
+        col("dim_ts") >= col("fact_ts") - expr(s"interval $lookbackSec seconds") &&
+        col("dim_ts") <= col("fact_ts"),
+      "leftOuter")
+      .select(col("user_id"), col("fact_ts"), col("fact_value"), col("dim_ts"), col("dim_value"))
+  }
+
+  case class AsOfIn(user_id: Long, ts: Timestamp, is_dim: Boolean, value: Double)
+  case class AsOfBuffers(facts: Seq[(Long, Double)], dims: Seq[(Long, Double)])
+  case class AsOfOut(user_id: Long, ts: Timestamp, value: Double, dim_value: Option[Double])
+
+  /** Streaming as-of join — the continuous version of AsOfJoin.asOf: every
+    * fact row is enriched with the LATEST dim value at-or-before its event
+    * time, exactly once, late data included up to the watermark delay.
+    *
+    * Mechanics: both streams union into one keyed stream (one shuffle, like
+    * the batch operator); per key, facts buffer until the watermark passes
+    * their timestamp — only then can no older dim still arrive, so the
+    * at-or-before lookup is final. Emitted facts leave the state; dims
+    * older than every remaining fact collapse to a single floor entry.
+    * State per key is O(events within the watermark delay), the same bound
+    * the built-in stream-stream join carries. Event-time timeout flushes
+    * keys whose facts ripen with no new rows arriving.
+    */
+  def streamingAsOf(facts: Dataset[Ev], dims: Dataset[Ev],
+                    delay: String = "10 seconds"): Dataset[AsOfOut] = {
+    import facts.sparkSession.implicits._
+    val streaming = facts.isStreaming
+    val tagged = facts.map(e => AsOfIn(e.user_id, e.ts, is_dim = false, e.value))
+      .union(dims.map(e => AsOfIn(e.user_id, e.ts, is_dim = true, e.value)))
+    val src = if (streaming) tagged.withWatermark("ts", delay) else tagged
+
+    def lookup(dims: Seq[(Long, Double)], tsMs: Long): Option[Double] =
+      dims.foldLeft(Option.empty[(Long, Double)]) { (best, d) =>
+        if (d._1 <= tsMs && best.forall(_._1 <= d._1)) Some(d) else best
+      }.map(_._2)
+
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[AsOfIn], state: GroupState[AsOfBuffers]) => {
+          val prev = state.getOption.getOrElse(AsOfBuffers(Nil, Nil))
+          val incoming = rows.toSeq
+          var fs = prev.facts ++ incoming.filter(!_.is_dim).map(e => (e.ts.getTime, e.value))
+          var ds = prev.dims ++ incoming.filter(_.is_dim).map(e => (e.ts.getTime, e.value))
+          val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          // a fact is final once the watermark passed it: no older dim can arrive
+          val (ripe, pending) = fs.partition(_._1 <= wm)
+          val out = ripe.sortBy(f => (f._1, f._2)).map { case (t, v) =>
+            AsOfOut(userId, new Timestamp(t), v, lookup(ds, t))
+          }
+          if (streaming) {
+            // dims older than every pending fact collapse to the single
+            // latest one ≤ that horizon (the as-of floor); newer dims stay
+            val horizon = (pending.map(_._1) :+ wm).min
+            val floor = ds.filter(_._1 <= horizon).sortBy(_._1).lastOption
+            ds = floor.toSeq ++ ds.filter(_._1 > horizon)
+            if (pending.isEmpty && ds.isEmpty) state.remove()
+            else {
+              state.update(AsOfBuffers(pending, ds))
+              state.setTimeoutTimestamp(math.max(
+                pending.map(_._1).minOption.getOrElse(wm + 60000L), wm + 1))
+            }
+          }
+          out.iterator
+        })
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class SessionState(nEvents: Long, total: Double, startMs: Long, lastMs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double, duration_sec: Double)

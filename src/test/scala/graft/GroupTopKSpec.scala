@@ -32,12 +32,31 @@ class GroupTopKSpec extends SparkSpec {
     assert(viaCustom.nonEmpty)
   }
 
-  test("physical plan uses the two-stage heap operator, not a full sort") {
+  test("physical plan: heap partial below the exchange, sort only above it") {
     val df = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_totalprice")
     val top = GroupTopK.topKPerKey(df, Seq("o_custkey"), Seq($"o_totalprice".desc), 2)
     val plan = top.queryExecution.executedPlan.toString()
     assert(plan.contains("GroupTopK"), plan)
     assert(!plan.contains("Window"), plan)
-    assert(!plan.toLowerCase.contains("sort "), plan)
+    // the spill-capable sort sits on the partials' bounded output (between
+    // final and exchange); the scan side below the partial must stay unsorted
+    val partialSide = plan.substring(plan.lastIndexOf("GroupTopK"))
+    assert(!partialSide.toLowerCase.contains("sort "), plan)
+    assert(plan.indexOf("GroupTopK") < plan.indexOf("Exchange"), plan)
+  }
+
+  test("bounded key map: pass-through overflow keeps results exact at high cardinality") {
+    // 500 distinct keys but only 8 tracked per map task: most rows pass
+    // through unreduced and the sorted final must still be exact
+    val df = (1 to 5000).map(i => (i % 500, i.toLong, (i * 37 % 101).toDouble))
+      .toDF("k", "id", "v").repartition(5)
+    val viaSmallMap = GroupTopK.topKPerKey(
+      df, Seq("k"), Seq($"v".desc, $"id".asc), 3, maxKeysPerTask = 8)
+      .select("k", "id").as[(Int, Long)].collect().toSet
+    val w = Window.partitionBy($"k").orderBy($"v".desc, $"id".asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w)).where($"rn" <= 3)
+      .select("k", "id").as[(Int, Long)].collect().toSet
+    assert(viaSmallMap === viaWindow)
+    assert(viaSmallMap.size === 1500)
   }
 }

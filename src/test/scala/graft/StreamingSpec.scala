@@ -116,6 +116,83 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingAsOf enriches each fact with the latest dim at-or-before it") {
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[Ev]
+    val dims = MemoryStream[Ev]
+    val out = EventsStream.streamingAsOf(facts.toDS(), dims.toDS(), delay = "10 seconds")
+    val query = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      dims.addData(
+        Ev(1L, ts("2024-01-01 09:00:00"), "purchase", 100.0),
+        Ev(1L, ts("2024-01-01 10:30:00"), "purchase", 200.0))
+      facts.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(1L, ts("2024-01-01 11:00:00"), "click", 2.0),
+        Ev(2L, ts("2024-01-01 10:00:00"), "click", 3.0)) // user without dims
+      query.processAllAvailable()
+      // advance the watermark far past all facts so they finalize
+      facts.addData(Ev(99L, ts("2024-01-01 12:00:00"), "click", 0.0))
+      dims.addData(Ev(99L, ts("2024-01-01 12:00:00"), "purchase", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("asof_stream")
+        .where($"user_id" < 99L)
+        .orderBy($"user_id", $"ts").collect()
+      assert(rows.length === 3, rows.mkString(";"))
+      assert(rows(0).getDouble(2) === 1.0 && rows(0).getDouble(3) === 100.0) // 10:00 → 09:00 dim
+      assert(rows(1).getDouble(2) === 2.0 && rows(1).getDouble(3) === 200.0) // 11:00 → 10:30 dim
+      assert(rows(2).getDouble(2) === 3.0 && rows(2).isNullAt(3)) // no dim yet
+    } finally query.stop()
+  }
+
+  test("streamingAsOf batch mirror equals the batch as-of join operator") {
+    import graft.operators.AsOfJoin
+    val facts = Seq(
+      Ev(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Ev(1L, ts("2024-01-01 11:00:00"), "click", 2.0),
+      Ev(2L, ts("2024-01-01 10:00:00"), "click", 3.0)).toDS()
+    val dims = Seq(
+      Ev(1L, ts("2024-01-01 09:00:00"), "purchase", 100.0),
+      Ev(1L, ts("2024-01-01 10:30:00"), "purchase", 200.0)).toDS()
+    val viaState = EventsStream.streamingAsOf(facts, dims)
+      .collect().map(o => (o.user_id, o.ts, o.value, o.dim_value)).toSet
+    val viaBatch = AsOfJoin.asOf(
+      facts.toDF().select($"user_id", $"ts", $"value"),
+      dims.toDF().select($"user_id", $"ts", $"value".as("dim_value")),
+      "user_id", "ts", Seq("dim_value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(viaState === viaBatch)
+    assert(viaState.size === 3)
+  }
+
+  test("streamStreamJoin pairs facts with recent dims, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[Ev]
+    val dims = MemoryStream[Ev]
+    val out = EventsStream.streamStreamJoin(
+      facts.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      dims.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      lookbackSec = 3600)
+    val query = out.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      dims.addData(
+        Ev(1L, ts("2024-01-01 09:30:00"), "purchase", 100.0), // within 1h of the click
+        Ev(1L, ts("2024-01-01 07:00:00"), "purchase", 50.0))  // too old
+      facts.addData(Ev(1L, ts("2024-01-01 10:00:00"), "click", 1.0))
+      query.processAllAvailable()
+      // advance both watermarks so the left-outer side finalizes
+      facts.addData(Ev(99L, ts("2024-01-01 14:00:00"), "click", 0.0))
+      dims.addData(Ev(99L, ts("2024-01-01 14:00:00"), "purchase", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("ss_join").where($"user_id" === 1L).collect()
+      assert(rows.length === 1, rows.mkString(";"))
+      assert(rows(0).getDouble(4) === 100.0)
+    } finally query.stop()
+  }
+
   test("windowedAgg batch and streaming logic share one implementation (batch path)") {
     val ev = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
