@@ -152,6 +152,44 @@ object SparkEntry {
             .as("calculated_price"))
     }),
 
+    "q_asof_state" -> ((s, dir) => {
+      // the stateful streaming as-of operator, batch-mirrored (same code
+      // path the StreamingSpec drives with MemoryStreams): clicks enriched
+      // with the latest purchase value at-or-before them
+      import s.implicits._
+      val ev = events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
+      val facts = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[EventsStream.Ev]
+      val dims = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+        .withColumn("event_type", lit("purchase"))
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[EventsStream.Ev]
+      EventsStream.streamingAsOf(facts, dims).toDF()
+        .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("value"), col("dim_value"))
+    }),
+
+    "q_stream_join" -> ((s, dir) => {
+      // the watermarked interval join, batch-mirrored: purchases within the
+      // hour before each click
+      val ev = events(s, dir)
+      EventsStream.streamStreamJoin(
+        ev.where(col("event_type") === "click").select("user_id", "ts", "value"),
+        ev.where(col("event_type") === "purchase").select("user_id", "ts", "value"),
+        lookbackSec = 3600)
+    }),
+
+    "q_kmeans" -> ((s, dir) => {
+      // k-means codebook + map-side IVF assignment: cluster occupancy
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildIvfIndex(emb, Similarity.kmeansCentroids(emb, 8, iters = 2))
+        .groupBy(col("cent_idx"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q_market_day" -> ((s, dir) =>
       events(s, dir)
         .select(to_date(col("ts")).as("d")).distinct()
@@ -428,6 +466,21 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q_asof_state" ->
+      """SELECT c.user_id, c.ts, c.value, p.value AS dim_value
+        |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+        |                WHERE event_type = 'purchase' GROUP BY 1, 2) p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT c.user_id, c.ts AS fact_ts, c.value AS fact_value,
+        |       p.ts AS dim_ts, p.value AS dim_value
+        |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts""".stripMargin,
 
     "q_sector_price" ->
       """WITH bars AS (

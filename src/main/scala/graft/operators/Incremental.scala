@@ -9,20 +9,25 @@ import org.apache.spark.sql.functions._
   * and `get_stock_history_latest_date` (ticker.py:26-31), generalized from
   * one-table-per-ticker to a keyed table.
   *
-  * The per-key MAX(ts) aggregate is one row per key — tiny relative to the
-  * incoming fact table — so it broadcasts: the big side is never shuffled,
-  * and the filter happens map-side. At 1000 executors this is a metadata-
-  * sized exchange regardless of fact volume.
+  * The per-key MAX(ts) aggregate is one row per DISTINCT KEY. For
+  * entity-like keys (tickers, sectors: thousands) that is metadata-sized
+  * and broadcasting it keeps the big side unshuffled with a map-side
+  * filter. For user-like keys (billions) one row per key is NOT
+  * metadata — pass `broadcastLatest = false` and the join becomes a plain
+  * keyed join that AQE plans (shuffled hash / sort-merge, skew-split);
+  * the aggregate itself is partial-combined either way.
   */
 object Incremental {
   def newerThanExisting(
       existing: DataFrame,
       incoming: DataFrame,
       key: String,
-      tsCol: String): DataFrame = {
+      tsCol: String,
+      broadcastLatest: Boolean = true): DataFrame = {
     val latest = existing.groupBy(col(key)).agg(max(col(tsCol)).as("__latest_ts"))
+    val latestSide = if (broadcastLatest) broadcast(latest) else latest
     incoming
-      .join(broadcast(latest), Seq(key), "left")
+      .join(latestSide, Seq(key), "left")
       .where(col("__latest_ts").isNull || col(tsCol) > col("__latest_ts"))
       .drop("__latest_ts")
   }

@@ -187,7 +187,10 @@ object Similarity {
       val sums = assigned
         .select(col("cent_idx"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cent_idx"), col("dim"))
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        // decimal accumulation: centroids identical under any partitioning,
+        // so assignments (and everything downstream) are reproducible
+        .agg(sum(col("x").cast("decimal(28,12)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val dims = cents.head.length
       val next = Array.tabulate(cents.length)(i => cents(i).clone())

@@ -93,9 +93,18 @@ object EventsStream {
       .union(dims.map(e => AsOfIn(e.user_id, e.ts, is_dim = true, e.value)))
     val src = if (streaming) tagged.withWatermark("ts", delay) else tagged
 
-    def lookup(dims: Seq[(Long, Double)], tsMs: Long): Option[Double] =
+    // state buffers hold MICROseconds — Timestamp.getTime alone is millis
+    // and would silently truncate parquet's micro-precision event times
+    def micros(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def fromMicros(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+
+    def lookup(dims: Seq[(Long, Double)], tsUs: Long): Option[Double] =
       dims.foldLeft(Option.empty[(Long, Double)]) { (best, d) =>
-        if (d._1 <= tsMs && best.forall(_._1 <= d._1)) Some(d) else best
+        if (d._1 <= tsUs && best.forall(_._1 <= d._1)) Some(d) else best
       }.map(_._2)
 
     src
@@ -104,25 +113,31 @@ object EventsStream {
         (userId: Long, rows: Iterator[AsOfIn], state: GroupState[AsOfBuffers]) => {
           val prev = state.getOption.getOrElse(AsOfBuffers(Nil, Nil))
           val incoming = rows.toSeq
-          var fs = prev.facts ++ incoming.filter(!_.is_dim).map(e => (e.ts.getTime, e.value))
-          var ds = prev.dims ++ incoming.filter(_.is_dim).map(e => (e.ts.getTime, e.value))
-          val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val fs = prev.facts ++ incoming.filter(!_.is_dim).map(e => (micros(e.ts), e.value))
+          var ds = prev.dims ++ incoming.filter(_.is_dim).map(e => (micros(e.ts), e.value))
+          val wmUs =
+            if (!streaming) Long.MaxValue
+            else state.getCurrentWatermarkMs() match {
+              case ms if ms >= Long.MaxValue / 1000 => Long.MaxValue
+              case ms => ms * 1000
+            }
           // a fact is final once the watermark passed it: no older dim can arrive
-          val (ripe, pending) = fs.partition(_._1 <= wm)
+          val (ripe, pending) = fs.partition(_._1 <= wmUs)
           val out = ripe.sortBy(f => (f._1, f._2)).map { case (t, v) =>
-            AsOfOut(userId, new Timestamp(t), v, lookup(ds, t))
+            AsOfOut(userId, fromMicros(t), v, lookup(ds, t))
           }
           if (streaming) {
             // dims older than every pending fact collapse to the single
             // latest one ≤ that horizon (the as-of floor); newer dims stay
-            val horizon = (pending.map(_._1) :+ wm).min
+            val horizon = (pending.map(_._1) :+ wmUs).min
             val floor = ds.filter(_._1 <= horizon).sortBy(_._1).lastOption
             ds = floor.toSeq ++ ds.filter(_._1 > horizon)
             if (pending.isEmpty && ds.isEmpty) state.remove()
             else {
               state.update(AsOfBuffers(pending, ds))
+              val wmMs = state.getCurrentWatermarkMs()
               state.setTimeoutTimestamp(math.max(
-                pending.map(_._1).minOption.getOrElse(wm + 60000L), wm + 1))
+                pending.map(_._1 / 1000).minOption.getOrElse(wmMs + 60000L), wmMs + 1))
             }
           }
           out.iterator
