@@ -68,6 +68,19 @@ object EventsStream {
       .select(col("user_id"), col("fact_ts"), col("fact_value"), col("dim_ts"), col("dim_value"))
   }
 
+  /** Streaming exact dedup on `keys`: duplicates arriving within the
+    * watermark delay of each other collapse to the first arrival; state per
+    * key expires with the watermark, so memory is O(keys within the delay),
+    * not O(all keys ever) — the difference between dropDuplicates (unbounded
+    * state, eventually OOM on an infinite stream) and the production shape.
+    * Batch path: plain dropDuplicates (same key semantics, no time bound).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           delay: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   case class AsOfIn(user_id: Long, ts: Timestamp, is_dim: Boolean, value: Double)
   case class AsOfBuffers(facts: Seq[(Long, Double)], dims: Seq[(Long, Double)])
   case class AsOfOut(user_id: Long, ts: Timestamp, value: Double, dim_value: Option[Double])

@@ -193,6 +193,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupWithinWatermark drops re-deliveries, state bounded by the delay") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventsStream.dedupWithinWatermark(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      Seq("user_id", "event_type"), delay = "1 hour")
+    val query = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(1L, ts("2024-01-01 10:00:30"), "click", 1.0), // re-delivery, same key
+        Ev(2L, ts("2024-01-01 10:01:00"), "click", 2.0))
+      query.processAllAvailable()
+      input.addData(Ev(1L, ts("2024-01-01 10:05:00"), "click", 9.0)) // still duplicate
+      query.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+      assert(rows.length === 2, rows.mkString(";"))
+      assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    } finally query.stop()
+  }
+
   test("windowedAgg batch and streaming logic share one implementation (batch path)") {
     val ev = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
