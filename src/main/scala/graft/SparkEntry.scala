@@ -258,6 +258,15 @@ object SparkEntry {
 
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
 
+    "q_dedup_cluster" -> ((s, dir) =>
+      // near-dup graph → connected components (cluster id = min doc id)
+      Dedup.connectedComponents(
+        Dedup.ngramJaccard(Tables.documents(s, dir), 0.4).select("id_a", "id_b"))),
+
+    "q_dedup_near_keep" -> ((s, dir) =>
+      Dedup.deduplicateNear(Tables.documents(s, dir), 0.4)
+        .select("doc_id", "lang", "source", "n_chars")),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir)).select("id", "simhash")),
 

@@ -167,6 +167,58 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair list (id_a, id_b) by
+    * iterated min-label propagation: label(v) ← min(label(v),
+    * min(label(nbr))) until a fixpoint. Each iteration is one self-join on
+    * the (symmetrized) edge list + one min-aggregate — all shuffles on the
+    * vertex id. Near-dup graphs are unions of SMALL components (dup
+    * clusters), so the fixpoint arrives in O(cluster diameter) rounds —
+    * `maxIter` is a guard, not the expected cost. Caches each frontier and
+    * unpersists the last, keeping lineage flat for long runs.
+    *
+    * Output: (id, component) where component = min id of the connected set.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "__nl"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("__nl")).as("__min_nbr"))
+        .join(labels, "id")
+        .select(col("id"), least(col("component"), col("__min_nbr")).as("component"))
+        .cache()
+      val changes = next.join(labels.withColumnRenamed("component", "__old"), "id")
+        .where(col("component") < col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate removal end-to-end: LSH candidates → exact n-gram
+    * Jaccard ≥ `threshold` → connected components → keep ONE document per
+    * component (the minimum id, which is also the component label) plus
+    * every document with no near-dup at all. The keep-decision join is a
+    * semi/anti pattern on ids — wide document rows shuffle once.
+    */
+  def deduplicateNear(docs: DataFrame, threshold: Double,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = ngramJaccard(docs, threshold, textCol, idCol).select("id_a", "id_b")
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash fingerprint over whitespace tokens — one compiled
     * vote-and-assemble pass per row (graft.plans.SimHash64).
     */

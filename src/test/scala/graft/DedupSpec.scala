@@ -10,6 +10,24 @@ class DedupSpec extends SparkSpec {
   private val near2 = "the quick brown fox jumps over the lazy dog again and again every night"
   private val far = "completely different content about spark query engines and columnar formats"
 
+  test("connectedComponents labels chains and leaves islands separate") {
+    // chain 1-2-3 plus pair 10-11: two components, labeled by their min id
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("deduplicateNear keeps one doc per near-dup cluster plus all singletons") {
+    val docs = Seq(
+      (1L, near1), (2L, near2), // near-dups of each other → keep 1
+      (5L, far)                 // singleton → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.deduplicateNear(docs, 0.4).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 5L))
+  }
+
   test("exact dedup groups identical texts and keeps the min id") {
     val docs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
     val out = Dedup.exact(docs).orderBy($"keep_id").collect()
