@@ -173,17 +173,22 @@ object Dedup {
     * the (symmetrized) edge list + one min-aggregate — all shuffles on the
     * vertex id. Near-dup graphs are unions of SMALL components (dup
     * clusters), so the fixpoint arrives in O(cluster diameter) rounds —
-    * `maxIter` is a guard, not the expected cost. Caches each frontier and
-    * unpersists the last, keeping lineage flat for long runs.
+    * `maxIter` is a guard, not the expected cost. Each frontier is eagerly
+    * localCheckpoint'ed: iterative driver loops otherwise nest every prior
+    * round's plan into the next (quadratic analysis/optimization time and
+    * a lineage that re-runs the candidate pipeline on any cache eviction).
     *
     * Output: (id, component) where component = min id of the connected set.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // the edge list is consumed every iteration — materialize it once, or
+    // the upstream candidate pipeline (shingle/minhash/LSH) re-runs per round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .cache()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -193,9 +198,11 @@ object Dedup {
         .agg(min(col("__nl")).as("__min_nbr"))
         .join(labels, "id")
         .select(col("id"), least(col("component"), col("__min_nbr")).as("component"))
-        .cache()
+        .localCheckpoint(true)
       val changes = next.join(labels.withColumnRenamed("component", "__old"), "id")
         .where(col("component") < col("__old")).count()
+      // next is materialized (eager checkpoint) — the superseded frontier's
+      // blocks can go; only the final labels and the edge list stay pinned
       labels.unpersist()
       labels = next
       converged = changes == 0
