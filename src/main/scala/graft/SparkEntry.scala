@@ -362,6 +362,22 @@ object SparkEntry {
 
     // same pandas-sort constraint: keep the feature vector out of the query
     // projection (scalar summary instead); the typed Dataset keeps the array
+    "q_salted_join" -> ((s, dir) => {
+      // skew-salted fact⋈dim join, aggregated — the oracle is the PLAIN
+      // join, proving salting preserves join semantics exactly
+      val dim = Tables.part(s, dir).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Skew.saltedJoin(
+          Tables.lineitem(s, dir).select("l_partkey", "l_quantity"), dim, "l_partkey", 8)
+        .groupBy(col("p_brand"))
+        .agg(exactSumD(col("l_quantity")).as("sum_qty"))
+    }),
+
+    "q_frame_sample" -> ((s, dir) => {
+      // video keyframe sampling: one row per sampled frame
+      val media = Multimodal.mediaRecords(s, Tables.documents(s, dir))
+      Multimodal.sampleFrames(media.filter(col("kind") === "video")).toDF()
+    }),
+
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.featurize(s, Tables.documents(s, dir)).toDF()
         .select(col("doc_id"), col("kind"), col("byte_len"), col("checksum"),
@@ -701,6 +717,12 @@ object SparkEntry {
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
         | len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_re_tokens
         |FROM documents""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT p_brand,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -69,10 +69,62 @@ object Multimodal {
     }
   }
 
-  /** End-to-end: documents → binary media records → features. */
-  def featurize(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+  case class Frame(doc_id: Long, frame_idx: Int, frame_len: Int, checksum: Long)
+
+  /** Frame sampling for video payloads: one input row explodes into one row
+    * per sampled frame (every `everyN`-th fixed-size chunk) — the
+    * one-to-many batch shape a real keyframe extractor (FFmpeg seek +
+    * decode) produces. The chunking IS the stub; the typed explosion,
+    * per-partition batching and output schema are the real plumbing.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 256,
+                   everyN: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // Real pipeline: open the demuxer/codec once per partition here.
+      it.flatMap { r =>
+        val nChunks = math.max(1, (r.payload.length + frameBytes - 1) / frameBytes)
+        (0 until nChunks by everyN).iterator.map { c =>
+          val from = c * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          var crc = 17L
+          var i = from
+          while (i < until) { crc = crc * 31 + (r.payload(i) & 0xff); i += 1 }
+          Frame(r.doc_id, c, math.max(until - from, 0), crc)
+        }
+      }
+    }
+  }
+
+  /** Resize stub: a real implementation decodes, scales to (w, h) and
+    * re-encodes; the fake deterministically resamples the byte payload to
+    * the target pixel budget so downstream schema/size expectations hold.
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, w * h / 64)
+    val out = new Array[Byte](target)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < target) {
+        out(i) = payload((i.toLong * payload.length / target).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Batch resize over media records: metadata updates with the payload. */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(r => r.copy(payload = resizeStub(r.payload, w, h), width = w, height = h))
+    }
+  }
+
+  /** documents → typed media records (payload + metadata). */
+  def mediaRecords(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    val records = docs.select(
+    docs.select(
       col("doc_id"),
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
@@ -80,6 +132,9 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       (col("n_chars") % 1920).cast("int").as("width"),
       (col("n_chars") % 1080).cast("int").as("height")).as[MediaRecord]
-    extractFeatures(records)
   }
+
+  /** End-to-end: documents → binary media records → features. */
+  def featurize(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] =
+    extractFeatures(mediaRecords(spark, docs))
 }

@@ -59,6 +59,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSet === Set("abc", "bca", "cab"))
   }
 
+  test("multimodal sampleFrames: one row per sampled chunk, deterministic checksums") {
+    val media = Multimodal.mediaRecords(spark, Tables.documents(spark, sfDir))
+      .filter($"kind" === "video")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 100, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    // frame indices step by everyN and every sampled frame carries bytes
+    val byDoc = frames.groupBy(_.doc_id)
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.toSeq === fs.map(_.frame_idx).sorted.distinct.toSeq)
+      fs.foreach(f => assert(f.frame_idx % 2 === 0 && f.frame_len > 0))
+    }
+    val again = Multimodal.sampleFrames(media, frameBytes = 100, everyN = 2).collect()
+    assert(frames.map(_.checksum).sorted.toSeq === again.map(_.checksum).sorted.toSeq)
+  }
+
+  test("multimodal resize: payload resampled to the target pixel budget") {
+    val media = Multimodal.mediaRecords(spark, Tables.documents(spark, sfDir)).limit(5)
+    val out = Multimodal.resize(media, 320, 240).collect()
+    out.foreach { r =>
+      assert(r.width === 320 && r.height === 240)
+      assert(r.payload.length === 320 * 240 / 64)
+    }
+  }
+
   test("multimodal featurize: deterministic 16-bin byte histogram summing to ~1") {
     val feats = Multimodal.featurize(spark, Tables.documents(spark, sfDir)).collect()
     assert(feats.length === 500)
