@@ -58,6 +58,14 @@ object SparkEntry {
     "q_ohlc_daily" -> ((s, dir) =>
       bars(s, dir).select("user_id", "d", "open", "high", "low", "close", "volume")),
 
+    "q_ohlc_15min" -> ((s, dir) =>
+      Ohlc.bars(events(s, dir), "15 minutes")
+        .select("user_id", "bucket", "open", "high", "low", "close", "volume")),
+
+    "q_fill_forward" -> ((s, dir) =>
+      Ohlc.fillForward(
+        bars(s, dir).select("user_id", "d", "close"), Seq("close"))),
+
     "q_incremental_append" -> ((s, dir) => {
       val ev = events(s, dir)
       Incremental
@@ -399,6 +407,25 @@ object SparkEntry {
         | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
         | arg_max(value, ts) AS close, count(*) AS volume
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_ohlc_15min" ->
+      """SELECT user_id, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+        | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        | arg_max(value, ts) AS close, count(*) AS volume
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_fill_forward" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM bars GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL '1 day')) AS DATE) AS d
+        |  FROM span)
+        |SELECT s.user_id, s.d,
+        |  last_value(b.close IGNORE NULLS)
+        |    OVER (PARTITION BY s.user_id ORDER BY s.d) AS close
+        |FROM spine s LEFT JOIN bars b ON s.user_id = b.user_id AND s.d = b.d""".stripMargin,
 
     "q_incremental_append" ->
       """SELECT i.event_id, i.user_id, i.ts FROM events i

@@ -81,6 +81,31 @@ class OperatorsSpec extends SparkSpec {
     assert(u(1).getDouble(u(1).fieldIndex("y")) === 3.0)
   }
 
+  test("Ohlc.fillForward carries the last close across date gaps") {
+    val series = Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-04", 40.0), // 3-day gap
+      (2L, "2024-01-02", 5.0)
+    ).toDF("user_id", "d", "close").withColumn("d", to_date($"d"))
+    val out = Ohlc.fillForward(series, Seq("close"))
+      .orderBy($"user_id", $"d").collect()
+    assert(out.length === 5) // 4 days for user 1, 1 day for user 2
+    assert(out.map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2))).toSeq === Seq(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-02", 10.0),
+      (1L, "2024-01-03", 10.0), (1L, "2024-01-04", 40.0),
+      (2L, "2024-01-02", 5.0)))
+  }
+
+  test("Ohlc.bars buckets at arbitrary resolution with the daily aggregate's shape") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val hourly = Ohlc.bars(ev, "1 hour")
+    val total = hourly.agg(sum($"volume")).head.getLong(0)
+    assert(total === ev.count()) // every tick lands in exactly one bucket
+    val r = hourly.head()
+    assert(r.schema.fieldNames.toSeq ===
+      Seq("user_id", "bucket", "open", "high", "low", "close", "volume"))
+  }
+
   test("PivotOps.projectToVocabulary drops departed columns and adds missing ones") {
     // snapshot has x (stays), w (ticker left the index), lacks z (new ticker)
     val snap = Seq((1L, 1.0, 9.0)).toDF("k", "x", "w")
