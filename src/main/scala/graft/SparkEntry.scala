@@ -295,6 +295,11 @@ object SparkEntry {
       Similarity.topK(emb, emb.orderBy(col("vec_id")).limit(1), 10)
     }),
 
+    "q_ann_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKBatch(emb, emb.orderBy(col("vec_id")).limit(2), 10)
+    }),
+
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.cosinePairsBucketed(Tables.embeddings(s, dir), 0.2, planes = 8)),
 
@@ -668,6 +673,21 @@ object SparkEntry {
          |  FROM n, q WHERE n.vec_id <> q.qid)
          |ORDER BY cosine DESC, vec_id
          |LIMIT 10""".stripMargin,
+
+    "q_ann_batch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, $normSql AS qn
+         |           FROM embeddings ORDER BY vec_id LIMIT 2),
+         |n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.qid, n.vec_id,
+         |    round((SELECT CAST(sum(CAST(CAST(n.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i))
+         |      / nullif(n.nrm * q.qn, 0), 6) AS cosine
+         |  FROM n, q WHERE n.vec_id <> q.qid)
+         |SELECT qid, vec_id, cosine FROM (
+         |  SELECT qid, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 10""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type,

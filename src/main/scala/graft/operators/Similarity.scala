@@ -134,6 +134,28 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
+  /** Batched brute-force top-k: ALL queries against the corpus in ONE scan
+    * — the per-query plan costs |corpus| × |queries| scans at a query batch;
+    * this costs one. The scored stream feeds the bounded-heap GroupTopK
+    * operator keyed by query id, so the shuffle carries ≤ k rows per query
+    * per task instead of the full scored cross product. Queries broadcast
+    * (a query batch is request-sized); for very large batches screen with
+    * the codegen'd double dot first and decimal-refine survivors.
+    */
+  def topKBatch(embeddings: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normExact(vecCol).as("qn")))
+    val scored = embeddings
+      .select(col(idCol), col(vecCol).as("v"), normExact(vecCol).as("nrm"))
+      .crossJoin(q)
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(dotExact("v", "qv") / nullif(col("nrm") * col("qn"), lit(0.0)), 6).as("cosine"))
+    graft.plans.GroupTopK.topKPerKey(
+      scored, Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k)
+  }
+
   /** Random-hyperplane LSH signature: sign bits of dot products against
     * `planes` pseudo-random hyperplanes derived from xxhash64(dim, plane) —
     * deterministic, no driver-side randomness, one compiled pass per row

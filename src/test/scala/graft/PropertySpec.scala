@@ -54,6 +54,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cosinePairsExact equals naive all-pairs at every threshold (random vectors)") {
+    // the quantization error bound must never drop a true pair — exercise
+    // it on adversarial vectors: mixed signs, tiny/huge scales, zeros
+    for (seed <- 30L to 33L) {
+      val gen = Gen.listOfN(40, for {
+        scale <- Gen.oneOf(1e-4f, 1.0f, 37.5f)
+        comps <- Gen.listOfN(8, Gen.choose(-100, 100))
+      } yield comps.map(c => c * scale / 100.0f).toArray)
+      val vecs = gen(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+        .zipWithIndex.map { case (v, i) => (i.toLong, if (i == 7) Array.fill(8)(0.0f) else v) }
+      val df = vecs.toDF("vec_id", "embedding")
+      for (t <- Seq(0.1, 0.5, 0.9)) {
+        val naive = (for {
+          (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+          na = math.sqrt(va.map(x => x.toDouble * x).sum)
+          nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+          if na > 0 && nb > 0
+          cos = va.zip(vb).map { case (a, b) => a.toDouble * b.toDouble }.sum / (na * nb)
+          if cos > t + 1e-9 // stay off the float boundary; the engines round identically
+        } yield (ia, ib)).toSet
+        val got = operators.Similarity.cosinePairsExact(df, t, blocks = 3)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val boundary = (for {
+          (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+          na = math.sqrt(va.map(x => x.toDouble * x).sum)
+          nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+          if na > 0 && nb > 0
+          cos = va.zip(vb).map { case (a, b) => a.toDouble * b.toDouble }.sum / (na * nb)
+          if math.abs(cos - t) <= 1e-6 // rounding-ambiguous pairs: either verdict fine
+        } yield (ia, ib)).toSet
+        assert(naive.subsetOf(got), s"seed=$seed t=$t missing=${naive -- got}")
+        assert((got -- naive).subsetOf(boundary), s"seed=$seed t=$t extra=${got -- naive}")
+      }
+    }
+  }
+
   test("incremental append equals naive newer-than filter (random data)") {
     for (seed <- 20L to 23L) {
       val all = genData(seed, 100).zipWithIndex.map { case (e, i) => (e.k, e.t * 1000L + i, e.v) }
