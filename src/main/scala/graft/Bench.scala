@@ -29,10 +29,17 @@ object Bench {
     }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Per-query time = min over `iters` runs: the steady-state cost of the
+    // plan, robust to one-off GC pauses / noisy-neighbor interference on a
+    // shared host. (Medians across ≥3 would be stronger; 2 keeps the whole
+    // suite comfortably inside the driver's budget.)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       name -> dt
     }
