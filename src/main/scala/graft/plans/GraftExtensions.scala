@@ -37,7 +37,28 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash fingerprint"),
-      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))),
+    (FunctionIdentifier("graft_dot_int8"),
+      info("graft_dot_int8", "graft_dot_int8(a, b) - integer dot product of two array<tinyint> code vectors"),
+      (exprs: Seq[Expression]) => Int8DotProduct(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_quantize_int8"),
+      info("graft_quantize_int8", "graft_quantize_int8(v) - struct(qscale, codes, s1) int8 quantization of array<float>"),
+      (exprs: Seq[Expression]) => Int8Quantize(exprs(0))),
+    (FunctionIdentifier("graft_hyperplane_lsh"),
+      info("graft_hyperplane_lsh", "graft_hyperplane_lsh(v, planes) - random-hyperplane sign signature of array<float>"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(n: Int, IntegerType) => HyperplaneLSH(exprs(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_hyperplane_lsh: second argument must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "graft_winnow(text, k, w) - winnowing rolling-hash fingerprint set"),
+      (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
+        case (Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+          Winnow(exprs(0), k, w)
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow: k and w must be integer literals, got $other")
+      }))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -37,6 +37,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(!q.queryExecution.optimizedPlan.toString().contains("GroupTopK"))
   }
 
+  test("SQL surface: every graft_* function resolves and evaluates") {
+    graft.plans.GraftFunctions.register(spark)
+    Seq((1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("id", "a", "b").createOrReplaceTempView("t")
+    val r = spark.sql(
+      """SELECT graft_dot(a, b) AS d,
+        |       graft_dot_int8(cast(array(1, 2) as array<tinyint>),
+        |                      cast(array(3, 4) as array<tinyint>)) AS di,
+        |       graft_quantize_int8(a).s1 AS s1,
+        |       graft_hyperplane_lsh(a, 8) AS sig,
+        |       size(graft_minhash(array('ab','bc'), 16)) AS nsig,
+        |       graft_simhash(array('x','y')) AS sh,
+        |       size(graft_winnow('hello world hello', 4, 3)) AS nw
+        |FROM t""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getLong(1) === 11L) // 1*3 + 2*4
+    assert(r.getLong(2) > 0L)
+    assert(r.getInt(4) === 16)
+    assert(r.getInt(6) > 0)
+  }
+
   test("saltedJoin equals the plain join result") {
     val fact = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
     val dim = Tables.part(spark, sfDir).withColumnRenamed("p_partkey", "l_partkey")
