@@ -359,6 +359,20 @@ object SparkEntry {
         Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.5))
         .select("doc_id", "lang")),
 
+    "q_scrub_pii" -> ((s, dir) =>
+      // PII appended deterministically so the redaction actually fires on
+      // every row — both engines synthesize the identical input
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.scrubPii(concat(col("text"),
+          lit(" contact bob@x-corp.io at 555-867-5309 or https://ex.com/a?b=1 ip 10.0.0.1")))
+          .as("scrubbed"))),
+
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.assignSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
+
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
 
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -730,6 +744,23 @@ object SparkEntry {
         |   OR lang = 'de'
         |   OR lang = 'fr'
         |   OR (lang = 'es' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')""".stripMargin,
+
+    "q_scrub_pii" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   text || ' contact bob@x-corp.io at 555-867-5309 or https://ex.com/a?b=1 ip 10.0.0.1',
+        |   'https?://\S+', '<URL>', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id,
+        | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q_lang_id" ->
       """SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,

@@ -34,6 +34,28 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.where(samplePredicate(col(idCol), fraction))
 
+  /** Deterministic train/validation/test split assignment: the same
+    * hash-prefix trick, carved into contiguous ranges — every row gets
+    * exactly one label, membership is engine-reproducible and independent
+    * of what other rows exist (rows keep their split across corpus
+    * versions). `splits` maps label → fraction; fractions must sum to ≤ 1
+    * (any remainder falls into the LAST label). Scan-level, shuffle-free.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val prefix = substring(md5(col(idCol).cast("string")), 1, 4)
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val labeled = splits.init.zip(cuts.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), cut)) =>
+        val cond = prefix < lit(f"${math.round(cut * 65536).toInt}%04x")
+        Some(acc.map(_.when(cond, label)).getOrElse(when(cond, label)))
+    }
+    val splitCol = labeled.map(_.otherwise(splits.last._1)).getOrElse(lit(splits.last._1))
+    df.withColumn("split", splitCol)
+  }
+
   /** Corpus mixing: per-stratum sampling rates (e.g. upweight rare
     * languages, downweight boilerplate sources) in ONE scan — the standard
     * training-mixture op. Strata absent from `fractions` are dropped.

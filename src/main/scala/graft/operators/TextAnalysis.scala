@@ -70,6 +70,28 @@ object TextAnalysis {
     * non-alphanumerics, collapse whitespace) — catches trivially-reformatted
     * duplicates that exact hashing misses.
     */
+  /** PII scrubbing: URLs, emails, phone-shaped numbers and IPv4 addresses
+    * replaced by typed placeholder tokens — the standard redaction pass
+    * before text enters a training corpus. Order matters: URLs first (they
+    * absorb embedded credentials/hosts), then emails, phones, IPs. Patterns
+    * stay within the regex subset Java and RE2 interpret identically, so
+    * any engine reproduces the exact output. Pure codegen'd
+    * regexp_replace — scan speed.
+    */
+  def scrubPii(text: Column): Column = {
+    val url = "https?://\\S+"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, url, "<URL>"),
+          email, "<EMAIL>"),
+        phone, "<PHONE>"),
+      ip, "<IP>")
+  }
+
   def fingerprint(textCol: String): Column =
     md5(trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " ")))
 }

@@ -21,6 +21,31 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(s1))
   }
 
+  test("assignSplit: exhaustive, disjoint, ~declared fractions, version-stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Sampling.assignSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(labeled.length === docs.count()) // every row exactly one label
+    val frac = labeled.groupBy(_._2).view.mapValues(_.length / labeled.length.toDouble)
+    assert(math.abs(frac("train") - 0.8) < 0.08, frac.toMap.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.06)
+    // stability across corpus versions: a doc keeps its split when half the
+    // corpus disappears
+    val half = Sampling.assignSplit(
+      docs.where($"doc_id" % 2 === 0), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = labeled.toMap
+    half.foreach { case (id, s) => assert(full(id) === s) }
+  }
+
+  test("scrubPii replaces URL/email/phone/IP with typed tokens") {
+    import graft.operators.TextAnalysis
+    val out = Seq("mail a.b@c.io see https://x.io/p?q=1 call 555-123-4567 host 10.0.0.255 end")
+      .toDF("t").select(TextAnalysis.scrubPii($"t")).head.getString(0)
+    assert(out === "mail <EMAIL> see <URL> call <PHONE> host <IP> end")
+  }
+
   test("mixCorpora applies per-stratum rates and drops unlisted strata") {
     val docs = Tables.documents(spark, sfDir)
     val mixed = Sampling.mixCorpora(docs, "lang", "doc_id",
