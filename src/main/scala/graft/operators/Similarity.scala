@@ -264,6 +264,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF probes: many queries against one prebuilt index in a
+    * single scan. Probe cells are picked per query driver-side (the
+    * codebook is driver-resident); the scan reads only the UNION of probed
+    * cells (partition-pruned on a persisted index), each row pairs only
+    * with the queries that probed its cell (map-side array_contains on a
+    * broadcast probe list), and per-query top-k comes from the bounded-heap
+    * GroupTopK — shuffle ≤ k rows per query per task.
+    */
+  def ivfTopKBatch(index: DataFrame, centroids: Array[Array[Double]],
+                   queries: DataFrame, k: Int, nprobe: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qRows = queries.select(col(idCol), col(vecCol)).collect()
+    val probesOf: Map[Long, Seq[Int]] = qRows.map { r =>
+      val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
+      r.getLong(0) -> centroids.zipWithIndex
+        .map { case (c, i) => (i, c.zip(qv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (i, d) => (-d, i) }
+        .take(nprobe).map(_._1).toSeq
+    }.toMap
+    val allProbed = probesOf.values.flatten.toSeq.distinct
+    val q = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), normExact(vecCol).as("qn"))
+      .withColumn("probes",
+        // literal per-query probe list rides the broadcast
+        coalesce(probesOf.foldLeft(lit(null).cast("array<int>")) {
+          case (acc, (qid, ps)) =>
+            when(col("qid") === qid, array(ps.map(lit): _*)).otherwise(acc)
+        })))
+    val scored = index
+      .where(col("cent_idx").isin(allProbed: _*))
+      .crossJoin(q)
+      .where(array_contains(col("probes"), col("cent_idx")) && col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(dotExact("v", "qv") / nullif(col("nrm") * col("qn"), lit(0.0)), 6).as("cosine"))
+    graft.plans.GroupTopK.topKPerKey(
+      scored, Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k)
+  }
+
   /** IVF (inverted-file) approximate top-k: coarse-quantize every vector to
     * its nearest of `nlist` centroids, then search only the query's
     * `nprobe` nearest cells. Work drops from O(n) dot products per query to

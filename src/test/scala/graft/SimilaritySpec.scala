@@ -83,6 +83,23 @@ class SimilaritySpec extends SparkSpec {
       inline.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("ivfTopKBatch equals per-query ivfTopKIndexed for every query in the batch") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val index = Similarity.buildIvfIndex(emb, cents)
+    val queries = emb.orderBy($"vec_id".desc).limit(3)
+    val batch = Similarity.ivfTopKBatch(index, cents, queries, 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(x => (-x._2, x._1)).toSeq).toMap
+    queries.collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val single = Similarity.ivfTopKIndexed(
+        index, cents, emb.where($"vec_id" === qid), 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single, s"qid=$qid")
+    }
+  }
+
   test("int8 quantization: 4x smaller codes, small cosine error after round-trip") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = Similarity.quantized(emb)
