@@ -73,6 +73,16 @@ object SparkEntry {
         .select("event_id", "user_id", "ts")
     }),
 
+    "q_incremental_shuffled" -> ((s, dir) => {
+      // the high-key-cardinality variant: per-key max joins as a plain
+      // keyed join (AQE-planned) instead of a broadcast — same oracle
+      val ev = events(s, dir)
+      Incremental
+        .newerThanExisting(ev.where(col("ts") < tsNtz("2024-01-20")), ev, "user_id", "ts",
+          broadcastLatest = false)
+        .select("event_id", "user_id", "ts")
+    }),
+
     "q_latest_date" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("user_id"))
@@ -445,6 +455,13 @@ object SparkEntry {
         |  last_value(b.close IGNORE NULLS)
         |    OVER (PARTITION BY s.user_id ORDER BY s.d) AS close
         |FROM spine s LEFT JOIN bars b ON s.user_id = b.user_id AND s.d = b.d""".stripMargin,
+
+    "q_incremental_shuffled" ->
+      """SELECT i.event_id, i.user_id, i.ts FROM events i
+        |LEFT JOIN (SELECT user_id, max(ts) AS m FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-20' GROUP BY 1) e
+        |  ON i.user_id = e.user_id
+        |WHERE e.m IS NULL OR i.ts > e.m""".stripMargin,
 
     "q_incremental_append" ->
       """SELECT i.event_id, i.user_id, i.ts FROM events i
