@@ -90,6 +90,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("streamingAsOf through MemoryStream equals batch as-of (random arrival order)") {
+    import graft.streaming.EventsStream
+    import graft.streaming.EventsStream.Ev
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- 40L to 42L) {
+      val data = genData(seed, 80).zipWithIndex.map { case (e, i) =>
+        Ev(e.k, new java.sql.Timestamp(1700000000000L + e.t * 60000L + i), "x", e.v)
+      }
+      val (factRows, dimRows) = data.splitAt(40)
+      val facts = MemoryStream[Ev]
+      val dims = MemoryStream[Ev]
+      // event times span ≤ 200 min but chunks arrive in index order — the
+      // watermark delay must cover that disorder or rows are (correctly)
+      // dropped as late; 4 h ≫ the max possible lateness here
+      val query = EventsStream.streamingAsOf(facts.toDS(), dims.toDS(), delay = "4 hours")
+        .writeStream.format("memory").queryName(s"asof_prop_$seed")
+        .outputMode("append").start()
+      try {
+        // deliver in interleaved chunks — arrival order ≠ event order
+        val fChunks = factRows.grouped(15).toSeq
+        val dChunks = dimRows.grouped(15).toSeq
+        fChunks.zipAll(dChunks, Seq.empty[Ev], Seq.empty[Ev]).foreach { case (f, d) =>
+          if (f.nonEmpty) facts.addData(f: _*)
+          if (d.nonEmpty) dims.addData(d: _*)
+          query.processAllAvailable()
+        }
+        // flush: push the watermark (flushTs − 4 h) far past every buffered fact
+        val flushTs = new java.sql.Timestamp(1700000000000L + 1000L * 60000L)
+        facts.addData(Ev(999L, flushTs, "x", 0.0))
+        dims.addData(Ev(999L, flushTs, "x", 0.0))
+        query.processAllAvailable()
+        val got = spark.table(s"asof_prop_$seed")
+          .where($"user_id" =!= 999L)
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+        val expected = factRows.map { f =>
+          val dimVal = dimRows.filter(d => d.user_id == f.user_id && !d.ts.after(f.ts))
+            .sortBy(_.ts.getTime).lastOption.map(_.value)
+          (f.user_id, f.ts, f.value, dimVal)
+        }.toSet
+        assert(got === expected, s"seed=$seed")
+      } finally query.stop()
+    }
+  }
+
   test("incremental append equals naive newer-than filter (random data)") {
     for (seed <- 20L to 23L) {
       val all = genData(seed, 100).zipWithIndex.map { case (e, i) => (e.k, e.t * 1000L + i, e.v) }
