@@ -150,6 +150,18 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "last_purchase_value")
     }),
 
+    "q_asof_broadcast" -> ((s, dir) => {
+      // identical semantics to q_asof_join through the broadcast-timeline
+      // path: facts never shuffle, the probe is a compiled binary search
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin
+        .asOfBroadcast(clicks, purchases, "user_id", "ts", "value", "last_purchase_value")
+        .select("event_id", "user_id", "ts", "last_purchase_value")
+    }),
+
     "q_sector_price" -> ((s, dir) => {
       // the reference's calculate_sector_price (sector.py:86-112): price
       // history ⋈ share snapshots ⋈ shares outstanding, all date-aligned —
@@ -550,6 +562,12 @@ object SparkEntry {
         |GROUP BY p_brand""".stripMargin,
 
     "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.value AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q_asof_broadcast" ->
       """SELECT c.event_id, c.user_id, c.ts, p.value AS last_purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p

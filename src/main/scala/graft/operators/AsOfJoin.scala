@@ -58,4 +58,35 @@ object AsOfJoin {
     }
     filled.where(col("__side") === 1).drop("__side")
   }
+
+  /** Broadcast as-of: when the right side is dimension-sized (the
+    * reference's share snapshots — thousands of rows), the union+window
+    * path still shuffles the FACT table on the key. Here the dim packs
+    * into one sorted (t, v) timeline array per key, broadcasts, and each
+    * fact row binary-searches its at-or-before value map-side
+    * (SortedAsOfLookup) — the fact side is never shuffled or sorted at
+    * all. Timestamps compare as unix micros (NTZ interpreted in the
+    * session zone on both sides, so ordering is preserved); `valueCol`
+    * must be numeric (cast to double). Ties on t resolve to the largest
+    * value, matching sort_array's struct ordering.
+    */
+  def asOfBroadcast(
+      facts: DataFrame,
+      dims: DataFrame,
+      key: String,
+      tsCol: String,
+      valueCol: String,
+      outCol: String): DataFrame = {
+    val packed = dims
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col(tsCol).cast("timestamp")).as("t"),
+        col(valueCol).cast("double").as("v")))).as("__timeline"))
+    facts
+      .join(broadcast(packed), Seq(key), "left")
+      .withColumn(outCol,
+        graft.plans.Exprs.asofLookup(col("__timeline"),
+          unix_micros(col(tsCol).cast("timestamp"))))
+      .drop("__timeline")
+  }
 }

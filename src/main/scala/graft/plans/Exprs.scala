@@ -36,6 +36,10 @@ object Exprs {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centroids))
 
+  /** Compiled sorted-timeline binary search (see [[SortedAsOfLookup]]). */
+  def asofLookup(sortedArr: Column, ts: Column): Column =
+    GraftBridge.column(SortedAsOfLookup(GraftBridge.expression(sortedArr), GraftBridge.expression(ts)))
+
   /** Winnowing rolling-hash fingerprint set (see [[Winnow]]). */
   def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
     GraftBridge.column(Winnow(GraftBridge.expression(text), k, w))

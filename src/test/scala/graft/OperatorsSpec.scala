@@ -81,6 +81,31 @@ class OperatorsSpec extends SparkSpec {
     assert(u(1).getDouble(u(1).fieldIndex("y")) === 3.0)
   }
 
+  test("asOfBroadcast equals the union+window as-of with zero fact-side shuffle") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val clicks = ev.where($"event_type" === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val viaBroadcast = AsOfJoin
+      .asOfBroadcast(clicks, purchases, "user_id", "ts", "value", "last_purchase_value")
+    val got = viaBroadcast
+      .select("event_id", "last_purchase_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val expected = AsOfJoin.asOf(
+      clicks, purchases.withColumnRenamed("value", "last_purchase_value"),
+      "user_id", "ts", Seq("last_purchase_value"))
+      .select("event_id", "last_purchase_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    val plan = viaBroadcast.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastExchange"), plan)
+    // the ONLY exchanges are the dim aggregation + its broadcast — the fact
+    // stream stays map-side (no hashpartitioning of the click rows)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("Ohlc.fillForward carries the last close across date gaps") {
     val series = Seq(
       (1L, "2024-01-01", 10.0), (1L, "2024-01-04", 40.0), // 3-day gap
