@@ -1,0 +1,52 @@
+package graft
+
+/** The plans we rely on at 100 TB, asserted — a regression gate so a
+  * refactor can't silently reintroduce a sort-merge join, a nested-loop
+  * pair generator, or an extra exchange into the headline queries.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString()
+
+  private def count(p: String, token: String): Int =
+    token.r.findAllIn(p).length
+
+  test("star joins broadcast their dimensions — no sort-merge joins") {
+    for (q <- Seq("q5_region_revenue", "q3_top_orders", "q_weighted_price")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("the time-series family runs on a single entity exchange") {
+    for (q <- Seq("q_ohlc_daily", "q_dollar_volume", "q_gap_on_peak")) {
+      assert(count(plan(q), "Exchange") === 1, s"$q:\n${plan(q)}")
+    }
+  }
+
+  test("pair generators never plan a nested-loop join") {
+    for (q <- Seq("q_dedup_embedding", "q_ann_lsh", "q_dedup_minhash", "q_dedup_simhash")) {
+      assert(!plan(q).contains("BroadcastNestedLoopJoin"), s"$q:\n${plan(q)}")
+    }
+  }
+
+  test("declared-vocabulary pivot is a single-exchange aggregate") {
+    assert(count(plan("q_pivot_wide"), "Exchange") === 1)
+  }
+
+  test("per-group top-k plans the custom operator, not a window sort") {
+    val p = plan("q_topk_per_key")
+    assert(p.contains("GroupTopK"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("as-of joins: union+window uses one shuffle; broadcast variant shuffles no facts") {
+    assert(count(plan("q_asof_join"), "Exchange hashpartitioning") === 1, plan("q_asof_join"))
+    val b = plan("q_asof_broadcast")
+    // the only hash exchange groups the (tiny) dim timelines; facts flow map-side
+    assert(count(b, "Exchange hashpartitioning") === 1, b)
+    assert(b.contains("BroadcastExchange"), b)
+  }
+}
