@@ -337,6 +337,19 @@ object SparkEntry {
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
           count(get_json_object(col("props"), "$.k")).as("n_k"))),
 
+    "q_profile" -> ((s, dir) =>
+      Profile.numericProfile(Tables.documents(s, dir), Seq("doc_id", "n_chars"))),
+
+    "q_quantiles_approx" -> ((s, dir) =>
+      // GK-sketch percentiles — the scale path when exact per-group
+      // percentile (which materializes every group's values) won't fit;
+      // engine-specific estimates, rows-only check
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(value, 0.95, 1000)").as("p95"))),
+
     "q_quantiles" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))
@@ -743,6 +756,16 @@ object SparkEntry {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | count(json_extract_string(props, '$.k')) AS n_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'doc_id' AS col, count(*) AS n, count(doc_id) AS non_null,
+        |       count(DISTINCT doc_id) AS n_distinct,
+        |       CAST(min(doc_id) AS DOUBLE) AS min_v, CAST(max(doc_id) AS DOUBLE) AS max_v
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+        |       CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE)
+        |FROM documents""".stripMargin,
 
     "q_quantiles" ->
       """SELECT event_type,

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data profiling — the first thing a curation pipeline runs against a new
+  * corpus drop: per-column row/null/distinct counts and numeric ranges.
+  * One aggregate over one scan (multi-distinct plans Spark's Expand, still
+  * a single pass over the data), then a stack() to long format — no
+  * per-column jobs, no driver loops.
+  */
+object Profile {
+
+  /** Profile `cols` (numeric or castable-to-double) of `df`: one output row
+    * per column with (col, n, non_null, n_distinct, min_v, max_v).
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__${c}_nn"),
+        countDistinct(col(c)).as(s"__${c}_nd"),
+        min(col(c)).cast("double").as(s"__${c}_min"),
+        max(col(c)).cast("double").as(s"__${c}_max"))
+    } :+ count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', __n, __${c}_nn, __${c}_nd, __${c}_min, __${c}_max"
+    }.mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stackArgs) as (col, n, non_null, n_distinct, min_v, max_v)"))
+  }
+}

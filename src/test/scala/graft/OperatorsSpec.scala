@@ -81,6 +81,16 @@ class OperatorsSpec extends SparkSpec {
     assert(u(1).getDouble(u(1).fieldIndex("y")) === 3.0)
   }
 
+  test("Profile.numericProfile: one row per column with exact counts and ranges") {
+    val df = Seq((1L, 10), (2L, 10), (3L, 30)).toDF("id", "v")
+      .union(Seq((4L, 0)).toDF("id", "v").withColumn("v", lit(null).cast("int")))
+    val p = operators.Profile.numericProfile(df, Seq("id", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(p("id") === ((4L, 4L, 4L, 1.0, 4.0)))
+    assert(p("v") === ((4L, 3L, 2L, 10.0, 30.0)))
+  }
+
   test("asOfBroadcast equals the union+window as-of with zero fact-side shuffle") {
     val ev = Tables.events(spark, sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
