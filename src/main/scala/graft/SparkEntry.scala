@@ -412,6 +412,10 @@ object SparkEntry {
 
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
 
+    "q_type_token" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.typeTokenRatio("text").as("ttr"))),
+
     "q_token_count" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -847,6 +851,13 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS stops,
         |  CAST(length(text) AS DOUBLE) AS chars
         |FROM documents)""".stripMargin,
+
+    "q_type_token" ->
+      """SELECT doc_id,
+        | round(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |   / nullif(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE), 0), 6)
+        |   AS ttr
+        |FROM documents""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -181,24 +181,30 @@ object Dedup {
     * Output: (id, component) where component = min id of the connected set.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // local checkpoints pin blocks on executors — fine in one JVM / for
+    // session-lived graphs; when a checkpoint dir is configured (any real
+    // cluster run over a multi-TB pair list), use reliable checkpoints so
+    // frontier state survives executor loss mid-iteration
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // the edge list is consumed every iteration — materialize it once, or
     // the upstream candidate pipeline (shingle/minhash/LSH) re-runs per round
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    val edges = materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = edges
+      val next = materialize(edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "__nl"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("__nl")).as("__min_nbr"))
         .join(labels, "id")
-        .select(col("id"), least(col("component"), col("__min_nbr")).as("component"))
-        .localCheckpoint(true)
+        .select(col("id"), least(col("component"), col("__min_nbr")).as("component")))
       val changes = next.join(labels.withColumnRenamed("component", "__old"), "id")
         .where(col("component") < col("__old")).count()
       // next is materialized (eager checkpoint) — the superseded frontier's

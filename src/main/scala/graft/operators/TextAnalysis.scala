@@ -70,6 +70,17 @@ object TextAnalysis {
     * non-alphanumerics, collapse whitespace) — catches trivially-reformatted
     * duplicates that exact hashing misses.
     */
+  /** Type-token ratio: distinct tokens / total tokens over lowercased
+    * whitespace tokens — the standard repetition/boilerplate signal
+    * (near-zero for templated spam, high for natural prose). Scan-speed
+    * column expression.
+    */
+  def typeTokenRatio(textCol: String): Column = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    round(size(array_distinct(toks)).cast("double")
+      / nullif(size(toks).cast("double"), lit(0.0)), 6)
+  }
+
   /** PII scrubbing: URLs, emails, phone-shaped numbers and IPv4 addresses
     * replaced by typed placeholder tokens — the standard redaction pass
     * before text enters a training corpus. Order matters: URLs first (they
