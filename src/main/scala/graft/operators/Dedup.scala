@@ -199,12 +199,20 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = materialize(edges
+      val propagated = materialize(edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "__nl"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("__nl")).as("__min_nbr"))
         .join(labels, "id")
         .select(col("id"), least(col("component"), col("__min_nbr")).as("component")))
+      // pointer jumping: also adopt the label OF the current label — the
+      // effective diameter halves every round, so a length-d chain
+      // converges in O(log d) rounds, not O(d). One extra self-join of the
+      // (id, component) table, which is far smaller than the edge join.
+      val next = materialize(propagated.as("a")
+        .join(propagated.select(col("id").as("component"), col("component").as("__cc")).as("b"),
+          Seq("component"), "left")
+        .select(col("id"), coalesce(col("__cc"), col("component")).as("component")))
       val changes = next.join(labels.withColumnRenamed("component", "__old"), "id")
         .where(col("component") < col("__old")).count()
       // next is materialized (eager checkpoint) — the superseded frontier's

@@ -18,6 +18,16 @@ class DedupSpec extends SparkSpec {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents converges on a long chain in O(log d) rounds (pointer jumping)") {
+    // a 64-node chain has diameter 63: pure min-propagation needs 63
+    // rounds and would NOT finish under maxIter = 10
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(comps.length === 64)
+    assert(comps.forall(_._2 === 0L), comps.filter(_._2 != 0L).take(5).mkString(";"))
+  }
+
   test("deduplicateNear keeps one doc per near-dup cluster plus all singletons") {
     val docs = Seq(
       (1L, near1), (2L, near2), // near-dups of each other → keep 1
