@@ -215,6 +215,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("IVF index maintains itself as embeddings stream in (same projection, file sink)") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val src = java.nio.file.Files.createTempDirectory("ivf_src").toString
+    val out = java.nio.file.Files.createTempDirectory("ivf_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_ckpt").toString
+    // first drop: half the corpus
+    emb.where($"vec_id" % 2 === 0).write.parquet(s"$src/batch0")
+    val stream = spark.readStream.schema(emb.schema).parquet(src + "/*")
+    val query = Similarity.buildIvfIndex(stream, cents)
+      .writeStream.format("parquet").partitionBy("cent_idx")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      query.processAllAvailable()
+      // second drop arrives later; the index catches up incrementally
+      emb.where($"vec_id" % 2 === 1).write.parquet(s"$src/batch1")
+      query.processAllAvailable()
+      val index = spark.read.parquet(out)
+      assert(index.count() === emb.count())
+      val q = emb.orderBy($"vec_id".desc).limit(1)
+      val streamed = Similarity.ivfTopKIndexed(index, cents, q, 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val direct = Similarity.ivfTopKIndexed(Similarity.buildIvfIndex(emb, cents), cents, q, 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(streamed === direct)
+    } finally query.stop()
+  }
+
   test("windowedAgg batch and streaming logic share one implementation (batch path)") {
     val ev = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
