@@ -38,8 +38,9 @@ object Sampling {
     * hash-prefix trick, carved into contiguous ranges — every row gets
     * exactly one label, membership is engine-reproducible and independent
     * of what other rows exist (rows keep their split across corpus
-    * versions). `splits` maps label → fraction; fractions must sum to ≤ 1
-    * (any remainder falls into the LAST label). Scan-level, shuffle-free.
+    * versions). `splits` maps label → fraction; fractions must sum to 1
+    * (hash-prefix rounding puts boundary rows in the later range, so the
+    * LAST label absorbs any rounding remainder). Scan-level, shuffle-free.
     */
   def assignSplit(df: DataFrame, idCol: String,
                   splits: Seq[(String, Double)]): DataFrame = {
