@@ -155,8 +155,11 @@ object SparkEntry {
       // path: facts never shuffle, the probe is a compiled binary search
       val ev = events(s, dir)
       val clicks = ev.where(col("event_type") === "click").select("event_id", "user_id", "ts")
+      // dedupe the dim side on (key, ts): equal-instant tie resolution is
+      // engine-unspecified in DuckDB's ASOF, so both engines see one row
       val purchases = ev.where(col("event_type") === "purchase")
-        .select("user_id", "ts", "value")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
       AsOfJoin
         .asOfBroadcast(clicks, purchases, "user_id", "ts", "value", "last_purchase_value")
         .select("event_id", "user_id", "ts", "last_purchase_value")
@@ -587,7 +590,8 @@ object SparkEntry {
     "q_asof_broadcast" ->
       """SELECT c.event_id, c.user_id, c.ts, p.value AS last_purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+        |                WHERE event_type = 'purchase' GROUP BY 1, 2) p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "q_asof_state" ->

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * re-expression of the reference's per-ticker daily history ingestion
   * (stock_data_pipeline/load_yfinance_data.py:86-116, CollectDailyData).
   *
-  * Single hash-aggregate: one shuffle on (entity, day). `min_by`/`max_by`
-  * pick open/close without a sort or self-join, and partial aggregation
-  * (map-side combine) means the shuffle carries one row per (entity, day)
-  * per task — at 100 TB the shuffle volume is the bar count, not the tick
-  * count.
+  * Single hash-aggregate with partial (map-side) combine: the shuffle
+  * carries one row per (entity, day) PER TASK — bar count, not tick
+  * count. A downstream per-entity window adds its own exchange, but that
+  * one also moves bars, so total shuffle is ~2× bars. (Pre-partitioning
+  * the ticks by entity would collapse those into one exchange but ships
+  * the RAW TICK STREAM through it and defeats partial aggregation — at a
+  * 1000:1 tick:bar ratio that is ~500× more shuffled bytes.)
   */
 object Ohlc {
   def dailyBars(
@@ -20,11 +22,6 @@ object Ohlc {
       tsCol: String = "ts",
       valueCol: String = "value"): DataFrame =
     events
-      // Shuffle on the entity alone (not (entity, day)): hash-partitioning by
-      // entity still satisfies the aggregate's clustering requirement, and
-      // every downstream per-entity window (SMA, gaps, pct-change) then reuses
-      // this one exchange instead of adding its own.
-      .repartition(col(entity))
       .groupBy(col(entity), to_date(col(tsCol)).as("d"))
       .agg(
         min_by(col(valueCol), col(tsCol)).as("open"),
@@ -45,7 +42,6 @@ object Ohlc {
       tsCol: String = "ts",
       valueCol: String = "value"): DataFrame =
     events
-      .repartition(col(entity))
       .groupBy(col(entity), window(col(tsCol), resolution).as("w"))
       .agg(
         min_by(col(valueCol), col(tsCol)).as("open"),

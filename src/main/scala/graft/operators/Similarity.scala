@@ -136,24 +136,36 @@ object Similarity {
 
   /** Batched brute-force top-k: ALL queries against the corpus in ONE scan
     * — the per-query plan costs |corpus| × |queries| scans at a query batch;
-    * this costs one. The scored stream feeds the bounded-heap GroupTopK
-    * operator keyed by query id, so the shuffle carries ≤ k rows per query
-    * per task instead of the full scored cross product. Queries broadcast
-    * (a query batch is request-sized); for very large batches screen with
-    * the codegen'd double dot first and decimal-refine survivors.
+    * this costs one. Two-phase per the house rule (never an interpreted HOF
+    * in a per-pair path): the codegen'd double dot product screens every
+    * (row, query) pair, the bounded-heap GroupTopK keeps a generous
+    * candidate margin per query (4k+16 — double vs decimal cosine ordering
+    * can only differ within ~1e-12, so a true top-k member outside that
+    * margin would need dozens of pairs inside a 1e-12 band), and only the
+    * surviving candidates pay the decimal-exact cosine that defines the
+    * final ranking. Shuffle carries the candidate margin per query per
+    * task, never the scored cross product.
     */
   def topKBatch(embeddings: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      normExact(vecCol).as("qn")))
-    val scored = embeddings
-      .select(col(idCol), col(vecCol).as("v"), normExact(vecCol).as("nrm"))
+      sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("qn")))
+    val screened = embeddings
+      .select(col(idCol), col(vecCol).as("v"),
+        sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm"))
       .crossJoin(q)
       .where(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol),
-        round(dotExact("v", "qv") / nullif(col("nrm") * col("qn"), lit(0.0)), 6).as("cosine"))
+      .select(col("qid"), col(idCol), col("v"), col("qv"),
+        (graft.plans.Exprs.dot(col("v"), col("qv"))
+          / nullif(col("nrm") * col("qn"), lit(0.0))).as("__dcos"))
+    val candidates = graft.plans.GroupTopK.topKPerKey(
+      screened, Seq("qid"), Seq(col("__dcos").desc, col(idCol).asc), 4 * k + 16)
+    val refined = candidates.select(col("qid"), col(idCol),
+      round(dotExact("v", "qv")
+        / nullif(sqrt(dotExact("v", "v")) * sqrt(dotExact("qv", "qv")), lit(0.0)), 6)
+        .as("cosine"))
     graft.plans.GroupTopK.topKPerKey(
-      scored, Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k)
+      refined, Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k)
   }
 
   /** Random-hyperplane LSH signature: sign bits of dot products against
@@ -284,14 +296,12 @@ object Similarity {
         .take(nprobe).map(_._1).toSeq
     }.toMap
     val allProbed = probesOf.values.flatten.toSeq.distinct
+    // probe lists as ONE map literal (O(1) expression depth — a per-query
+    // when-chain would nest |queries| deep and blow up analysis time)
+    val probesLit = typedLit(probesOf)
     val q = broadcast(queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"), normExact(vecCol).as("qn"))
-      .withColumn("probes",
-        // literal per-query probe list rides the broadcast
-        coalesce(probesOf.foldLeft(lit(null).cast("array<int>")) {
-          case (acc, (qid, ps)) =>
-            when(col("qid") === qid, array(ps.map(lit): _*)).otherwise(acc)
-        })))
+      .withColumn("probes", element_at(probesLit, col("qid"))))
     val scored = index
       .where(col("cent_idx").isin(allProbed: _*))
       .crossJoin(q)

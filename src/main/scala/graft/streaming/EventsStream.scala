@@ -134,8 +134,10 @@ object EventsStream {
               case ms if ms >= Long.MaxValue / 1000 => Long.MaxValue
               case ms => ms * 1000
             }
-          // a fact is final once the watermark passed it: no older dim can arrive
-          val (ripe, pending) = fs.partition(_._1 <= wmUs)
+          // a fact is final once the watermark passed it STRICTLY: Spark's
+          // late filter admits rows with ts == watermark, so an equal-ts
+          // dim can still arrive while wm == fact.ts
+          val (ripe, pending) = fs.partition(f => wmUs == Long.MaxValue || f._1 < wmUs)
           val out = ripe.sortBy(f => (f._1, f._2)).map { case (t, v) =>
             AsOfOut(userId, fromMicros(t), v, lookup(ds, t))
           }

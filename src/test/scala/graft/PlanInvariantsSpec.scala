@@ -20,9 +20,17 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
-  test("the time-series family runs on a single entity exchange") {
+  test("time-series aggregates partial-combine: the shuffle moves bars, not ticks") {
     for (q <- Seq("q_ohlc_daily", "q_dollar_volume", "q_gap_on_peak")) {
-      assert(count(plan(q), "Exchange") === 1, s"$q:\n${plan(q)}")
+      val p = plan(q)
+      // partial + final aggregate pair around one exchange — no raw-tick
+      // repartition anywhere
+      assert(count(p, "Exchange") === 1, s"$q:\n$p")
+      assert(count(p, "HashAggregate") === 2, s"$q expected partial+final:\n$p")
+    }
+    // windowed derivatives add exactly one more exchange, carrying bars
+    for (q <- Seq("q_sma", "q_drawdown")) {
+      assert(count(plan(q), "Exchange") === 2, s"$q:\n${plan(q)}")
     }
   }
 
@@ -45,8 +53,11 @@ class PlanInvariantsSpec extends SparkSpec {
   test("as-of joins: union+window uses one shuffle; broadcast variant shuffles no facts") {
     assert(count(plan("q_asof_join"), "Exchange hashpartitioning") === 1, plan("q_asof_join"))
     val b = plan("q_asof_broadcast")
-    // the only hash exchange groups the (tiny) dim timelines; facts flow map-side
-    assert(count(b, "Exchange hashpartitioning") === 1, b)
+    // both hash exchanges sit on the (tiny) dim side — the (key, ts)
+    // dedupe and the timeline pack; the fact stream flows map-side into
+    // the broadcast probe
+    assert(count(b, "Exchange hashpartitioning") === 2, b)
     assert(b.contains("BroadcastExchange"), b)
+    assert(!b.contains("SortMergeJoin"), b)
   }
 }
