@@ -83,6 +83,21 @@ class SimilaritySpec extends SparkSpec {
       inline.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("topKBatch equals per-query brute-force topK for every query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.orderBy($"vec_id").limit(3)
+    val batch = Similarity.topKBatch(emb, queries, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(x => (-x._2, x._1)).toSeq).toMap
+    queries.collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val single = Similarity.topK(emb, emb.where($"vec_id" === qid), 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single, s"qid=$qid")
+    }
+  }
+
   test("ivfTopKBatch equals per-query ivfTopKIndexed for every query in the batch") {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = Similarity.seedCentroids(emb, 8)
