@@ -315,6 +315,21 @@ object SparkEntry {
 
     "q_dedup_embedding" -> ((s, dir) => Similarity.cosinePairsExact(Tables.embeddings(s, dir), 0.40)),
 
+    "q_dedup_embedding_keep" -> ((s, dir) => {
+      // embedding near-dedup end-to-end: exact cosine pairs → connected
+      // components → keep the min-id doc per cluster (+ all singletons).
+      // The oracle reproduces the clustering with a recursive-CTE
+      // transitive closure, so the component labels are hash-verified.
+      val pairs = Similarity.cosinePairsExact(Tables.embeddings(s, dir), 0.40)
+        .select("id_a", "id_b")
+      val losers = Dedup.connectedComponents(pairs)
+        .where(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      Tables.documents(s, dir)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }),
+
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.topK(emb, emb.orderBy(col("vec_id")).limit(1), 10)
@@ -731,6 +746,26 @@ object SparkEntry {
          |      / nullif(a.nrm * b.nrm, 0), 6) AS cosine
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |WHERE cosine > 0.40""".stripMargin,
+
+    "q_dedup_embedding_keep" ->
+      s"""WITH RECURSIVE n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |p AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      round((SELECT CAST(sum(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i))
+         |        / nullif(a.nrm * b.nrm, 0), 6) AS cosine
+         |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |  WHERE cosine > 0.40),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (
+         |  SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id) t
+         |  WHERE id <> comp)""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, $normSql AS qn
