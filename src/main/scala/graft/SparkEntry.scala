@@ -303,6 +303,16 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir)).select("id", "simhash")),
 
+    "q_simhash_pairs" -> ((s, dir) =>
+      // chunk-bucketed candidates + exact hamming verify (pigeonhole)
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 8)),
+
+    // k=25-char windows: an 8-char window collides on ubiquitous English
+    // fragments ("ing the "), flagging ~all pairs; 25+w−1 ≈ a 32-char
+    // shared phrase is a real containment signal
+    "q_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(Tables.documents(s, dir), minShared = 5, k = 25, w = 8)),
+
     // driver's rows-check sorts with pandas, which can't hash array cells —
     // expose the fingerprint set as scalars (count + order-sensitive hash);
     // the raw array stays in the library API (Dedup.winnowFingerprints)

@@ -255,6 +255,33 @@ object Dedup {
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("id"), graft.plans.Exprs.winnow(col(textCol), k, w).as("fps"))
 
+  /** Containment/overlap pairs from winnowing fingerprints: documents
+    * sharing ≥ `minShared` fingerprints — robust to insertion, deletion
+    * and reordering, which whole-text and shingle-set methods miss (any
+    * shared substring of ≥ k+w−1 chars contributes fingerprints). Same
+    * bucket shape as every other near-dup path: explode to (fingerprint,
+    * id), bucket on the fingerprint, pair within buckets (bounded by
+    * `maxBucketSize` against boilerplate), count shared prints per pair.
+    */
+  def winnowOverlapPairs(docs: DataFrame, minShared: Int = 3,
+                         k: Int = 8, w: Int = 4,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         maxBucketSize: Int = 10000): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, textCol, idCol)
+      .select(col("id"), explode(col("fps")).as("fp"))
+    val buckets = fps
+      .groupBy(col("fp"))
+      .agg(collect_set(col("id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+    buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   /** Per-doc SimHash fingerprints plus the 4 × 16-bit chunk keys used for
     * candidate bucketing (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
     */

@@ -38,6 +38,16 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 5L))
   }
 
+  test("winnowOverlapPairs flags shared-substring docs, not disjoint ones") {
+    val docs = Seq(
+      (1L, near1), (2L, "PREFIX " + near1 + " SUFFIX"), // containment
+      (5L, far)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, minShared = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("exact dedup groups identical texts and keeps the min id") {
     val docs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
     val out = Dedup.exact(docs).orderBy($"keep_id").collect()
