@@ -3,11 +3,12 @@ package graft
 import graft.plans.{GraftFunctions, GroupTopKStrategy, RewriteWindowTopK}
 import org.apache.spark.sql.SparkSession
 
-/** One-call enablement of every graft extension on a live session:
-  * SQL functions (graft_dot/graft_minhash/graft_simhash), the GroupTopK
-  * planner strategy, and the window-top-k rewrite rule. For sessions built
-  * from config, `spark.sql.extensions=graft.plans.GraftExtensions` does the
-  * same at construction time.
+/** One-call enablement of every graft extension on a live session: the
+  * SQL functions (graft_dot, graft_dot_int8, graft_quantize_int8,
+  * graft_minhash, graft_simhash, graft_hyperplane_lsh, graft_winnow), the
+  * GroupTopK planner strategy, and the window-top-k rewrite rule. For
+  * sessions built from config, `spark.sql.extensions=graft.plans
+  * .GraftExtensions` does the same at construction time.
   */
 object Graft {
   def enable(spark: SparkSession): Unit = {
