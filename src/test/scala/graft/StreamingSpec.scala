@@ -146,6 +146,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingAsOf holds facts at the exact watermark boundary for equal-ts dims") {
+    // Spark's late filter ADMITS rows with ts == watermark: a fact must not
+    // finalize while wm == fact.ts, because an equal-timestamp dim can
+    // still legally arrive in a later batch
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[Ev]
+    val dims = MemoryStream[Ev]
+    val out = EventsStream.streamingAsOf(facts.toDS(), dims.toDS(), delay = "10 seconds")
+    val query = out.writeStream.format("memory").queryName("asof_boundary")
+      .outputMode("append").start()
+    try {
+      facts.addData(Ev(1L, ts("2024-01-01 10:00:00"), "click", 1.0))
+      // drive BOTH input watermarks to exactly 10:00:00
+      facts.addData(Ev(99L, ts("2024-01-01 10:00:10"), "click", 0.0))
+      dims.addData(Ev(99L, ts("2024-01-01 10:00:10"), "purchase", 0.0))
+      query.processAllAvailable()
+      assert(spark.table("asof_boundary").where($"user_id" === 1L).isEmpty,
+        "fact must stay pending while wm == its timestamp")
+      // only once the watermark STRICTLY passes the fact does it finalize
+      facts.addData(Ev(99L, ts("2024-01-01 10:00:30"), "click", 0.0))
+      dims.addData(Ev(99L, ts("2024-01-01 10:00:30"), "purchase", 0.0))
+      query.processAllAvailable()
+      val r = spark.table("asof_boundary").where($"user_id" === 1L).collect()
+      assert(r.length === 1)
+      assert(r.head.isNullAt(3), r.mkString(";"))
+    } finally query.stop()
+  }
+
   test("streamingAsOf batch mirror equals the batch as-of join operator") {
     import graft.operators.AsOfJoin
     val facts = Seq(
