@@ -891,9 +891,10 @@ object SparkEntry {
         | CAST(toks AS BIGINT) AS n_tokens,
         | round(punct / nullif(chars, 0), 6) AS punct_ratio,
         | round(stops / nullif(toks, 0), 6) AS stopword_ratio,
-        | round(least(chars / 500.0, 1.0) * 0.5
-        |     + least(stops / nullif(toks, 0) * 5.0, 1.0) * 0.3
-        |     + (1.0 - least(punct / nullif(chars, 0) * 10.0, 1.0)) * 0.2, 6) AS quality
+        | CAST(round(CAST(least(chars / 500.0, 1.0) AS DECIMAL(18,12)) * 0.5
+        |     + CAST(least(stops / nullif(toks, 0) * 5.0, 1.0) AS DECIMAL(18,12)) * 0.3
+        |     + CAST(1.0 - least(punct / nullif(chars, 0) * 10.0, 1.0) AS DECIMAL(18,12)) * 0.2, 6)
+        |   AS DOUBLE) AS quality
         |FROM (SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS punct,

@@ -59,11 +59,19 @@ object TextAnalysis {
       toks.cast("long").as("n_tokens"),
       round(punct / nullif(chars, lit(0.0)), 6).as("punct_ratio"),
       round(stops / nullif(toks, lit(0.0)), 6).as("stopword_ratio"),
+      // each term is cast to decimal(18,12) BEFORE weighting: 1-ulp double
+      // divergence between engines vanishes at 12 digits, decimal × decimal
+      // and decimal + decimal are exact, and round(decimal, 6) half-up is
+      // identical everywhere. (The plain double blend hit a .5-boundary
+      // rounding tie at 1 row in 5000; decimal DIVISION would not do —
+      // DuckDB returns double for it — but multiplication stays decimal.)
       round(
-        least(chars / lit(500.0), lit(1.0)) * lit(0.5)
-          + least(stops / nullif(toks, lit(0.0)) * lit(5.0), lit(1.0)) * lit(0.3)
-          + (lit(1.0) - least(punct / nullif(chars, lit(0.0)) * lit(10.0), lit(1.0))) * lit(0.2),
-        6).as("quality"))
+        least(chars / lit(500.0), lit(1.0)).cast("decimal(18,12)") * lit(BigDecimal("0.5"))
+          + least(stops / nullif(toks, lit(0.0)) * lit(5.0), lit(1.0)).cast("decimal(18,12)")
+            * lit(BigDecimal("0.3"))
+          + (lit(1.0) - least(punct / nullif(chars, lit(0.0)) * lit(10.0), lit(1.0)))
+            .cast("decimal(18,12)") * lit(BigDecimal("0.2")),
+        6).cast("double").as("quality"))
   }
 
   /** Document fingerprint: md5 of the normalized text (lowercase, strip
