@@ -179,8 +179,18 @@ object Dedup {
     * a lineage that re-runs the candidate pipeline on any cache eviction).
     *
     * Output: (id, component) where component = min id of the connected set.
+    *
+    * Size-adaptive: min-label propagation needs O(log n) ROUNDS (the min
+    * must traverse the graph), and at local scale each round's fixed job
+    * overhead dominates. So once the pair list is materialized and counted,
+    * a graph at broadcast-table size (≤ `localSolveMaxEdges`, integral ids)
+    * is solved with driver-side union-find in one collect — the same
+    * size-based switch Spark itself makes for broadcast joins. Larger
+    * graphs (the 100 TB path: billions of candidate pairs) run the
+    * distributed rounds.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          localSolveMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
     // local checkpoints pin blocks on executors — fine in one JVM / for
     // session-lived graphs; when a checkpoint dir is configured (any real
     // cluster run over a multi-TB pair list), use reliable checkpoints so
@@ -188,38 +198,103 @@ object Dedup {
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    // the edge list is consumed every iteration — materialize it once, or
-    // the upstream candidate pipeline (shingle/minhash/LSH) re-runs per round
+    // pointer jumping: adopt the label OF the current label — the effective
+    // diameter halves every round, so a length-d chain converges in O(log d)
+    // rounds, not O(d). One self-join of the (id, component) table, which is
+    // far smaller than the edge join.
+    def jump(lab: DataFrame): DataFrame = lab.as("a")
+      .join(lab.select(col("id").as("component"), col("component").as("__cc")).as("b"),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("__cc"), col("component")).as("component"))
+    // labels only ever DECREASE (min-propagation), so the frontier is at a
+    // fixpoint iff the label sum is unchanged — one cheap aggregate over the
+    // just-checkpointed frontier instead of a join-and-count against the
+    // previous one. decimal(38,0): exact at any id range / node count.
+    def labelSum(lab: DataFrame): java.math.BigDecimal = {
+      val r = lab.agg(sum(col("component").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    // the pair list is consumed every iteration (and its lineage is usually
+    // an expensive candidate pipeline — shingle/minhash/LSH or a pair join)
+    // — materialize it once before anything else
+    val pairsM = materialize(pairs.select(col("id_a"), col("id_b")))
+    val idType = pairsM.schema("id_a").dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralIds && pairsM.count() <= localSolveMaxEdges) {
+      val spark = pairsM.sparkSession
+      val edgesLocal = pairsM
+        .select(col("id_a").cast("long"), col("id_b").cast("long")).collect()
+      // union-find with path compression; roots relabeled to the set minimum
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edgesLocal.foreach { e =>
+        val (a, b) = (e.getLong(0), e.getLong(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val minOfRoot = new java.util.HashMap[Long, Long]()
+      parent.keySet().forEach { v =>
+        val r = find(v)
+        val m = minOfRoot.getOrDefault(r, Long.MaxValue)
+        if (v < m) minOfRoot.put(r, v)
+      }
+      val labeled = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+      parent.keySet().forEach(v => labeled += ((v, minOfRoot.get(find(v)))))
+      pairsM.unpersist()
+      import spark.implicits._
+      return labeled.toSeq.toDF("id", "component")
+        .select(col("id").cast(idType).as("id"), col("component").cast(idType).as("component"))
+    }
+    // distributed rounds. Self-loops (v, v) are appended to the symmetric
+    // edge list so "min over own ∪ neighbors' labels" is ONE join + ONE
+    // aggregate per iteration — no second join (and no union, whose
+    // constraint rewriting chokes when one branch joins the other's
+    // source) against the label table itself.
     val edges = materialize(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = materialize(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id")))
-    var iter = 0
+      pairsM.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairsM.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .union(pairsM.select(col("id_a").as("src")).union(pairsM.select(col("id_b").as("src")))
+          .distinct().select(col("src").as("src"), col("src").as("dst"))))
+    pairsM.unpersist()
+    // ONE materialize action per round: the propagate plan is inlined under
+    // the jump self-join, so it evaluates twice inside that single job —
+    // for a frontier this is far cheaper than a second eager-checkpoint
+    // job per round (driver round-trips dominate iterative graph loops
+    // long before recompute does; lineage stays bounded because the round's
+    // output is checkpointed).
+    //
+    // Round 1 needs no label join at all: labels start as ids, so
+    // label(v) = min(v, min(neighbors)) is a direct aggregate over the
+    // self-looped edge list.
+    var labels = materialize(jump(
+      edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("component"))))
+    var prevSum = labelSum(labels)
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
-      val propagated = materialize(edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "__nl"), "dst")
+      val next = materialize(jump(edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "__l"), "dst")
         .groupBy(col("src").as("id"))
-        .agg(min(col("__nl")).as("__min_nbr"))
-        .join(labels, "id")
-        .select(col("id"), least(col("component"), col("__min_nbr")).as("component")))
-      // pointer jumping: also adopt the label OF the current label — the
-      // effective diameter halves every round, so a length-d chain
-      // converges in O(log d) rounds, not O(d). One extra self-join of the
-      // (id, component) table, which is far smaller than the edge join.
-      val next = materialize(propagated.as("a")
-        .join(propagated.select(col("id").as("component"), col("component").as("__cc")).as("b"),
-          Seq("component"), "left")
-        .select(col("id"), coalesce(col("__cc"), col("component")).as("component")))
-      val changes = next.join(labels.withColumnRenamed("component", "__old"), "id")
-        .where(col("component") < col("__old")).count()
-      // next is materialized (eager checkpoint) — the superseded frontier's
+        .agg(min(col("__l")).as("component"))))
+      // next is materialized (eager checkpoint) — the superseded frontiers'
       // blocks can go; only the final labels and the edge list stay pinned
       labels.unpersist()
       labels = next
-      converged = changes == 0
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     labels

@@ -20,12 +20,27 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents converges on a long chain in O(log d) rounds (pointer jumping)") {
     // a 64-node chain has diameter 63: pure min-propagation needs 63
-    // rounds and would NOT finish under maxIter = 10
+    // rounds and would NOT finish under maxIter = 10.
+    // localSolveMaxEdges = 0 forces the distributed rounds.
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(chain, maxIter = 10)
+    val comps = Dedup.connectedComponents(chain, maxIter = 10, localSolveMaxEdges = 0)
       .as[(Long, Long)].collect()
     assert(comps.length === 64)
     assert(comps.forall(_._2 === 0L), comps.filter(_._2 != 0L).take(5).mkString(";"))
+  }
+
+  test("connectedComponents local union-find and distributed rounds agree on a random graph") {
+    val rnd = new scala.util.Random(7)
+    // ~300 edges over 400 ids: a mix of chains, merged clusters, islands
+    val pairs = Seq.fill(300) {
+      val a = rnd.nextInt(400).toLong; val b = rnd.nextInt(400).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, localSolveMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
   }
 
   test("deduplicateNear keeps one doc per near-dup cluster plus all singletons") {
