@@ -263,6 +263,19 @@ object SparkEntry {
 
     "q_window_agg" -> ((s, dir) => EventsStream.windowedAgg(events(s, dir))),
 
+    "q_sessionize" -> ((s, dir) =>
+      // batch mirror of the streaming flatMapGroupsWithState sessionizer:
+      // 30-min inactivity gap closes a session
+      Sessionize.byGap(events(s, dir), gapSec = 1800)),
+
+    "q_rollup" -> ((s, dir) => Analytics.rollupDaily(events(s, dir))),
+
+    "q_histogram" -> ((s, dir) =>
+      Profile.histogram(events(s, dir), "value", 50.0, "event_type")),
+
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir), minCount = 2)),
+
     // ---- core analytics ----
     "q1_pricing_summary" -> ((s, dir) =>
       Analytics.pricingSummary(lineitemNtz(s, dir), "2000-09-02")),
@@ -697,6 +710,40 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+        |  round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_sec
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        |  CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_day
+        |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS bin_start,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token HAVING count(*) >= 2""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

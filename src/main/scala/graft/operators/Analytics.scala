@@ -64,6 +64,25 @@ object Analytics {
       .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
   }
 
+  /** Hierarchical daily/typed totals in ONE pass: ROLLUP(event_type, day)
+    * emits (type, day) details, per-type subtotals and the grand total from
+    * a single scan — the reporting shape the reference derives with separate
+    * per-sector and overall passes. Catalyst plans this as one Expand +
+    * partial-aggregated exchange: rows shuffle once carrying 3 grouping
+    * tuples each, instead of three scans.
+    */
+  def rollupDaily(events: DataFrame): DataFrame =
+    events
+      // materialized as a column first: grouping() can't see through an
+      // alias inside the rollup clause
+      .withColumn("d", to_date(col("ts")))
+      .rollup(col("event_type"), col("d"))
+      .agg(
+        count(lit(1)).as("n"),
+        exactSum(col("value")).as("total"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("d")).cast("long").as("g_day"))
+
   /** Weighted average price per group — the sector-price calculation
     * re-expressed: Σ(price × weight) / Σ(weight) (sector.py:86-112).
     */

@@ -29,4 +29,17 @@ object Profile {
     wide.select(expr(
       s"stack(${cols.size}, $stackArgs) as (col, n, non_null, n_distinct, min_v, max_v)"))
   }
+
+  /** Fixed-width histogram of `valueCol` per `keyCol` group: bin floor =
+    * floor(value / width) × width. One partial-aggregated groupBy — the
+    * shuffle moves (keys × bins) partial counts, never rows, so the cost is
+    * scan-bound at any corpus size. floor on the shared double input is
+    * bit-identical across engines, so bin membership can't straddle.
+    */
+  def histogram(df: DataFrame, valueCol: String, width: Double,
+                keyCol: String): DataFrame =
+    df
+      .groupBy(col(keyCol),
+        (floor(col(valueCol) / width) * width).cast("double").as("bin_start"))
+      .agg(count(lit(1)).as("n"))
 }

@@ -113,4 +113,19 @@ object TextAnalysis {
 
   def fingerprint(textCol: String): Column =
     md5(trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** Corpus vocabulary: token → frequency over lowercased whitespace tokens,
+    * keeping tokens seen ≥ `minCount` times — the counting pass under BPE /
+    * tokenizer training and frequency-based filtering. explode + groupBy
+    * partial-aggregates map-side, so the exchange carries per-partition
+    * (token, count) partials — bounded by vocabulary size per task, never
+    * the token stream (Zipf makes the hot tokens combine hardest).
+    */
+  def vocabulary(docs: DataFrame, textCol: String = "text",
+                 minCount: Long = 1L): DataFrame =
+    docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
 }

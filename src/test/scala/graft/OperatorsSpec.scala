@@ -158,4 +158,52 @@ class OperatorsSpec extends SparkSpec {
     assert(out(0).getDouble(1) === 16.0) // (10*2+20*3)/(2+3)
     assert(out(1).getDouble(1) === 5.0)
   }
+
+  test("Sessionize.byGap splits on inactivity and emits the trailing session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0), // same session (10 min gap)
+      (1L, ts("2024-01-01 13:00:00"), 7.0), // > 30 min → new (trailing) session
+      (2L, ts("2024-01-01 09:00:00"), 5.0)  // other key, its own session
+    ).toDF("user_id", "ts", "value")
+    val out = Sessionize.byGap(ev, gapSec = 1800)
+      .orderBy($"user_id", $"session_start").collect()
+    assert(out.length === 3)
+    assert(out(0).getLong(2) === 2L && out(0).getDouble(3) === 3.0
+      && out(0).getDouble(4) === 600.0)
+    assert(out(1).getLong(2) === 1L && out(1).getDouble(3) === 7.0
+      && out(1).getDouble(4) === 0.0)
+    assert(out(2).getLong(0) === 2L && out(2).getLong(2) === 1L)
+  }
+
+  test("Profile.histogram bins values at fixed width per key") {
+    val ev = Seq(("a", 10.0), ("a", 49.9), ("a", 50.0), ("b", -0.1))
+      .toDF("event_type", "value")
+    val out = Profile.histogram(ev, "value", 50.0, "event_type")
+      .orderBy($"event_type", $"bin_start").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ===
+      Seq(("a", 0.0, 2L), ("a", 50.0, 1L), ("b", -50.0, 1L)))
+  }
+
+  test("Analytics.rollupDaily emits details, per-type subtotals and a grand total") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (1L, ts("2024-01-02 10:00:00"), "click", 2.0),
+      (2L, ts("2024-01-01 10:00:00"), "view", 4.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = Analytics.rollupDaily(ev).collect()
+    assert(out.length === 6) // 3 details + 2 type subtotals + 1 grand total
+    val grand = out.find(r => r.getLong(4) == 1L && r.getLong(5) == 1L).get
+    assert(grand.getLong(2) === 3L && grand.getDouble(3) === 7.0)
+    val clickSub = out.find(r => r.getLong(4) == 0L && r.getLong(5) == 1L
+      && r.getString(0) == "click").get
+    assert(clickSub.getLong(2) === 2L && clickSub.getDouble(3) === 3.0)
+  }
+
+  test("TextAnalysis.vocabulary counts lowercased tokens above the floor") {
+    val docs = Seq((1L, "The cat and the dog"), (2L, "a CAT")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(docs, minCount = 2)
+      .as[(String, Long)].collect().toMap
+    assert(vocab === Map("the" -> 2L, "cat" -> 2L))
+  }
 }

@@ -61,6 +61,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("batch Sessionize.byGap agrees with the streaming sessionizer on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Ev(1L, ts("2024-01-01 10:10:00"), "click", 2.0),
+      Ev(1L, ts("2024-01-01 13:00:00"), "click", 7.0),
+      Ev(2L, ts("2024-01-01 09:00:00"), "view", 4.0),
+      Ev(2L, ts("2024-01-01 11:00:00"), "view", 5.0))
+    val input = MemoryStream[Ev]
+    val query = EventsStream.sessionize(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sess_mirror").outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      // push the watermark far enough that every session times out
+      input.addData(Ev(9L, ts("2024-01-02 00:00:00"), "x", 0.0))
+      query.processAllAvailable()
+      input.addData(Ev(9L, ts("2024-01-03 00:00:00"), "x", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("sess_mirror")
+        .select("user_id", "n_events", "total_value", "duration_sec")
+        .where($"user_id" =!= 9L)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      val batch = operators.Sessionize.byGap(
+        evs.toDF().withColumn("ts", col("ts").cast("timestamp")), gapSec = 1800)
+        .select("user_id", "n_events", "total_value", "duration_sec")
+        .where($"user_id" =!= 9L)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(streamed === batch, s"streamed $streamed vs batch $batch")
+    } finally query.stop()
+  }
+
   test("streamingBars finalizes a day's OHLCV identical to the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
