@@ -276,6 +276,28 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir), minCount = 2)),
 
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3)),
+
+    "q_char_diversity" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.charDiversity(col("text")).as("diversity"))),
+
+    "q_bigram_frac" -> ((s, dir) =>
+      TextAnalysis.topBigramFraction(Tables.documents(s, dir))),
+
+    "q_url_normalize" -> ((s, dir) => {
+      // deterministic synthetic URLs (the documents table carries no URL
+      // column): both engines build the identical string, then canonicalize
+      val url = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM:443/docs/"), (col("doc_id") % 5).cast("string"),
+        lit("/?utm_source=feed&id="), (col("doc_id") % 3).cast("string"),
+        when(col("doc_id") % 2 === 0, "#top").otherwise(""))
+      Tables.documents(s, dir).select(
+        col("doc_id"), url.as("url"),
+        TextAnalysis.canonicalizeUrl(url).as("canon_url"))
+    }),
+
     // ---- core analytics ----
     "q1_pricing_summary" -> ((s, dir) =>
       Analytics.pricingSummary(lineitemNtz(s, dir), "2000-09-02")),
@@ -744,6 +766,66 @@ object SparkEntry {
         |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         |      FROM documents)
         |GROUP BY token HAVING count(*) >= 2""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf, round(tf * ln(n / df), 6) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, score FROM (
+        |  SELECT doc_id, token, tf, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_char_diversity" ->
+      """SELECT doc_id,
+        | CAST(round(1 - CAST(sum(c*c) AS DOUBLE) / (CAST(sum(c) AS DOUBLE) * sum(c)), 6)
+        |   AS DOUBLE) AS diversity
+        |FROM (SELECT doc_id, ch, count(*) AS c
+        |      FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        |      GROUP BY doc_id, ch)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_bigram_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS max_count,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+        |FROM cnt GROUP BY doc_id""".stripMargin,
+
+    "q_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&id=' ||
+        |    CAST(doc_id % 3 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
+        |      '^www\.', ''), ':(443|80)$', '') AS host,
+        |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      x -> NOT x LIKE 'utm_%'), '&') AS cleanq
+        |  FROM u)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host || path ||
+        |  CASE WHEN cleanq = '' THEN '' ELSE '?' || cleanq END AS canon_url
+        |FROM parts""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

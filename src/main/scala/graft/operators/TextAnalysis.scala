@@ -114,6 +114,77 @@ object TextAnalysis {
   def fingerprint(textCol: String): Column =
     md5(trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " ")))
 
+  /** Character-diversity quality signal (Simpson/Gini impurity over char
+    * counts) — see graft.plans.CharDiversity for why this is the
+    * engine-exact stand-in for Shannon entropy. Scan-speed projection.
+    */
+  def charDiversity(text: Column): Column =
+    round(graft.plans.Exprs.charDiversity(text), 6)
+
+  /** URL canonicalization — the FIRST dedup pass over a web crawl is by
+    * canonical URL, before any content hashing: lowercase scheme and host,
+    * strip `www.`, drop default ports, drop tracking (`utm_*`) query
+    * params, drop the fragment, strip the trailing slash. Pure regex/array
+    * column ops; identical semantics in any regex engine in the shared
+    * subset.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(hostport, "^www\\.", ""), ":(443|80)$", "")
+    val path = regexp_replace(regexp_extract(url, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1), "/$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val cleanQuery = array_join(
+      filter(split(query, "&"), x => !x.like("utm_%")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(cleanQuery === "", lit("")).otherwise(concat(lit("?"), cleanQuery)))
+  }
+
+  /** TF-IDF top-`k` terms per document: token counts per doc (tf), document
+    * frequency per token (df), score = tf × ln(N/df), rounded BEFORE the
+    * per-doc top-k so rank ties resolve on the rounded value + token in any
+    * engine. N arrives as a broadcast one-row aggregate (no driver action);
+    * the top-k runs on the bounded-heap GroupTopK operator, so the rank
+    * stage shuffles k rows per document, not every (doc, token) score.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.agg(count(lit(1)).as("__n")))
+    val scored = tf.join(df, "token").crossJoin(n)
+      .select(col(idCol), col("token"), col("tf"),
+        round(col("tf") * log(col("__n") / col("df")), 6).as("score"))
+    graft.plans.GroupTopK.topKPerKey(
+      scored, Seq(idCol), Seq(col("score").desc, col("token").asc), k)
+  }
+
+  /** Top-bigram fraction — the Gopher-style repetition rule: the share of
+    * all word bigrams taken by the most frequent one (≈1 for templated/
+    * looping spam). Bigram explode → two partial-aggregated groupBys; the
+    * shuffles carry (doc, bigram) counts and per-doc summaries, never the
+    * token stream.
+    */
+  def topBigramFraction(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val bigrams = docs
+      .withColumn("__toks", split(trim(lower(col(textCol))), "\\s+"))
+      // single-token docs: the out-of-range element_at yields a null
+      // bigram, filtered below (DuckDB's range(1,1) is empty — same rows)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, greatest(size(__toks) - 1, 1)), " +
+          "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))")).as("bg"))
+      .where(col("bg").isNotNull)
+    bigrams
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_count"),
+        round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+          .as("top_bigram_frac"))
+  }
+
   /** Corpus vocabulary: token → frequency over lowercased whitespace tokens,
     * keeping tokens seen ≥ `minCount` times — the counting pass under BPE /
     * tokenizer training and frequency-based filtering. explode + groupBy

@@ -43,4 +43,8 @@ object Exprs {
   /** Winnowing rolling-hash fingerprint set (see [[Winnow]]). */
   def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
     GraftBridge.column(Winnow(GraftBridge.expression(text), k, w))
+
+  /** Compiled character-diversity (Gini impurity) signal (see [[CharDiversity]]). */
+  def charDiversity(text: Column): Column =
+    GraftBridge.column(CharDiversity(GraftBridge.expression(text)))
 }

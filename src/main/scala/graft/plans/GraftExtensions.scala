@@ -58,7 +58,10 @@ object GraftFunctions {
           Winnow(exprs(0), k, w)
         case other => throw new IllegalArgumentException(
           s"graft_winnow: k and w must be integer literals, got $other")
-      }))
+      }),
+    (FunctionIdentifier("graft_char_diversity"),
+      info("graft_char_diversity", "graft_char_diversity(text) - Simpson/Gini character diversity in [0, 1)"),
+      (exprs: Seq[Expression]) => CharDiversity(exprs(0))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -49,13 +49,15 @@ class ExtensionsSpec extends SparkSpec {
         |       graft_hyperplane_lsh(a, 8) AS sig,
         |       size(graft_minhash(array('ab','bc'), 16)) AS nsig,
         |       graft_simhash(array('x','y')) AS sh,
-        |       size(graft_winnow('hello world hello', 4, 3)) AS nw
+        |       size(graft_winnow('hello world hello', 4, 3)) AS nw,
+        |       graft_char_diversity('ab') AS cd
         |FROM t""".stripMargin).head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 11L) // 1*3 + 2*4
     assert(r.getLong(2) > 0L)
     assert(r.getInt(4) === 16)
     assert(r.getInt(6) > 0)
+    assert(r.getDouble(7) === 0.5)
   }
 
   test("saltedJoin equals the plain join result") {

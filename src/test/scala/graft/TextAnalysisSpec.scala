@@ -43,6 +43,52 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("charDiversity: 0 for one repeated char, 1-Σc²/n² otherwise") {
+    val out = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aab"), (4L, ""))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.charDiversity($"text").as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) === 0.0)
+    assert(out(2L) === 0.5)           // 1 - (1+1)/4
+    assert(out(3L) === 0.444444)      // 1 - (4+1)/9
+    assert(out(4L) === 0.0)
+  }
+
+  test("canonicalizeUrl lowercases scheme/host, strips www/port/utm/fragment/slash") {
+    val cases = Seq(
+      (1L, "HTTPS://WWW.Ex.COM:443/docs/1/?utm_source=x&id=2#top",
+        "https://ex.com/docs/1?id=2"),
+      (2L, "http://site.org:80/a/b/", "http://site.org/a/b"),
+      (3L, "https://plain.net/p?utm_a=1&utm_b=2", "https://plain.net/p"))
+    val out = cases.map(c => (c._1, c._2)).toDF("id", "url")
+      .select($"id", TextAnalysis.canonicalizeUrl($"url").as("c"))
+      .as[(Long, String)].collect().toMap
+    cases.foreach { case (id, _, want) => assert(out(id) === want, s"case $id") }
+  }
+
+  test("tfidfTopTerms ranks rare-but-frequent terms first, k per doc") {
+    val docs = Seq(
+      (1L, "apple apple apple common"),
+      (2L, "banana banana common"),
+      (3L, "common common cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' appears in every doc → idf 0; the doc-specific term wins
+    assert(out === Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+  }
+
+  test("topBigramFraction flags repeated bigrams") {
+    val docs = Seq(
+      (1L, "spam ham spam ham spam"), // "spam ham"×2,"ham spam"×2 of 4
+      (2L, "all words differ here now"), // every bigram unique
+      (3L, "single")).toDF("doc_id", "text")
+    val out = TextAnalysis.topBigramFraction(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((4L, 2L, 0.5)))
+    assert(out(2L) === ((4L, 1L, 0.25)))
+    assert(!out.contains(3L)) // no bigrams → no row, same as the oracle
+  }
+
   test("multimodal attachBinary: payload bytes + typed metadata struct") {
     val df = graft.operators.Multimodal.attachBinary(Tables.documents(spark, sfDir))
     assert(df.schema.fieldNames.toSeq === Seq("doc_id", "payload", "meta"))
