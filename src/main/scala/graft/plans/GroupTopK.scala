@@ -5,10 +5,12 @@ import java.util.{PriorityQueue => JPriorityQueue}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 
 /** Per-group top-k as a first-class physical operator.
   *
@@ -100,9 +102,77 @@ case class GroupTopKExec(
     k: Int,
     partial: Boolean,
     maxKeys: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = child.output
+
+  // ---- whole-stage codegen (final stage only) --------------------------
+  //
+  // The final stage is a stateful streaming pass over key-sorted input —
+  // exactly the shape whole-stage codegen fuses well: the group-change test
+  // and the ≤ k emit compile into the same loop that SortExec produces
+  // into, so rows flow sorter → group-limit → downstream with no iterator
+  // hop or row materialization in between. The hash-heap partial stage
+  // stays interpreted (a heap per key has no codegen template); it ends the
+  // child's pipeline anyway, being the stage boundary before the exchange.
+
+  /** Key types whose compare/copy templates are generated below; anything
+    * else (decimal, struct, array, …) falls back to the interpreted path.
+    */
+  private def codegenKeyType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  override def supportCodegen: Boolean =
+    !partial && keys.forall(e => codegenKeyType(e.dataType))
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    val boundKeys = BindReferences.bindReferences(keys, child.output)
+    ctx.currentVars = input
+    val keyEvals = boundKeys.map(_.genCode(ctx))
+    val seen = ctx.addMutableState(CodeGenerator.JAVA_INT, "gtkSeen")
+    val inited = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "gtkInited")
+    val prevs = boundKeys.map { e =>
+      (ctx.addMutableState(CodeGenerator.javaType(e.dataType), "gtkPrev"),
+        ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "gtkPrevNull"))
+    }
+    val same = boundKeys.zip(keyEvals).zip(prevs).map { case ((e, ev), (pv, pn)) =>
+      val eq = ctx.genEqual(e.dataType, ev.value, pv)
+      s"(($pn && ${ev.isNull}) || (!$pn && !${ev.isNull} && ($eq)))"
+    }.mkString(" && ")
+    val saves = boundKeys.zip(keyEvals).zip(prevs).map { case ((e, ev), (pv, pn)) =>
+      // UTF8String points into the sorter's reused row buffer — copy it
+      val copied = e.dataType match {
+        case StringType => s"${ev.value}.clone()"
+        case _ => ev.value
+      }
+      s"""$pn = ${ev.isNull};
+         |if (!$pn) $pv = $copied;""".stripMargin
+    }.mkString("\n")
+    val sameVar = ctx.freshName("sameGroup")
+    s"""
+       |${keyEvals.map(_.code).mkString("\n")}
+       |boolean $sameVar = $inited && ($same);
+       |if (!$sameVar) {
+       |  $inited = true;
+       |  $seen = 0;
+       |  $saves
+       |}
+       |$seen += 1;
+       |if ($seen <= $k) {
+       |  ${consume(ctx, input)}
+       |}
+     """.stripMargin
+  }
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 

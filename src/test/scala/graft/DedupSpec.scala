@@ -43,6 +43,23 @@ class DedupSpec extends SparkSpec {
     assert(local === dist)
   }
 
+  test("connectedComponentsStar agrees with label propagation on chains and random graphs") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainComps = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect()
+    assert(chainComps.length === 41 && chainComps.forall(_._2 === 0L))
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(250) {
+      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+  }
+
   test("deduplicateNear keeps one doc per near-dup cluster plus all singletons") {
     val docs = Seq(
       (1L, near1), (2L, near2), // near-dups of each other → keep 1

@@ -45,6 +45,48 @@ class GroupTopKSpec extends SparkSpec {
     assert(plan.indexOf("GroupTopK") < plan.indexOf("Exchange"), plan)
   }
 
+  test("final stage fuses into whole-stage codegen (no silent fallback)") {
+    // fallback=false turns a Janino compile error into a test failure
+    // instead of a silent interpreted run
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+        ("b", 4L, 5.0), (null.asInstanceOf[String], 5L, 9.0), (null.asInstanceOf[String], 6L, 7.0))
+        .toDF("k", "id", "v")
+      val top = GroupTopK.topKPerKey(df, Seq("k"), Seq($"v".desc, $"id".asc), 1)
+      // null keys form their own group; execution runs the generated code.
+      // collect() on `top` ITSELF: a derived select would execute its own
+      // query, leaving this one's adaptive plan unfinalized
+      val got = top.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === Set(("a", 2L), ("b", 4L), (null, 5L)))
+      // AQE finalizes (and codegen-collapses) the plan only on execution;
+      // the `*(n)` star prefix marks operators fused into WholeStageCodegen
+      // (query-stage wrappers are leaf nodes, so string-match the tree)
+      val plan = top.queryExecution.executedPlan.toString()
+      assert("""\*\(\d+\) GroupTopK""".r.findFirstIn(plan).isDefined,
+        s"final GroupTopK not inside WholeStageCodegen:\n$plan")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
+  test("codegen and interpreted finals agree on string keys and real data") {
+    val orders = Tables.orders(spark, sfDir)
+    // string key exercises the UTF8String copy in the generated group test
+    val byPriority = GroupTopK.topKPerKey(
+      orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Seq("o_orderpriority"), Seq($"o_totalprice".desc, $"o_orderkey".asc), 5)
+      .select("o_orderpriority", "o_orderkey").as[(String, Long)].collect().toSet
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val viaWindow = orders.withColumn("rn", row_number().over(w)).where($"rn" <= 5)
+      .select("o_orderpriority", "o_orderkey").as[(String, Long)].collect().toSet
+    assert(byPriority === viaWindow && byPriority.nonEmpty)
+  }
+
   test("bounded key map: pass-through overflow keeps results exact at high cardinality") {
     // 500 distinct keys but only 8 tracked per map task: most rows pass
     // through unreduced and the sorted final must still be exact
