@@ -223,6 +223,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "q_incremental_bars" -> ((s, dir) => {
+      // incremental refresh through the mergeable-bar algebra: bars from the
+      // persisted history and from the new ingest batch merge WITHOUT
+      // re-touching old ticks; oracle = full recompute (they must agree)
+      val ev = events(s, dir)
+      val persisted = Ohlc.mergeableBars(ev.where(col("ts") < tsNtz("2024-01-20")))
+      val fresh = Ohlc.mergeableBars(ev.where(col("ts") >= tsNtz("2024-01-20")))
+      Ohlc.mergeBars(persisted.union(fresh))
+        .select("user_id", "d", "open", "high", "low", "close", "volume")
+    }),
+
+    "q_stream_topk" -> ((s, dir) =>
+      // per-hour most-active entities through the streaming top-k operator's
+      // batch mirror (same code path StreamingSpec drives with MemoryStreams)
+      EventsStream.streamingTopEntities(
+        events(s, dir).withColumn("ts", col("ts").cast("timestamp")), 5).toDF()
+        .select(col("wstart").cast("timestamp_ntz").as("wstart"), col("user_id"), col("n"))),
+
+    "q_hll_merge" -> ((s, dir) =>
+      // mergeable distinct-count sketches: one HLL per (type, day) partition,
+      // unioned per type — the persisted-summary pattern that answers
+      // "distinct over any date range" without rescanning raw events.
+      // Sketch estimates are engine-specific → rows-only check.
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        .groupBy(col("event_type"))
+        .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as long)")
+          .as("approx_users"))),
+
     "q_market_day" -> ((s, dir) =>
       events(s, dir)
         .select(to_date(col("ts")).as("d")).distinct()
@@ -547,6 +577,20 @@ object SparkEntry {
         |  last_value(b.close IGNORE NULLS)
         |    OVER (PARTITION BY s.user_id ORDER BY s.d) AS close
         |FROM spine s LEFT JOIN bars b ON s.user_id = b.user_id AND s.d = b.d""".stripMargin,
+
+    "q_incremental_bars" ->
+      """SELECT user_id, CAST(ts AS DATE) AS d,
+        | arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        | arg_max(value, ts) AS close, count(*) AS volume
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_topk" ->
+      """SELECT wstart, user_id, n FROM (
+        |  SELECT wstart, user_id, n,
+        |         row_number() OVER (PARTITION BY wstart ORDER BY n DESC, user_id) AS rn
+        |  FROM (SELECT date_trunc('hour', ts) AS wstart, user_id, count(*) AS n
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rn <= 5""".stripMargin,
 
     "q_incremental_shuffled" ->
       """SELECT i.event_id, i.user_id, i.ts FROM events i

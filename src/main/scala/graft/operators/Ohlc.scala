@@ -52,6 +52,47 @@ object Ohlc {
       .select(col(entity), col("w.start").as("bucket"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
 
+  /** Bars as a MERGEABLE summary: the daily aggregate plus the open/close
+    * event times that witness it. With the witnesses kept, two partial bars
+    * for the same (entity, day) combine associatively — min_by on
+    * (open, open_ts), max_by on (close, close_ts), min/max/sum on the rest
+    * — so yesterday's persisted bar table and today's ingest batch merge
+    * with [[mergeBars]] instead of re-scanning the full tick history. At
+    * 100 TB this is the difference between an incremental refresh touching
+    * one day of ticks and a recompute touching all of them.
+    */
+  def mergeableBars(
+      events: DataFrame,
+      entity: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(col(entity), to_date(col(tsCol)).as("d"))
+      .agg(
+        min_by(col(valueCol), col(tsCol)).as("open"),
+        min(col(tsCol)).as("open_ts"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), col(tsCol)).as("close"),
+        max(col(tsCol)).as("close_ts"),
+        count(lit(1)).as("volume"))
+
+  /** Merge any union of [[mergeableBars]] frames (persisted table + new
+    * batches): one partial-aggregated groupBy over BAR-count rows — the
+    * tick stream never reappears. The result is again mergeable.
+    */
+  def mergeBars(parts: DataFrame, entity: String = "user_id"): DataFrame =
+    parts
+      .groupBy(col(entity), col("d"))
+      .agg(
+        min_by(col("open"), col("open_ts")).as("open"),
+        min(col("open_ts")).as("open_ts"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("close_ts")).as("close"),
+        max(col("close_ts")).as("close_ts"),
+        sum(col("volume")).as("volume"))
+
   /** Gap-fill over a continuous per-entity date spine with
     * last-observation-carried-forward — the reference's continuous date
     * axis (sectors.py:207-221 _add_date_range) as a data operator: each

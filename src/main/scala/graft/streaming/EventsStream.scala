@@ -159,6 +159,47 @@ object EventsStream {
         })
   }
 
+  case class WinCount(wstart: Timestamp, wend: Timestamp, user_id: Long, n: Long)
+  case class TopKBuf(items: Seq[(Long, Long)]) // (n, user_id), bounded at k
+  case class TopOut(wstart: Timestamp, user_id: Long, n: Long)
+
+  /** Continuous per-window top-k — "most active entities each hour",
+    * emitted once per finalized window: a watermarked windowed count
+    * (stateful op #1) feeds a per-window top-k selection
+    * (flatMapGroupsWithState, stateful op #2). The second stage needs NO
+    * state and no timeout: an append-mode window aggregate finalizes a
+    * window WHOLESALE — the batch in which the watermark first passes the
+    * window end evicts every (window, entity) count at once — so each
+    * group call sees its window's complete count set and can rank
+    * immediately. The selection therefore only ever touches finalized
+    * counts (bounded by entities per window), never the raw stream. Ties
+    * resolve (count desc, entity asc): deterministic, batch-mirrorable —
+    * on a batch frame the same code ranks in one pass (the oracle shape
+    * for `q_stream_topk`).
+    */
+  def streamingTopEntities(events: DataFrame, k: Int): Dataset[TopOut] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", "1 hour") else events
+    val counts = src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("w.end").as("wend"),
+        col("user_id"), col("n"))
+      .as[WinCount]
+
+    def better(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    counts
+      .groupByKey(_.wstart)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (wstart: Timestamp, rows: Iterator[WinCount], state: GroupState[TopKBuf]) => {
+          val top = rows.map(r => (r.n, r.user_id)).toSeq.sortWith(better).take(k)
+          top.iterator.map { case (n, u) => TopOut(wstart, u, n) }
+        })
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class SessionState(nEvents: Long, total: Double, startMs: Long, lastMs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double, duration_sec: Double)

@@ -159,6 +159,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getDouble(1) === 5.0)
   }
 
+  test("mergeable bars: any split of the tick stream merges to the full recompute") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val full = Ohlc.dailyBars(ev)
+      .select("user_id", "d", "open", "high", "low", "close", "volume")
+      .collect().map(_.toSeq).toSet
+    // three arbitrary slices (by event id mod) — not even time-contiguous
+    val parts = (0 to 2).map(i => Ohlc.mergeableBars(ev.where($"event_id" % 3 === i)))
+    val merged = Ohlc.mergeBars(parts.reduce(_ union _))
+      .select("user_id", "d", "open", "high", "low", "close", "volume")
+      .collect().map(_.toSeq).toSet
+    assert(merged === full)
+  }
+
+  test("HLL sketch per-day union estimates within 5% of exact distinct") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val est = ev.groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .groupBy($"event_type")
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as long)").as("est"))
+      .as[(String, Long)].collect().toMap
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n")).as[(String, Long)].collect().toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(est(t) - n) <= math.max(1L, (n * 0.05).toLong), s"$t: est ${est(t)} vs $n")
+    }
+  }
+
   test("Sessionize.byGap splits on inactivity and emits the trailing session") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1.0),

@@ -61,6 +61,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingTopEntities emits each finalized window's top-k once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventsStream.streamingTopEntities(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")), k = 2)
+    val query = out.writeStream.format("memory").queryName("top_ent")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:05:00"), "c", 1.0),
+        Ev(1L, ts("2024-01-01 10:10:00"), "c", 1.0),
+        Ev(1L, ts("2024-01-01 10:15:00"), "c", 1.0),
+        Ev(2L, ts("2024-01-01 10:20:00"), "c", 1.0),
+        Ev(2L, ts("2024-01-01 10:25:00"), "c", 1.0),
+        Ev(3L, ts("2024-01-01 10:30:00"), "c", 1.0))
+      query.processAllAvailable()
+      // advance the watermark well past 11:00 so the 10:00 window finalizes
+      // through both stateful stages
+      input.addData(Ev(9L, ts("2024-01-01 14:00:00"), "c", 1.0))
+      query.processAllAvailable()
+      input.addData(Ev(9L, ts("2024-01-01 18:00:00"), "c", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("top_ent")
+        .where($"wstart" === ts("2024-01-01 10:00:00"))
+        .select("user_id", "n").as[(Long, Long)].collect().toSet
+      assert(rows === Set((1L, 3L), (2L, 2L)),
+        spark.table("top_ent").collect().mkString(";"))
+    } finally query.stop()
+  }
+
   test("batch Sessionize.byGap agrees with the streaming sessionizer on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
