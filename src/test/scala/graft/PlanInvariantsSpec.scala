@@ -60,4 +60,40 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(b.contains("BroadcastExchange"), b)
     assert(!b.contains("SortMergeJoin"), b)
   }
+
+  test("sessionize: session window + session groupBy share ONE exchange") {
+    val p = plan("q_sessionize")
+    assert(count(p, "Exchange") === 1, p)
+  }
+
+  test("rollup is one Expand over one exchange, not three scans") {
+    val p = plan("q_rollup")
+    assert(count(p, "Expand") === 1, p)
+    assert(count(p, "Exchange") === 1, p)
+    assert(count(p, "Scan |FileScan") <= 1, p)
+  }
+
+  test("histogram and vocabulary shuffle partial aggregates, not rows") {
+    for (q <- Seq("q_histogram", "q_vocab")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") === 1, s"$q:\n$p")
+      assert(count(p, "HashAggregate") === 2, s"$q expected partial+final:\n$p")
+    }
+  }
+
+  test("tfidf ranks through GroupTopK with broadcast corpus count") {
+    val p = plan("q_tfidf")
+    assert(p.contains("GroupTopK"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastExchange"), p) // the one-row N
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("incremental bar merge aggregates bars — the tick scans partial-combine first") {
+    val p = plan("q_incremental_bars")
+    // two mergeableBars partial+final pairs plus the merge's pair: every
+    // aggregate partial-combines map-side, and no raw-tick repartition
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "HashAggregate") === 6, p)
+  }
 }
