@@ -365,6 +365,16 @@ object SparkEntry {
       Dedup.deduplicateNear(Tables.documents(s, dir), 0.4)
         .select("doc_id", "lang", "source", "n_chars")),
 
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing any 8-gram with the
+      // (deterministically chosen) benchmark slice are removed
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0))
+        .select("doc_id", "lang", "source")
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir)).select("id", "simhash")),
 
@@ -916,6 +926,21 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+
+    "q_decontaminate" ->
+      // t[i:i+7] slices clamp on short lists, matching the compiled
+      // kernel's short-gram behavior for docs under 8 tokens
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 6, 2)),
+        |                        i -> array_to_string(t[i:i+7], ' '))) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |dirty AS (SELECT DISTINCT doc_id FROM grams
+        |          WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench))
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
 
     "q_dedup_keep" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -386,6 +386,27 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination — remove training documents that share any
+    * word `n`-gram with an evaluation/benchmark set, the standard guard
+    * against test-set leakage into a training corpus. The benchmark's
+    * distinct n-gram set is eval-suite-sized (≪ corpus), so the membership
+    * join broadcasts it; the corpus side is a map-side compiled n-gram
+    * explode (graft.plans.WordNgrams) → semi-join → anti-join on doc ids —
+    * wide document rows shuffle at most once, the gram stream never does.
+    * Returns the KEPT (clean) corpus rows.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("__gid"), tokens(textCol).as("__toks"))
+      .select(col("__gid"), explode(ngramsOfTokens("__toks", n)).as("g"))
+    val benchGrams = grams(benchmark).select(col("g")).distinct()
+    val contaminated = grams(corpus)
+      .join(broadcast(benchGrams), "g")
+      .select(col("__gid").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash fingerprint over whitespace tokens — one compiled
     * vote-and-assemble pass per row (graft.plans.SimHash64).
     */

@@ -87,8 +87,18 @@ object Similarity {
     * When approximate recall is acceptable, `cosinePairsBucketed` below is
     * the sub-quadratic path; this one is for when the answer must be exact.
     */
-  def cosinePairsExact(embeddings: DataFrame, threshold: Double, blocks: Int = 16,
+  /** `blocks` ≤ 0 picks the grid from cluster parallelism: cell count
+    * b(b+1)/2 ≈ 2× default parallelism balances the fixed quadratic work
+    * evenly (1-Bucket-Theta guidance) while keeping the replication factor
+    * (each row ships to b+1 cells) as low as that allows — the knob scales
+    * itself from local[32] to a 1000-executor cluster.
+    */
+  def cosinePairsExact(embeddings: DataFrame, threshold: Double, blocks: Int = 0,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b =
+      if (blocks > 0) blocks
+      else math.max(4, math.ceil(math.sqrt(
+        4.0 * embeddings.sparkSession.sparkContext.defaultParallelism)).toInt)
     // everything feeding the grid is COMPILED per-row work (Int8Quantize,
     // ArrayDotProduct): these projections re-evaluate after the explode, so
     // an interpreted HOF here would multiply by the replication factor.
@@ -101,9 +111,9 @@ object Similarity {
         graft.plans.Exprs.quantizeInt8(col(vecCol)).as("q"))
       .select(col("id"), col("nrm"), col("q.qscale").as("qscale"),
         col("q.codes").as("codes"), col("q.s1").as("s1"))
-      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(b)).cast("int"))
     val sideA = lite
-      .withColumn("gj", explode(expr(s"sequence(blk, ${blocks - 1})")))
+      .withColumn("gj", explode(expr(s"sequence(blk, ${b - 1})")))
       .select(col("blk").as("gi"), col("gj"), col("id").as("ia"), col("nrm").as("na"),
         col("qscale").as("sa"), col("codes").as("ca"), col("s1").as("s1a"))
     val sideB = lite

@@ -70,6 +70,18 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 5L))
   }
 
+  test("decontaminate removes corpus docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"), // leaked
+      (2L, "completely unrelated text with none of those benchmark words here"),
+      (3L, "alpha beta gamma only shares a short fragment not eight grams")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("winnowOverlapPairs flags shared-substring docs, not disjoint ones") {
     val docs = Seq(
       (1L, near1), (2L, "PREFIX " + near1 + " SUFFIX"), // containment

@@ -205,6 +205,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).getLong(0) === 2L && out(2).getLong(2) === 1L)
   }
 
+  test("Sessionize.byGap agrees with Spark's built-in session_window aggregate") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val builtin = ev
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(28,6)")).cast("double").as("total_value"))
+      .select($"user_id", $"sw.start".as("session_start"), $"n_events", $"total_value")
+      .collect().map(_.toSeq).toSet
+    val ours = Sessionize.byGap(ev, gapSec = 1800)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(ours === builtin)
+  }
+
   test("Profile.histogram bins values at fixed width per key") {
     val ev = Seq(("a", 10.0), ("a", 49.9), ("a", 50.0), ("b", -0.1))
       .toDF("event_type", "value")

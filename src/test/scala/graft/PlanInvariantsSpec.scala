@@ -89,6 +89,20 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("projections prune the parquet scan to the referenced columns") {
+    // a 2-column query must read 2 columns, not the table
+    val p = plan("q_latest_date")
+    val read = "ReadSchema: [^\\n]+".r.findFirstIn(p).getOrElse(fail(p))
+    assert(read.contains("user_id") && read.contains("ts"), read)
+    assert(!read.contains("props") && !read.contains("event_type"), read)
+  }
+
+  test("filters push down to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(p).getOrElse(fail(p))
+    assert(pushed.contains("l_shipdate"), pushed)
+  }
+
   test("incremental bar merge aggregates bars — the tick scans partial-combine first") {
     val p = plan("q_incremental_bars")
     // two mergeableBars partial+final pairs plus the merge's pair: every

@@ -149,6 +149,16 @@ class SimilaritySpec extends SparkSpec {
     assert(toyBlocked === toyBrute)
   }
 
+  test("cosinePairsExact: parallelism-derived auto grid equals an explicit grid") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val auto = Similarity.cosinePairsExact(emb, 0.35)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val fixed = Similarity.cosinePairsExact(emb, 0.35, blocks = 3)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(auto === fixed)
+    assert(auto.nonEmpty)
+  }
+
   test("bucketed LSH pairs are a subset of brute force at the same threshold") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.cosinePairs(emb, 0.2)
