@@ -511,6 +511,12 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
 
+    "q_pack_sequences" -> ((s, dir) =>
+      // pre-training sequence packing: 2048-token budget along doc_id order
+      // (distributed two-level prefix sum; small chunkSize so sf0.01 still
+      // exercises the multi-chunk path)
+      Packing.packSequences(Tables.documents(s, dir), budget = 2048, chunkSize = 64)),
+
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
 
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -1070,6 +1076,18 @@ object SparkEntry {
         |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |pre AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, prefix // 2048 AS seq_id, prefix % 2048 AS seq_offset
+        |FROM pre""".stripMargin,
 
     "q_lang_id" ->
       """SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,

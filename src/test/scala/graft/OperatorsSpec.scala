@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
@@ -242,6 +243,33 @@ class OperatorsSpec extends SparkSpec {
     val clickSub = out.find(r => r.getLong(4) == 0L && r.getLong(5) == 1L
       && r.getString(0) == "click").get
     assert(clickSub.getLong(2) === 2L && clickSub.getDouble(3) === 3.0)
+  }
+
+  test("Packing.prefixSum equals the single-partition global window, any chunk size") {
+    val df = (1L to 500L).map(i => (i * 7 % 1000, (i % 13) + 1)).distinct
+      .toDF("ord", "v")
+    val w = Window.orderBy($"ord").rowsBetween(Window.unboundedPreceding, -1)
+    val global = df.withColumn("prefix", coalesce(sum($"v").over(w), lit(0L)))
+      .select("ord", "prefix").as[(Long, Long)].collect().toSet
+    for (chunk <- Seq(1L, 16L, 1L << 20)) {
+      val two = Packing.prefixSum(df, "ord", "v", chunkSize = chunk)
+        .select("ord", "prefix").as[(Long, Long)].collect().toSet
+      assert(two === global, s"chunkSize=$chunk")
+    }
+  }
+
+  test("packSequences: offsets stay under budget and sequences cover the stream") {
+    val docs = Tables.documents(spark, sfDir)
+    val packed = Packing.packSequences(docs, budget = 512, chunkSize = 32).collect()
+    assert(packed.length === docs.count())
+    packed.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) < 512) // seq_offset ∈ [0, budget)
+    }
+    // token positions tile contiguously: total tokens == max(prefix)+last len
+    val totalToks = packed.map(_.getLong(1)).sum
+    val maxStart = packed.map(r => r.getLong(2) * 512 + r.getLong(3)).max
+    val lastLen = packed.find(r => r.getLong(2) * 512 + r.getLong(3) == maxStart).get.getLong(1)
+    assert(maxStart + lastLen === totalToks)
   }
 
   test("TextAnalysis.vocabulary counts lowercased tokens above the floor") {
