@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGe
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 
 /** Per-group top-k as a first-class physical operator.
@@ -106,6 +107,16 @@ case class GroupTopKExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // Spark-UI observability, the part of a custom operator that pays off in
+  // production triage: output rows per stage, plus how often the partial's
+  // bounded key map overflowed (high passThrough = raise maxKeysPerTask or
+  // pre-partition — the operator stays correct either way, but the shuffle
+  // carries unreduced rows)
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "passThroughRows" ->
+      SQLMetrics.createMetric(sparkContext, "rows passed through on key-map overflow"))
+
   // ---- whole-stage codegen (final stage only) --------------------------
   //
   // The final stage is a stateful streaming pass over key-sorted input —
@@ -139,6 +150,7 @@ case class GroupTopKExec(
     val boundKeys = BindReferences.bindReferences(keys, child.output)
     ctx.currentVars = input
     val keyEvals = boundKeys.map(_.genCode(ctx))
+    val numOut = metricTerm(ctx, "numOutputRows")
     val seen = ctx.addMutableState(CodeGenerator.JAVA_INT, "gtkSeen")
     val inited = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "gtkInited")
     val prevs = boundKeys.map { e =>
@@ -169,6 +181,7 @@ case class GroupTopKExec(
        |}
        |$seen += 1;
        |if ($seen <= $k) {
+       |  $numOut.add(1);
        |  ${consume(ctx, input)}
        |}
      """.stripMargin
@@ -193,6 +206,8 @@ case class GroupTopKExec(
     val limit = k
     val maxTracked = maxKeys
     val childOutput = child.output
+    val numOutputRows = longMetric("numOutputRows")
+    val passThroughRows = longMetric("passThroughRows")
     if (partial) {
       child.execute().mapPartitions { it =>
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -250,8 +265,11 @@ case class GroupTopKExec(
 
           override def next(): InternalRow = {
             if (!hasNext) throw new NoSuchElementException
-            if (passThrough != null) { val r = passThrough; passThrough = null; r }
-            else flush.next()
+            numOutputRows += 1
+            if (passThrough != null) {
+              passThroughRows += 1
+              val r = passThrough; passThrough = null; r
+            } else flush.next()
           }
         }
       }
@@ -273,7 +291,8 @@ case class GroupTopKExec(
             seen = 0
           }
           seen += 1
-          if (seen <= limit) Iterator.single(uRow) else Iterator.empty
+          if (seen <= limit) { numOutputRows += 1; Iterator.single(uRow) }
+          else Iterator.empty
         }
       }
     }

@@ -87,6 +87,30 @@ class GroupTopKSpec extends SparkSpec {
     assert(byPriority === viaWindow && byPriority.nonEmpty)
   }
 
+  test("SQL metrics: output rows on both stages, pass-through counted on overflow") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = (1 to 2000).map(i => (i % 200, i.toLong, (i % 7).toDouble))
+      .toDF("k", "id", "v").repartition(4)
+    val top = GroupTopK.topKPerKey(df, Seq("k"), Seq($"v".desc, $"id".asc), 2,
+      maxKeysPerTask = 4)
+    top.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val gtk = flatten(top.queryExecution.executedPlan)
+      .collect { case g: graft.plans.GroupTopKExec => g }
+    assert(gtk.size === 2, top.queryExecution.executedPlan)
+    val partial = gtk.find(_.partial).get
+    val fin = gtk.find(!_.partial).get
+    // 4-key map over 200 keys per task must have passed rows through
+    assert(partial.metrics("passThroughRows").value > 0)
+    assert(fin.metrics("numOutputRows").value === 400) // 200 keys × k=2
+    assert(partial.metrics("numOutputRows").value >= 400)
+  }
+
   test("bounded key map: pass-through overflow keeps results exact at high cardinality") {
     // 500 distinct keys but only 8 tracked per map task: most rows pass
     // through unreduced and the sorted final must still be exact
