@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -66,19 +66,45 @@ class QuoteFeedTable(tickers: Seq[String], days: Int) extends Table with Support
 }
 
 class QuoteScanBuilder(tickers: Seq[String], days: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = QuoteFeed.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Ticker equality/membership predicates prune INPUT PARTITIONS — a
+    * `WHERE ticker = 'x'` over a 500-ticker feed plans one partition and
+    * makes one upstream call, instead of 500 calls filtered afterwards.
+    * Accepted filters are fully handled here (no residual re-evaluation);
+    * everything else stays with Spark.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case EqualTo("ticker", _: String) => true
+      case In("ticker", _) => true
+      case _ => false
+    }
+    pushed = supported
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-quotes tickers=${tickers.size} days=$days cols=${required.fieldNames.mkString(",")}"
-    override def planInputPartitions(): Array[InputPartition] =
-      tickers.map(t => QuotePartition(t, days, required.fieldNames): InputPartition).toArray
+      s"graft-quotes tickers=${tickers.size} days=$days " +
+        s"cols=${required.fieldNames.mkString(",")} pushed=[${pushed.mkString(",")}]"
+    override def planInputPartitions(): Array[InputPartition] = {
+      val keep = tickers.filter(t => pushed.forall {
+        case EqualTo("ticker", v) => t == v
+        case In("ticker", vs) => vs.exists(_ == t)
+        case _ => true
+      })
+      keep.map(t => QuotePartition(t, days, required.fieldNames): InputPartition).toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {
         override def createReader(partition: InputPartition): PartitionReader[InternalRow] =

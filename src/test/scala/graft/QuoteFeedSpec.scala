@@ -32,6 +32,19 @@ class QuoteFeedSpec extends SparkSpec {
     assert(scan.contains("cols=ticker,close"), scan)
   }
 
+  test("DSv2 quote feed: ticker filters prune input partitions at the source") {
+    val one = feed.where($"ticker" === "msft")
+    assert(one.rdd.getNumPartitions === 1, "EqualTo should plan exactly one partition")
+    assert(one.select("ticker").distinct().collect().map(_.getString(0)).toSeq === Seq("msft"))
+    assert(one.queryExecution.executedPlan.toString().contains("pushed=[EqualTo(ticker,msft)"))
+    val two = feed.where($"ticker".isin("aapl", "xom"))
+    assert(two.rdd.getNumPartitions === 2, "In should plan one partition per member")
+    assert(two.count() === 40) // 2 tickers × 20 days
+    // values identical to the unfiltered read — pruning must not change rows
+    val full = feed.where($"ticker" === "msft").collect().map(_.toSeq).toSet
+    assert(full === one.collect().map(_.toSeq).toSet)
+  }
+
   test("quote feed composes with the stock operators (SMA over the feed)") {
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"ticker").orderBy($"day")
     val sma = feed.select($"ticker", $"day", $"close",
