@@ -159,6 +159,25 @@ object EventsStream {
         })
   }
 
+  /** Sessionization through the built-in session window — the declarative
+    * sibling of [[sessionize]] (custom state) and operators.Sessionize
+    * (batch windows): `session_window(ts, gap)` merges events whose gaps
+    * stay under `gapSec`, state expires with the watermark, and the SAME
+    * expression aggregates a batch frame. Prefer this when per-session
+    * output is a plain aggregate; drop to [[sessionize]] when the session
+    * logic needs imperative state (mid-session emission, custom close
+    * conditions).
+    */
+  def sessionizeWindowed(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "10 seconds") else events
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("total_value"))
+  }
+
   case class WinCount(wstart: Timestamp, wend: Timestamp, user_id: Long, n: Long)
   case class TopKBuf(items: Seq[(Long, Long)]) // (n, user_id), bounded at k
   case class TopOut(wstart: Timestamp, user_id: Long, n: Long)

@@ -1,0 +1,37 @@
+package graft
+
+/** The bit-stability claim, asserted: because every float aggregation
+  * accumulates in decimal (Fns.exactSum / dotExact) and every division is
+  * guarded and rounded identically, results must be IDENTICAL — not merely
+  * close — under any shuffle-partition count. A distributed double sum
+  * would fail this (merge order changes the low bits, and a rounded 6th
+  * decimal eventually flips); these queries must not.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val sensitive = Seq(
+    "q1_pricing_summary", // 8 decimal-accumulated aggregates
+    "q_weighted_price",   // sum-product ratio
+    "q_zscore",           // variance from exact sums
+    "q_sector_price",     // as-of + ratio chain
+    "q_quality_score",    // decimal-blended score
+    "q_dedup_embedding",  // decimal-exact cosine over the pair grid
+    "q_pack_sequences")   // two-level prefix sum
+
+  test("sensitive queries return identical rows at 3 vs 32 shuffle partitions") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(parts: String): Map[String, Set[Seq[Any]]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try sensitive.map { q =>
+        q -> SparkEntry.queries(q)(spark, sfDir).collect().map(_.toSeq).toSet
+      }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val at3 = run("3")
+    val at32 = run("32")
+    sensitive.foreach { q =>
+      assert(at3(q) === at32(q), s"$q differs across partition counts")
+      assert(at3(q).nonEmpty, s"$q returned nothing")
+    }
+  }
+}

@@ -61,6 +61,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizeWindowed (built-in session_window) finalizes sessions like byGap") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1L, ts("2024-01-01 10:00:00"), "c", 1.0),
+      Ev(1L, ts("2024-01-01 10:10:00"), "c", 2.0),
+      Ev(1L, ts("2024-01-01 13:00:00"), "c", 7.0))
+    val input = MemoryStream[Ev]
+    val query = EventsStream.sessionizeWindowed(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.format("memory").queryName("sess_win").outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      input.addData(Ev(9L, ts("2024-01-02 00:00:00"), "x", 0.0))
+      query.processAllAvailable()
+      input.addData(Ev(9L, ts("2024-01-03 00:00:00"), "x", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("sess_win")
+        .where($"user_id" === 1L)
+        .select("user_id", "session_start", "n_events", "total_value")
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+      val batch = operators.Sessionize.byGap(
+        evs.toDF().withColumn("ts", col("ts").cast("timestamp")))
+        .select("user_id", "session_start", "n_events", "total_value")
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+      assert(streamed === batch, s"streamed $streamed vs batch $batch")
+    } finally query.stop()
+  }
+
   test("streamingTopEntities emits each finalized window's top-k once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
