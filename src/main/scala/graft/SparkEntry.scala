@@ -492,6 +492,11 @@ object SparkEntry {
       Sampling.deterministicSample(Tables.documents(s, dir), "doc_id", 0.125)
         .select("doc_id", "lang", "source")),
 
+    "q_stratified_sample" -> ((s, dir) =>
+      // exactly 20 docs per language, hash-ordered (eval-set construction)
+      Sampling.stratifiedExact(Tables.documents(s, dir), "lang", "doc_id", 20)
+        .select("doc_id", "lang")),
+
     "q_corpus_mix" -> ((s, dir) =>
       Sampling.mixCorpora(Tables.documents(s, dir), "lang", "doc_id",
         Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.5))
@@ -1052,6 +1057,14 @@ object SparkEntry {
     "q_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin,
 
     "q_corpus_mix" ->
       """SELECT doc_id, lang FROM documents

@@ -57,6 +57,23 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** EXACT-size stratified sample: precisely `k` rows per stratum (fewer
+    * only when the stratum is smaller), chosen deterministically by hash
+    * order — rate-based sampling (`mixCorpora`) gives binomial-sized
+    * strata, but eval-set construction and per-source quotas need exact
+    * counts. Selection order is md5(id): engine-reproducible (any engine
+    * can rank the same), unbiased by the id sequence, and stable across
+    * corpus versions for the rows that persist. Runs on the bounded-heap
+    * GroupTopK, so the shuffle carries k rows per stratum per task —
+    * equivalent to (but never paying) the window-sort formulation.
+    */
+  def stratifiedExact(df: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame =
+    graft.plans.GroupTopK.topKPerKey(
+      df.withColumn("__rank_hash", md5(col(idCol).cast("string"))),
+      Seq(stratumCol),
+      Seq(col("__rank_hash").asc, col(idCol).asc), k)
+      .drop("__rank_hash")
+
   /** Corpus mixing: per-stratum sampling rates (e.g. upweight rare
     * languages, downweight boilerplate sources) in ONE scan — the standard
     * training-mixture op. Strata absent from `fractions` are dropped.

@@ -54,4 +54,24 @@ class SamplingSpec extends SparkSpec {
     assert(langs === Set("de")) // en sampled at 0, zh/es/fr unlisted
     assert(mixed.count() === docs.where($"lang" === "de").count())
   }
+
+  test("stratifiedExact: exactly k per stratum (capped by size), stable across runs") {
+    val docs = Tables.documents(spark, sfDir)
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = Sampling.stratifiedExact(docs, "lang", "doc_id", 10)
+    val got = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (lang, n) =>
+      assert(got(lang) === math.min(10L, n), s"$lang")
+    }
+    // deterministic: same members every run
+    val a = sampled.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.stratifiedExact(docs, "lang", "doc_id", 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // membership is hash-ordered, not id-ordered (no head-of-table bias)
+    val ids = sampled.where($"lang" === "en").select("doc_id").as[Long].collect()
+    val lowestIds = docs.where($"lang" === "en").orderBy($"doc_id").limit(10)
+      .select("doc_id").as[Long].collect()
+    assert(ids.toSet !== lowestIds.toSet)
+  }
 }
