@@ -876,17 +876,23 @@ object SparkEntry {
         |    CAST(doc_id % 3 AS VARCHAR) ||
         |    CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END AS url
         |  FROM documents),
-        |parts AS (
+        |pre AS (
         |  SELECT doc_id, url,
         |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
-        |    regexp_replace(regexp_replace(
-        |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
-        |      '^www\.', ''), ':(443|80)$', '') AS host,
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
+        |      '^www\.', '') AS nw,
         |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
         |    array_to_string(list_filter(
         |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
-        |      x -> NOT x LIKE 'utm_%'), '&') AS cleanq
-        |  FROM u)
+        |      x -> NOT starts_with(x, 'utm_')), '&') AS cleanq
+        |  FROM u),
+        |parts AS (
+        |  SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(nw, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(nw, ':80$', '')
+        |         ELSE nw END AS host,
+        |    path, cleanq
+        |  FROM pre)
         |SELECT doc_id, url,
         |  scheme || '://' || host || path ||
         |  CASE WHEN cleanq = '' THEN '' ELSE '?' || cleanq END AS canon_url

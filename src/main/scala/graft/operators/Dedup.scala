@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Eager materialization for iterative graph frontiers: reliable
+    * checkpoints when a checkpoint dir is configured (cluster runs — state
+    * survives executor loss mid-iteration), executor-local pinning
+    * otherwise (single-JVM / session-lived graphs).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Exact dedup: hash-groupBy on md5(text), keep the smallest id. One
     * shuffle on the 128-bit digest — uniform keys, no skew.
     */
@@ -185,19 +194,14 @@ object Dedup {
     * overhead dominates. So once the pair list is materialized and counted,
     * a graph at broadcast-table size (≤ `localSolveMaxEdges`, integral ids)
     * is solved with driver-side union-find in one collect — the same
-    * size-based switch Spark itself makes for broadcast joins. Larger
-    * graphs (the 100 TB path: billions of candidate pairs) run the
-    * distributed rounds.
+    * size-based switch Spark itself makes for broadcast joins. The default
+    * (1M edges ≈ low-hundreds of MB transient driver heap with the boxed
+    * maps below) fits a default-sized driver; raise it in step with
+    * `spark.driver.memory`. Larger graphs (the 100 TB path: billions of
+    * candidate pairs) run the distributed rounds.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          localSolveMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
-    // local checkpoints pin blocks on executors — fine in one JVM / for
-    // session-lived graphs; when a checkpoint dir is configured (any real
-    // cluster run over a multi-TB pair list), use reliable checkpoints so
-    // frontier state survives executor loss mid-iteration
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+                          localSolveMaxEdges: Long = 1000 * 1000): DataFrame = {
     // pointer jumping: adopt the label OF the current label — the effective
     // diameter halves every round, so a length-d chain converges in O(log d)
     // rounds, not O(d). One self-join of the (id, component) table, which is
@@ -318,9 +322,6 @@ object Dedup {
     * (spec-verified on random graphs).
     */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // m(c) = min(N(c) ∪ {c}) per center node over the symmetric edge view
     def sym(e: DataFrame): DataFrame =
       e.select(col("a").as("c"), col("b").as("v"))
@@ -367,8 +368,16 @@ object Dedup {
     }
     // at the fixpoint every edge is (component-min, member)
     val s = sym(edges)
-    s.groupBy(col("c").as("id")).agg(min(col("v")).as("__mn"))
+    val labeled = s.groupBy(col("c").as("id")).agg(min(col("v")).as("__mn"))
       .select(col("id"), least(col("id"), col("__mn")).as("component"))
+    // nodes whose ONLY pairs were self-loops vanish with the a≠b filter
+    // above but are still singleton components — the other variants emit
+    // them, and the contract is identical labels
+    val selfOnly = pairs.where(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id")).distinct()
+      .join(labeled.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labeled.union(selfOnly)
   }
 
   /** Near-duplicate removal end-to-end: LSH candidates → exact n-gram

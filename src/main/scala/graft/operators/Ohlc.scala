@@ -69,11 +69,15 @@ object Ohlc {
     events
       .groupBy(col(entity), to_date(col(tsCol)).as("d"))
       .agg(
-        min_by(col(valueCol), col(tsCol)).as("open"),
+        // witness = (ts, value) struct: two ticks sharing the extreme
+        // timestamp would otherwise tie-break arbitrarily, and an
+        // arbitrary choice made differently in two partials breaks merge
+        // associativity (incremental refresh ≠ recompute)
+        min_by(col(valueCol), struct(col(tsCol), col(valueCol))).as("open"),
         min(col(tsCol)).as("open_ts"),
         max(col(valueCol)).as("high"),
         min(col(valueCol)).as("low"),
-        max_by(col(valueCol), col(tsCol)).as("close"),
+        max_by(col(valueCol), struct(col(tsCol), col(valueCol))).as("close"),
         max(col(tsCol)).as("close_ts"),
         count(lit(1)).as("volume"))
 
@@ -85,11 +89,13 @@ object Ohlc {
     parts
       .groupBy(col(entity), col("d"))
       .agg(
-        min_by(col("open"), col("open_ts")).as("open"),
+        // same struct tie-break as mergeableBars: equal witness times across
+        // partials must resolve identically to stay associative
+        min_by(col("open"), struct(col("open_ts"), col("open"))).as("open"),
         min(col("open_ts")).as("open_ts"),
         max(col("high")).as("high"),
         min(col("low")).as("low"),
-        max_by(col("close"), col("close_ts")).as("close"),
+        max_by(col("close"), struct(col("close_ts"), col("close"))).as("close"),
         max(col("close_ts")).as("close_ts"),
         sum(col("volume")).as("volume"))
 

@@ -131,11 +131,18 @@ object TextAnalysis {
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
     val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]*)", 1))
-    val host = regexp_replace(regexp_replace(hostport, "^www\\.", ""), ":(443|80)$", "")
+    val noWww = regexp_replace(hostport, "^www\\.", "")
+    // only the scheme's OWN default port is redundant — http://h:443 is a
+    // genuinely different endpoint and must stay distinct
+    val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .otherwise(noWww)
     val path = regexp_replace(regexp_extract(url, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1), "/$", "")
     val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // startswith, not LIKE 'utm_%': the SQL underscore is a single-char
+    // wildcard, which would also strip legitimate params like 'utmost='
     val cleanQuery = array_join(
-      filter(split(query, "&"), x => !x.like("utm_%")), "&")
+      filter(split(query, "&"), x => !startswith(x, lit("utm_"))), "&")
     concat(scheme, lit("://"), host, path,
       when(cleanQuery === "", lit("")).otherwise(concat(lit("?"), cleanQuery)))
   }
@@ -149,8 +156,7 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+    val toks = docs.select(col(idCol), explode(Dedup.tokens(textCol)).as("token"))
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = broadcast(docs.agg(count(lit(1)).as("__n")))
@@ -170,12 +176,14 @@ object TextAnalysis {
   def topBigramFraction(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val bigrams = docs
-      .withColumn("__toks", split(trim(lower(col(textCol))), "\\s+"))
-      // single-token docs: the out-of-range element_at yields a null
-      // bigram, filtered below (DuckDB's range(1,1) is empty — same rows)
+      .withColumn("__toks", Dedup.tokens(textCol))
+      // single-token docs: try_element_at (never the ANSI-throwing
+      // element_at — this operator must survive ansi.enabled=true) yields a
+      // null bigram, filtered below (DuckDB's range(1,1) is empty — same
+      // rows)
       .select(col(idCol), explode(expr(
         "transform(sequence(1, greatest(size(__toks) - 1, 1)), " +
-          "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))")).as("bg"))
+          "i -> concat(try_element_at(__toks, i), ' ', try_element_at(__toks, i + 1)))")).as("bg"))
       .where(col("bg").isNotNull)
     bigrams
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
@@ -195,7 +203,7 @@ object TextAnalysis {
   def vocabulary(docs: DataFrame, textCol: String = "text",
                  minCount: Long = 1L): DataFrame =
     docs
-      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .select(explode(Dedup.tokens(textCol)).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)

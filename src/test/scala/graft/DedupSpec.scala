@@ -48,6 +48,12 @@ class DedupSpec extends SparkSpec {
     val chainComps = Dedup.connectedComponentsStar(chain)
       .as[(Long, Long)].collect()
     assert(chainComps.length === 41 && chainComps.forall(_._2 === 0L))
+    // a node whose only pair is a self-loop is a singleton in EVERY variant
+    val withSelf = chain.union(Seq((99L, 99L)).toDF("id_a", "id_b"))
+    assert(Dedup.connectedComponentsStar(withSelf)
+      .as[(Long, Long)].collect().toMap.get(99L) === Some(99L))
+    assert(Dedup.connectedComponents(withSelf)
+      .as[(Long, Long)].collect().toMap.get(99L) === Some(99L))
     val rnd = new scala.util.Random(13)
     val pairs = Seq.fill(250) {
       val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong

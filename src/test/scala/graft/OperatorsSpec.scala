@@ -174,6 +174,28 @@ class OperatorsSpec extends SparkSpec {
     assert(merged === full)
   }
 
+  test("mergeable bars: duplicate extreme timestamps split across partials still merge deterministically") {
+    // two ticks share the day's min AND max instant, landing in different
+    // partial frames — the struct tie-break must pick the same open/close
+    // as a single-pass aggregate over everything
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 9.0),
+      (1L, ts("2024-01-01 09:00:00"), 5.0),
+      (1L, ts("2024-01-01 16:00:00"), 7.0),
+      (1L, ts("2024-01-01 16:00:00"), 3.0)
+    ).toDF("user_id", "ts", "value")
+    val single = Ohlc.mergeableBars(ev)
+      .select("user_id", "d", "open", "close").collect().map(_.toSeq).toSet
+    for (splitBit <- 0 to 1) {
+      val a = Ohlc.mergeableBars(ev.where($"value" % 2 === splitBit))
+      val b = Ohlc.mergeableBars(ev.where($"value" % 2 =!= splitBit))
+      val merged = Ohlc.mergeBars(a.union(b))
+        .select("user_id", "d", "open", "close").collect().map(_.toSeq).toSet
+      assert(merged === single, s"split $splitBit")
+    }
+    assert(single.head(2) === 5.0 && single.head(3) === 7.0) // min-value / max-value ties
+  }
+
   test("HLL sketch per-day union estimates within 5% of exact distinct") {
     val ev = Tables.events(spark, sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -59,7 +59,12 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "HTTPS://WWW.Ex.COM:443/docs/1/?utm_source=x&id=2#top",
         "https://ex.com/docs/1?id=2"),
       (2L, "http://site.org:80/a/b/", "http://site.org/a/b"),
-      (3L, "https://plain.net/p?utm_a=1&utm_b=2", "https://plain.net/p"))
+      (3L, "https://plain.net/p?utm_a=1&utm_b=2", "https://plain.net/p"),
+      // 'utmost' is NOT a utm_ tracking param (the LIKE-wildcard trap)
+      (4L, "https://shop.com/p?utmost=1&size=2", "https://shop.com/p?utmost=1&size=2"),
+      // :443 is NOT http's default port — a different endpoint, kept
+      (5L, "http://api.example.com:443/v1", "http://api.example.com:443/v1"),
+      (6L, "https://h.io:80/x", "https://h.io:80/x"))
     val out = cases.map(c => (c._1, c._2)).toDF("id", "url")
       .select($"id", TextAnalysis.canonicalizeUrl($"url").as("c"))
       .as[(Long, String)].collect().toMap
