@@ -365,6 +365,20 @@ object SparkEntry {
       Dedup.deduplicateNear(Tables.documents(s, dir), 0.4)
         .select("doc_id", "lang", "source", "n_chars")),
 
+    "q_boilerplate" -> ((s, dir) => {
+      // line-level dedup: boilerplate sentences are synthesized
+      // deterministically (the raw word-soup texts carry no repeated
+      // sentences), then units repeating across ≥ 10 docs are stripped and
+      // documents rebuilt in original unit order
+      val withBoiler = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, ". subscribe to our newsletter today").otherwise(""),
+          when(col("doc_id") % 2 === 0, ". all rights reserved worldwide").otherwise(""))
+          .as("text"))
+      Dedup.removeBoilerplate(withBoiler, minDocFreq = 10)
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: docs sharing any 8-gram with the
       // (deterministically chosen) benchmark slice are removed
@@ -943,6 +957,25 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+
+    "q_boilerplate" ->
+      """WITH synth AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '. subscribe to our newsletter today' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '. all rights reserved worldwide' ELSE '' END) AS text
+        |  FROM documents),
+        |us AS (SELECT doc_id, regexp_split_to_array(text, '\.\s+') AS arr FROM synth),
+        |units AS (SELECT doc_id,
+        |            unnest(list_transform(arr, (x, i) -> struct_pack(pos := i, unit := x))) AS u
+        |          FROM us),
+        |flat AS (SELECT doc_id, u.pos AS pos, u.unit AS unit FROM units),
+        |freq AS (SELECT md5(unit) AS h, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1),
+        |kept AS (SELECT doc_id, pos, unit FROM flat
+        |         WHERE md5(unit) NOT IN (SELECT h FROM freq WHERE df >= 10))
+        |SELECT doc_id,
+        |  array_to_string(list_transform(
+        |    list_sort(list(struct_pack(pos := pos, unit := unit))), s -> s.unit), '. ') AS clean_text
+        |FROM kept GROUP BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       // t[i:i+7] slices clamp on short lists, matching the compiled

@@ -395,6 +395,36 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-wide boilerplate removal — drop the sentences/lines that repeat
+    * across ≥ `minDocFreq` documents (cookie banners, nav text, license
+    * footers) and rebuild each document from its surviving units in
+    * original order. This is the line-level dedup pass of web-corpus
+    * pipelines, complementary to whole-document dedup: it edits documents
+    * instead of dropping them.
+    *
+    * Shape: posexplode units → doc-frequency on md5(unit) (distinct
+    * (doc, hash) first, so a unit repeated WITHIN one doc counts once) →
+    * anti-join kills boilerplate units → collect_list(struct(pos, unit))
+    * + array_sort rebuilds the text. Shuffles carry unit hashes and then
+    * per-doc unit lists — bounded by document size, never the corpus.
+    * Documents whose every unit is boilerplate disappear entirely.
+    */
+  def removeBoilerplate(docs: DataFrame, minDocFreq: Long,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val units = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\\.\\s+")).as(Seq("pos", "unit")))
+    val boiler = units.select(col(idCol), md5(col("unit")).as("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("h").as("__bh"))
+    units
+      .join(boiler, md5(col("unit")) === col("__bh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+          s => s.getField("unit")), ". ").as("clean_text"))
+  }
+
   /** Benchmark decontamination — remove training documents that share any
     * word `n`-gram with an evaluation/benchmark set, the standard guard
     * against test-set leakage into a training corpus. The benchmark's

@@ -76,6 +76,26 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 5L))
   }
 
+  test("removeBoilerplate strips cross-doc repeated units, keeps order, counts within-doc repeats once") {
+    val docs = Seq(
+      (1L, "unique alpha. all rights reserved. unique beta"),
+      (2L, "all rights reserved. own content here"),
+      (3L, "all rights reserved. all rights reserved. solo text"), // repeated within ONE doc
+      (4L, "nothing shared at all")
+    ).toDF("doc_id", "text")
+    // df("all rights reserved") = 3 docs (doc 3 counts once) → boilerplate at 3
+    val out = Dedup.removeBoilerplate(docs, minDocFreq = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "unique alpha. unique beta") // order preserved around the cut
+    assert(out(2L) === "own content here")
+    assert(out(3L) === "solo text")
+    assert(out(4L) === "nothing shared at all")
+    // at threshold 4 nothing repeats enough — all docs intact
+    val none = Dedup.removeBoilerplate(docs, minDocFreq = 4)
+      .as[(Long, String)].collect().toMap
+    assert(none(3L) === "all rights reserved. all rights reserved. solo text")
+  }
+
   test("decontaminate removes corpus docs sharing an n-gram with the benchmark") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
     val corpus = Seq(
