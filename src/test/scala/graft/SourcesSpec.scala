@@ -68,6 +68,23 @@ class SourcesSpec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).toSeq === Seq(1.0, 2.0))
   }
 
+  test("writeByDay partitions by day and serves date-pruned reads") {
+    val out = Files.createTempDirectory("graft_byday").toFile.getAbsolutePath + "/t"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-02 10:00:00"), 2.0),
+      (3L, ts("2024-01-02 11:00:00"), 3.0)).toDF("user_id", "ts", "value")
+    Sinks.writeByDay(df, out, "ts")
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("day="))
+    assert(dirs.toSet === Set("day=2024-01-01", "day=2024-01-02"))
+    val pruned = spark.read.parquet(out).where($"day" === "2024-01-02")
+    assert(pruned.count() === 2)
+    // the date filter must hit the partition column, not a post-scan filter
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+
   test("events stream source feeds the shared windowedAgg transform") {
     val streamDir = Files.createTempDirectory("graft_stream")
     Files.copy(
