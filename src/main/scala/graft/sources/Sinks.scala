@@ -17,6 +17,25 @@ object Sinks {
     df.withColumn("day", to_date(col(tsCol)))
       .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
 
+  /** Restatement: overwrite ONLY the day partitions present in `df`,
+    * leaving every other day untouched — the correction path append-only
+    * sinks can't express (a late upstream fix re-pulls a day; the daily
+    * table must converge to the corrected values, not accumulate both).
+    * Dynamic partition overwrite makes the rewrite atomic per touched
+    * partition and idempotent: re-running the same restatement is a no-op.
+    */
+  def restateDays(df: DataFrame, path: String, tsCol: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.withColumn("day", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Idempotent incremental append: filter the incoming frame to rows
     * strictly newer than the target's per-key max(ts) (the reference's
     * check_table_append_compatibility + to_sql append), then append. On an

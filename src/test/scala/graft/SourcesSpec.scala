@@ -85,6 +85,22 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan)
   }
 
+  test("restateDays overwrites only the touched day partitions, idempotently") {
+    val out = Files.createTempDirectory("graft_restate").toFile.getAbsolutePath + "/t"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Sinks.writeByDay(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-02 10:00:00"), 999.0) // bad value, to be corrected
+    ).toDF("user_id", "ts", "value"), out, "ts")
+    // restate ONLY day 2 with the corrected pull
+    val fix = Seq((2L, ts("2024-01-02 10:00:00"), 2.0)).toDF("user_id", "ts", "value")
+    Sinks.restateDays(fix, out, "ts")
+    Sinks.restateDays(fix, out, "ts") // idempotent: same result twice
+    val rows = spark.read.parquet(out).orderBy($"ts")
+      .select($"value").as[Double].collect().toSeq
+    assert(rows === Seq(1.0, 2.0)) // day 1 untouched, day 2 converged
+  }
+
   test("events stream source feeds the shared windowedAgg transform") {
     val streamDir = Files.createTempDirectory("graft_stream")
     Files.copy(

@@ -61,6 +61,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming query restarts from its checkpoint without duplicating output") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart").toFile.getAbsolutePath
+    val (ckpt, outDir) = (s"$dir/ckpt", s"$dir/out")
+    val input = MemoryStream[Ev]
+    def start() = EventsStream.windowedAgg(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+        Ev(2L, ts("2024-01-01 10:20:00"), "click", 2.0))
+      q1.processAllAvailable()
+      input.addData(Ev(3L, ts("2024-01-01 12:30:00"), "view", 5.0))
+      q1.processAllAvailable() // watermark passes 11:00 → 10:00 window committed
+    } finally q1.stop()
+    // restart from the SAME checkpoint: committed state must not re-emit
+    val q2 = start()
+    try {
+      input.addData(Ev(4L, ts("2024-01-01 14:30:00"), "view", 5.0))
+      q2.processAllAvailable() // finalizes the 12:00 window
+    } finally q2.stop()
+    val out = spark.read.parquet(outDir)
+    val w10 = out.where($"wstart" === ts("2024-01-01 10:00:00")).collect()
+    assert(w10.length === 1, s"10:00 window must appear exactly once: ${w10.mkString(";")}")
+    assert(w10.head.getLong(2) === 2L && w10.head.getDouble(3) === 3.0)
+    assert(out.where($"wstart" === ts("2024-01-01 12:00:00")).count() === 1)
+  }
+
   test("sessionizeWindowed (built-in session_window) finalizes sessions like byGap") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
