@@ -21,20 +21,23 @@ object Sinks {
     * leaving every other day untouched — the correction path append-only
     * sinks can't express (a late upstream fix re-pulls a day; the daily
     * table must converge to the corrected values, not accumulate both).
-    * Dynamic partition overwrite makes the rewrite atomic per touched
-    * partition and idempotent: re-running the same restatement is a no-op.
+    * Idempotent: re-running the same restatement converges to the same
+    * state. NOT crash-atomic on a plain file sink — the commit protocol
+    * deletes a touched partition before renaming the replacement in, so a
+    * restatement that dies mid-commit must simply be re-run (which is what
+    * the idempotency is for); a table format with a transaction log is the
+    * upgrade when that window matters.
+    *
+    * The overwrite mode rides on the WRITER (takes precedence over the
+    * session conf) — mutating the shared session conf here would race
+    * with concurrent writers and could flip an unrelated overwrite to
+    * static mode, wiping untouched partitions.
     */
-  def restateDays(df: DataFrame, path: String, tsCol: String): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.withColumn("day", to_date(col(tsCol)))
-      .write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+  def restateDays(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("day", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
 
   /** Idempotent incremental append: filter the incoming frame to rows
     * strictly newer than the target's per-key max(ts) (the reference's
