@@ -72,7 +72,11 @@ object Ohlc {
         // witness = (ts, value) struct: two ticks sharing the extreme
         // timestamp would otherwise tie-break arbitrarily, and an
         // arbitrary choice made differently in two partials breaks merge
-        // associativity (incremental refresh ≠ recompute)
+        // associativity (incremental refresh ≠ recompute). Cost: struct
+        // ordering keys plan as SortAggregate, not HashAggregate — the
+        // partial combine and bar-sized shuffle are unchanged, but each
+        // task sorts its slice; acceptable for the incremental path, which
+        // touches one ingest batch, not the full history
         min_by(col(valueCol), struct(col(tsCol), col(valueCol))).as("open"),
         min(col(tsCol)).as("open_ts"),
         max(col(valueCol)).as("high"),

@@ -106,8 +106,14 @@ class PlanInvariantsSpec extends SparkSpec {
   test("incremental bar merge aggregates bars — the tick scans partial-combine first") {
     val p = plan("q_incremental_bars")
     // two mergeableBars partial+final pairs plus the merge's pair: every
-    // aggregate partial-combines map-side, and no raw-tick repartition
+    // aggregate partial-combines map-side (SortAggregate — the struct
+    // tie-break witnesses aren't hash-buffer types — but still
+    // partial_min_by before the exchange), and no raw-tick repartition.
+    // The merge step itself needs NO exchange: both union branches arrive
+    // partitioned on the grouping key.
     assert(!p.contains("SortMergeJoin"), p)
-    assert(count(p, "HashAggregate") === 6, p)
+    assert(count(p, "Aggregate\\(") === 6, p)
+    assert(count(p, "partial_min_by") === 3, p)
+    assert(count(p, "Exchange") === 2, p)
   }
 }
