@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines. Everything here is
@@ -256,7 +256,7 @@ object Dedup {
       }
       val labeled = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
       parent.keySet().forEach(v => labeled += ((v, minOfRoot.get(find(v)))))
-      pairsM.unpersist()
+      GraftBridge.unpersistCheckpointed(pairsM)
       import spark.implicits._
       return labeled.toSeq.toDF("id", "component")
         .select(col("id").cast(idType).as("id"), col("component").cast(idType).as("component"))
@@ -271,7 +271,7 @@ object Dedup {
         .union(pairsM.select(col("id_b").as("src"), col("id_a").as("dst")))
         .union(pairsM.select(col("id_a").as("src")).union(pairsM.select(col("id_b").as("src")))
           .distinct().select(col("src").as("src"), col("src").as("dst"))))
-    pairsM.unpersist()
+    GraftBridge.unpersistCheckpointed(pairsM)
     // ONE materialize action per round: the propagate plan is inlined under
     // the jump self-join, so it evaluates twice inside that single job —
     // for a frontier this is far cheaper than a second eager-checkpoint
@@ -292,15 +292,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "__l"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("__l")).as("component"))))
-      // next is materialized (eager checkpoint) — the superseded frontiers'
-      // blocks can go; only the final labels and the edge list stay pinned
-      labels.unpersist()
+      // next is materialized (eager checkpoint) — the superseded frontier's
+      // blocks can go. Dataset.unpersist is a silent no-op for
+      // checkpoint-backed frames; release through the RDD handle
+      GraftBridge.unpersistCheckpointed(labels)
       labels = next
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
+    // labels is checkpointed — the edge list's blocks can go with the loop
+    GraftBridge.unpersistCheckpointed(edges)
     labels
   }
 
@@ -358,8 +361,8 @@ object Dedup {
         .select(col("m").as("a"), col("v").as("b"))
         .union(mins(s2).select(col("m").as("a"), col("c").as("b")))
         .where(col("a") =!= col("b")).distinct())
-      large.unpersist()
-      edges.unpersist()
+      GraftBridge.unpersistCheckpointed(large)
+      GraftBridge.unpersistCheckpointed(edges)
       edges = small
       val f = fingerprint(edges)
       converged = f == prev
@@ -499,14 +502,29 @@ object Dedup {
 
   /** SimHash near-dup pairs: bucket on (chunk index, chunk bits), pair within
     * buckets, verify exact hamming distance ≤ `maxHamming` via bit_count.
+    *
+    * Recall is complete BY CONSTRUCTION: the 64 bits split into
+    * `maxHamming + 1` chunks, so ≤ maxHamming differing bits cannot touch
+    * every chunk (pigeonhole) — some chunk matches exactly and buckets the
+    * pair. A fixed chunk count would silently miss pairs whose differing
+    * bits spread across all chunks once maxHamming exceeds chunks − 1.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val nChunks = maxHamming + 1
     val fps = docs.select(col(idCol).as("id"), simhash(textCol).as("fp"))
-    val chunked = fps.select(
-      col("id"), col("fp"),
-      posexplode(expr("transform(sequence(0, 3), c -> (shiftright(fp, c * 16) & 65535))"))
-        .as(Seq("chunk_idx", "chunk_val")))
+    val chunkCols = (0 until nChunks).map { i =>
+      val start = i * 64 / nChunks
+      val width = (i + 1) * 64 / nChunks - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      struct(lit(i).as("chunk_idx"),
+        shiftright(col("fp"), start).bitwiseAND(lit(mask)).as("chunk_val"))
+    }
+    val chunked = fps
+      .select(col("id"), col("fp"), explode(array(chunkCols: _*)).as("ck"))
+      .select(col("id"), col("fp"),
+        col("ck.chunk_idx").as("chunk_idx"), col("ck.chunk_val").as("chunk_val"))
     val buckets = chunked
       .groupBy(col("chunk_idx"), col("chunk_val"))
       .agg(collect_list(struct(col("id"), col("fp"))).as("members"))

@@ -23,8 +23,12 @@ object Profile {
         max(col(c)).cast("double").as(s"__${c}_max"))
     } :+ count(lit(1)).as("__n")
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    // names are spliced into SQL: quote the literal and backtick the
+    // generated identifiers so hyphens/spaces in a column name can't break
+    // (or silently alter) the stack expression
     val stackArgs = cols.map { c =>
-      s"'$c', __n, __${c}_nn, __${c}_nd, __${c}_min, __${c}_max"
+      val lit = c.replace("'", "''")
+      s"'$lit', __n, `__${c}_nn`, `__${c}_nd`, `__${c}_min`, `__${c}_max`"
     }.mkString(", ")
     wide.select(expr(
       s"stack(${cols.size}, $stackArgs) as (col, n, non_null, n_distinct, min_v, max_v)"))

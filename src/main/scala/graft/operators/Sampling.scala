@@ -50,7 +50,12 @@ object Sampling {
     val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val labeled = splits.init.zip(cuts.init).foldLeft(Option.empty[Column]) {
       case (acc, ((label, _), cut)) =>
-        val cond = prefix < lit(f"${math.round(cut * 65536).toInt}%04x")
+        // cut ≥ 1 (trailing zero-fraction splits) would format as 5-char
+        // "10000" and break the fixed-width comparison — same overflow
+        // samplePredicate guards
+        val cond =
+          if (cut >= 1.0) lit(true)
+          else prefix < lit(f"${math.round(cut * 65536).toInt}%04x")
         Some(acc.map(_.when(cond, label)).getOrElse(when(cond, label)))
     }
     val splitCol = labeled.map(_.otherwise(splits.last._1)).getOrElse(lit(splits.last._1))

@@ -168,8 +168,14 @@ object Similarity {
       .select(col("qid"), col(idCol), col("v"), col("qv"),
         (graft.plans.Exprs.dot(col("v"), col("qv"))
           / nullif(col("nrm") * col("qn"), lit(0.0))).as("__dcos"))
+    // screen rank uses the SAME (rounded score, id) ordering as the final
+    // decimal ranking: ranking raw doubles here could cut true top-k
+    // members on tie-dense corpora where many cosines share a rounded
+    // value and the final order falls to the id tie-break. With consistent
+    // ordering the margin only has to absorb double-vs-decimal rounding at
+    // a 6th-decimal boundary (~1-ulp events), not whole tie bands.
     val candidates = graft.plans.GroupTopK.topKPerKey(
-      screened, Seq("qid"), Seq(col("__dcos").desc, col(idCol).asc), 4 * k + 16)
+      screened, Seq("qid"), Seq(round(col("__dcos"), 6).desc, col(idCol).asc), 4 * k + 16)
     val refined = candidates.select(col("qid"), col(idCol),
       round(dotExact("v", "qv")
         / nullif(sqrt(dotExact("v", "v")) * sqrt(dotExact("qv", "qv")), lit(0.0)), 6)

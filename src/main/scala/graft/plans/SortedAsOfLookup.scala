@@ -41,7 +41,14 @@ case class SortedAsOfLookup(left: Expression, right: Expression)
       val t = arr.getStruct(mid, 2).getLong(0)
       if (t <= ts) { best = mid; lo = mid + 1 } else hi = mid - 1
     }
-    if (best < 0) null else arr.getStruct(best, 2).getDouble(1)
+    if (best < 0) null
+    else {
+      // a null dim VALUE must surface as null, exactly like the
+      // union+window as-of path — getDouble on a null slot silently yields
+      // 0.0
+      val s = arr.getStruct(best, 2)
+      if (s.isNullAt(1)) null else s.getDouble(1)
+    }
   }
 
   override protected def withNewChildrenInternal(

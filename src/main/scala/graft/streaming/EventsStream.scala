@@ -150,9 +150,16 @@ object EventsStream {
             if (pending.isEmpty && ds.isEmpty) state.remove()
             else {
               state.update(AsOfBuffers(pending, ds))
-              val wmMs = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(
-                pending.map(_._1 / 1000).minOption.getOrElse(wmMs + 60000L), wmMs + 1))
+              // arm a timer ONLY while facts are pending (to flush them
+              // when the watermark ripens past their ts). A key holding
+              // just its as-of floor needs no timer: timeouts reset every
+              // invocation, so not re-arming stops idle keys from being
+              // timer-woken on every watermark advance forever.
+              if (pending.nonEmpty) {
+                val wmMs = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                  math.max(pending.map(_._1 / 1000).min, wmMs + 1))
+              }
             }
           }
           out.iterator

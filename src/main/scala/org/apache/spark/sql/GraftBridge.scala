@@ -29,4 +29,17 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Free the blocks behind a (local)checkpointed DataFrame.
+    * `Dataset.unpersist` only uncaches CacheManager entries and is a
+    * SILENT NO-OP for checkpoint-backed datasets (their persistence lives
+    * on the underlying RDD) — iterative loops that materialize a frontier
+    * per round must release the superseded round through the RDD handle or
+    * executor storage grows by one frontier per iteration.
+    */
+  def unpersistCheckpointed(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    }
 }

@@ -153,6 +153,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
 
+  test("simhashPairs recall is complete: equals brute-force hamming pairs at any maxHamming") {
+    val docs = Tables.documents(spark, sfDir)
+    val fps = Dedup.simhashFingerprints(docs)
+      .select("id", "simhash").as[(Long, Long)].collect()
+    for (h <- Seq(3, 8)) {
+      val expected = (for {
+        (ia, fa) <- fps; (ib, fb) <- fps
+        if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= h
+      } yield (ia, ib)).toSet
+      val got = Dedup.simhashPairs(docs, maxHamming = h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === expected, s"maxHamming=$h: missing ${(expected -- got).take(5)}")
+    }
+  }
+
   test("winnowing fingerprints overlap heavily for shifted/extended text") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running through the field"
     val shifted = "PREFIX ADDED HERE " + base

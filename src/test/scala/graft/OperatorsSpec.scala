@@ -140,6 +140,14 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("asOfBroadcast surfaces a null dim VALUE as null, not 0.0") {
+    val facts = Seq((10L, 1L, ts("2024-01-02 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val dims = Seq((1L, ts("2024-01-01 00:00:00"), null.asInstanceOf[java.lang.Double]))
+      .toDF("user_id", "ts", "value")
+    val out = AsOfJoin.asOfBroadcast(facts, dims, "user_id", "ts", "value", "v").head()
+    assert(out.isNullAt(out.fieldIndex("v")), out.toString)
+  }
+
   test("Ohlc.fillForward carries the last close across date gaps") {
     val series = Seq(
       (1L, "2024-01-01", 10.0), (1L, "2024-01-04", 40.0), // 3-day gap

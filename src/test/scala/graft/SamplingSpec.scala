@@ -55,6 +55,13 @@ class SamplingSpec extends SparkSpec {
     assert(mixed.count() === docs.where($"lang" === "de").count())
   }
 
+  test("assignSplit: trailing zero-fraction split gets nothing (hex-overflow edge)") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sampling.assignSplit(docs, "doc_id", Seq("train" -> 1.0, "heldout" -> 0.0))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out === Map("train" -> docs.count()))
+  }
+
   test("stratifiedExact: exactly k per stratum (capped by size), stable across runs") {
     val docs = Tables.documents(spark, sfDir)
     val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
