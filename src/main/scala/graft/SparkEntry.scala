@@ -150,6 +150,20 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "last_purchase_value")
     }),
 
+    "q_asof_forward" -> ((s, dir) => {
+      // attribution direction: each click joins the NEXT purchase value
+      // at-or-after it (dims deduped per (key, ts) — equal-instant tie
+      // resolution is engine-unspecified in DuckDB's ASOF)
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("next_purchase_value"))
+      AsOfJoin
+        .asOfForward(clicks, purchases, "user_id", "ts", Seq("next_purchase_value"))
+        .select("event_id", "user_id", "ts", "next_purchase_value")
+    }),
+
     "q_asof_broadcast" -> ((s, dir) => {
       // identical semantics to q_asof_join through the broadcast-timeline
       // path: facts never shuffle, the probe is a compiled binary search
@@ -725,6 +739,13 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.value AS next_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+        |                WHERE event_type = 'purchase' GROUP BY 1, 2) p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
 
     "q_asof_broadcast" ->
       """SELECT c.event_id, c.user_id, c.ts, p.value AS last_purchase_value

@@ -59,6 +59,34 @@ object AsOfJoin {
     filled.where(col("__side") === 1).drop("__side")
   }
 
+  /** FORWARD as-of: each left row picks up the EARLIEST right-side values
+    * with `right.ts >= left.ts` — the attribution direction (next purchase
+    * after a click, next fill after an order). Same single-shuffle
+    * union+window shape as [[asOf]], mirrored: the frame looks forward and
+    * `first(ignoreNulls)` replaces the running last. Ties (equal ts) order
+    * the right row after the left inside the frame, so a same-instant
+    * event is visible, symmetric with the backward join's tie rule.
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      rightVals: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val u = l.unionByName(
+      right.select((key +: tsCol +: rightVals).map(col): _*).withColumn("__side", lit(0)),
+      allowMissingColumns = true)
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(tsCol), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = rightVals.foldLeft(u) { (df, c) =>
+      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === 1).drop("__side")
+  }
+
   /** Broadcast as-of: when the right side is dimension-sized (the
     * reference's share snapshots — thousands of rows), the union+window
     * path still shuffles the FACT table on the key. Here the dim packs

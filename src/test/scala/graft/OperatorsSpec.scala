@@ -140,6 +140,19 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("asOfForward picks the earliest right row at-or-after, else null") {
+    val left = Seq((1L, ts("2024-01-02 10:00:00"), "l1"), (1L, ts("2024-01-01 10:00:00"), "l2"),
+      (2L, ts("2024-01-09 00:00:00"), "l3"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-02 10:00:00"), 100.0), (1L, ts("2024-01-03 00:00:00"), 200.0))
+      .toDF("user_id", "ts", "px")
+    val out = AsOfJoin.asOfForward(left, right, "user_id", "ts", Seq("px"))
+      .orderBy($"tag").collect()
+    assert(out(0).getDouble(3) === 100.0) // equal ts visible
+    assert(out(1).getDouble(3) === 100.0) // earliest at-or-after
+    assert(out(2).isNullAt(3))            // nothing later for this key
+  }
+
   test("asOfBroadcast surfaces a null dim VALUE as null, not 0.0") {
     val facts = Seq((10L, 1L, ts("2024-01-02 00:00:00"))).toDF("event_id", "user_id", "ts")
     val dims = Seq((1L, ts("2024-01-01 00:00:00"), null.asInstanceOf[java.lang.Double]))
