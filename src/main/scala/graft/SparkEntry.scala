@@ -164,6 +164,18 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "next_purchase_value")
     }),
 
+    "q_asof_nearest" -> ((s, dir) => {
+      // closest purchase in either direction per click, tie to the earlier
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+      AsOfJoin
+        .asOfNearest(clicks, purchases, "user_id", "ts", "value", "nearest_purchase_value")
+        .select("event_id", "user_id", "ts", "nearest_purchase_value")
+    }),
+
     "q_asof_broadcast" -> ((s, dir) => {
       // identical semantics to q_asof_join through the broadcast-timeline
       // path: facts never shuffle, the probe is a compiled binary search
@@ -739,6 +751,23 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS value FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |paired AS (
+        |  SELECT c.event_id, c.user_id, c.ts,
+        |         b.ts AS bt, b.value AS bv, f.ts AS ft, f.value AS fv
+        |  FROM c
+        |  ASOF LEFT JOIN p b ON c.user_id = b.user_id AND c.ts >= b.ts
+        |  ASOF LEFT JOIN p f ON c.user_id = f.user_id AND c.ts <= f.ts)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN bt IS NULL THEN fv
+        |       WHEN ft IS NULL THEN bv
+        |       WHEN epoch(ts) - epoch(bt) <= epoch(ft) - epoch(ts) THEN bv
+        |       ELSE fv END AS nearest_purchase_value
+        |FROM paired""".stripMargin,
 
     "q_asof_forward" ->
       """SELECT c.event_id, c.user_id, c.ts, p.value AS next_purchase_value

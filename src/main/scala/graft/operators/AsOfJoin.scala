@@ -87,6 +87,37 @@ object AsOfJoin {
     filled.where(col("__side") === 1).drop("__side")
   }
 
+  /** NEAREST as-of: each left row takes the right-side value whose
+    * timestamp is closest in either direction, ties to the at-or-before
+    * side — sensor/series alignment semantics, where "latest before" is
+    * wrong for a reading that arrived just after. Composes the backward
+    * and forward passes (each carrying its matched timestamp) and picks
+    * per row by absolute distance.
+    */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      valueCol: String,
+      outCol: String): DataFrame = {
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val back = right.select(col(key), col(tsCol),
+      col(valueCol).as("__bv"), col(tsCol).as("__bt"))
+    val fwd = right.select(col(key), col(tsCol),
+      col(valueCol).as("__fv"), col(tsCol).as("__ft"))
+    asOfForward(
+      asOf(left, back, key, tsCol, Seq("__bv", "__bt")),
+      fwd, key, tsCol, Seq("__fv", "__ft"))
+      .withColumn(outCol,
+        when(col("__bt").isNull, col("__fv"))
+          .when(col("__ft").isNull, col("__bv"))
+          .when(us(col(tsCol)) - us(col("__bt")) <= us(col("__ft")) - us(col(tsCol)),
+            col("__bv"))
+          .otherwise(col("__fv")))
+      .drop("__bv", "__bt", "__fv", "__ft")
+  }
+
   /** Broadcast as-of: when the right side is dimension-sized (the
     * reference's share snapshots — thousands of rows), the union+window
     * path still shuffles the FACT table on the key. Here the dim packs

@@ -153,6 +153,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(3))            // nothing later for this key
   }
 
+  test("asOfNearest picks the closer side, ties to at-or-before") {
+    val left = Seq(
+      (1L, ts("2024-01-02 12:00:00"), "closer_after"),  // 12h back vs 6h fwd
+      (1L, ts("2024-01-01 06:00:00"), "closer_before"), // 6h back vs 1d18h fwd
+      (1L, ts("2024-01-02 00:00:00"), "exact_tie"),     // 1d back vs 18h fwd... fwd
+      (2L, ts("2024-01-05 00:00:00"), "only_before"),
+      (3L, ts("2024-01-05 00:00:00"), "no_match")
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-02 18:00:00"), 20.0),
+      (2L, ts("2024-01-01 00:00:00"), 30.0)
+    ).toDF("user_id", "ts", "px")
+    val out = AsOfJoin.asOfNearest(left, right, "user_id", "ts", "px", "nearest")
+      .select("tag", "nearest").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("closer_after") === Some(20.0))
+    assert(out("closer_before") === Some(10.0))
+    assert(out("exact_tie") === Some(20.0)) // 18h fwd beats 24h back
+    assert(out("only_before") === Some(30.0))
+    assert(out("no_match") === None)
+  }
+
   test("asOfBroadcast surfaces a null dim VALUE as null, not 0.0") {
     val facts = Seq((10L, 1L, ts("2024-01-02 00:00:00"))).toDF("event_id", "user_id", "ts")
     val dims = Seq((1L, ts("2024-01-01 00:00:00"), null.asInstanceOf[java.lang.Double]))
