@@ -29,20 +29,24 @@ object Bench {
     }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // Per-query time = min over `iters` runs: the steady-state cost of the
-    // plan, robust to one-off GC pauses / noisy-neighbor interference on a
-    // shared host. (Medians across ≥3 would be stronger; 2 keeps the whole
-    // suite comfortably inside the driver's budget.)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
-    val results = selected.map { case (name, fn) =>
-      val dt = (1 to iters).map { _ =>
+    // Per-query time = min over `iters` FULL-SUITE passes, not back-to-back
+    // repeats of each query: on a shared host a load spike lasting tens of
+    // seconds inflates a CONTIGUOUS run of queries, and back-to-back repeats
+    // hand that spike to both samples of each query it covers — the min
+    // can't reject it. Interleaved passes put ~a full suite between a
+    // query's samples, so one spike can only touch one of them.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
+    val names = selected.keys.toSeq
+    val samples = (1 to iters).map { pass =>
+      names.map { name =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
-      name -> dt
+        try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] pass $pass $name%-24s $dt%8.2f s")
+        name -> dt
+      }.toMap
     }
+    val results = names.map(n => n -> samples.map(_(n)).min).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
