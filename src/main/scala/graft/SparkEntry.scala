@@ -473,6 +473,16 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.orderBy(col("vec_id").desc).limit(1), 10)
     }),
 
+    "q_pq_topk" -> ((s, dir) => {
+      // product-quantization ADC top-k: train codebooks, encode the corpus
+      // to m-byte codes, probe with table lookups only — the memory-resident
+      // ANN scan shape. Approximate (rows-only), like IVF/LSH.
+      val emb = Tables.embeddings(s, dir)
+      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+      Similarity.pqTopK(Similarity.pqEncoded(emb, books), books,
+        emb.orderBy(col("vec_id")).limit(1), 10)
+    }),
+
     "q_json_props" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))

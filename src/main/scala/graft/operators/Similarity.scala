@@ -344,6 +344,88 @@ object Similarity {
       query, k, nprobe, idCol, vecCol)
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `ksub` sub-centroids,
+    * trained by per-subspace Lloyd's k-means — ALL subspaces in each
+    * iteration's single pass (one compiled PqEncode assignment, one
+    * partially-aggregated groupBy whose shuffle carries only the
+    * m×ksub×dsub partial sums, never vectors). Deterministic: seeded from
+    * the lowest-id vectors' subvectors, ties to the lowest code, decimal
+    * accumulation ⇒ identical codebooks under any partitioning.
+    *
+    * Returns codebooks(sub)(code)(dimWithinSub). Like the IVF codebook,
+    * this is model-sized and driver-resident; at 100 TB you train it on a
+    * sample (`embeddings.where(hash-sample)`) and encode the full corpus.
+    */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val dims = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val dsub = dims / m
+    val seeds = embeddings.orderBy(col(idCol)).limit(ksub).select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var books = Array.tabulate(m)(s =>
+      seeds.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    val vecs = embeddings.select(col(vecCol).as("v"))
+    for (_ <- 1 to iters) {
+      val sums = vecs
+        .withColumn("codes", graft.plans.Exprs.pqEncode(col("v"), books))
+        .select(posexplode(col("v")).as(Seq("dim", "x")), col("codes"))
+        .select((col("dim") / dsub).cast("int").as("sub"),
+          // codes are tinyint; element_at is 1-based
+          element_at(col("codes"), (col("dim") / dsub).cast("int") + 1).cast("int").as("code"),
+          (col("dim") % dsub).as("dsub_i"), col("x"))
+        .groupBy(col("sub"), col("code"), col("dsub_i"))
+        .agg(sum(col("x").cast("decimal(28,12)")).cast("double").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((s, c), rows) =>
+        val mean = next(s)(c)
+        rows.foreach(r => mean(r.getInt(2).toInt) = r.getDouble(3) / r.getLong(4))
+      }
+      books = next
+    }
+    books
+  }
+
+  /** The persisted PQ index: id + m-byte codes per vector — 4·dims/m ×
+    * smaller than the float corpus (32× at dims=64, m=8). Encoding is one
+    * compiled map-side pass; the plan between scan and sink has zero
+    * shuffles.
+    */
+  def pqEncoded(embeddings: DataFrame, codebooks: Array[Array[Array[Double]]],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol),
+      graft.plans.Exprs.pqEncode(col(vecCol), codebooks).as("codes"))
+
+  /** Approximate top-k by PQ asymmetric distance: the query's
+    * inner-product and reconstruction-norm lookup tables are built
+    * driver-side (O(ksub·dims), no job), and the scan scores each row with
+    * m table lookups — no float vectors are read at probe time. Compose
+    * with a persisted [[pqEncoded]] index for repeated queries; re-rank the
+    * top candidates against float vectors when exact ordering matters.
+    * Estimates are engine-specific (rows-only check, like IVF/LSH).
+    */
+  def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+             query: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qRow = query.select(col(idCol), col(vecCol)).head()
+    val qid = qRow.getLong(0)
+    val qv = qRow.getSeq[Float](1).toArray.map(_.toDouble)
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val dsub = codebooks(0)(0).length
+    val ipLut = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => c.zipWithIndex.map { case (x, i) => x * qv(s * dsub + i) }.sum)
+    }
+    val normSqLut = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    encoded
+      .where(col(idCol) =!= qid)
+      .select(col(idCol),
+        round(graft.plans.Exprs.pqAdcScore(col("codes"), ipLut, normSqLut, qNorm), 6)
+          .as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucketed near-neighbor pairs: same LSH signature ⇒ candidate; exact
     * cosine verifies. The groupBy key is the signature — candidate work is
     * Σ bucket², never corpus².

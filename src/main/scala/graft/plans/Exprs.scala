@@ -47,4 +47,13 @@ object Exprs {
   /** Compiled character-diversity (Gini impurity) signal (see [[CharDiversity]]). */
   def charDiversity(text: Column): Column =
     GraftBridge.column(CharDiversity(GraftBridge.expression(text)))
+
+  /** Compiled product-quantization encode (see [[PqEncode]]). */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), codebooks))
+
+  /** Compiled PQ asymmetric-distance approximate cosine (see [[PqAdcScore]]). */
+  def pqAdcScore(codes: Column, ipLut: Array[Array[Double]],
+                 normSqLut: Array[Array[Double]], qNorm: Double): Column =
+    GraftBridge.column(PqAdcScore(GraftBridge.expression(codes), ipLut, normSqLut, qNorm))
 }

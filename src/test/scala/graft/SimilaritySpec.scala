@@ -168,4 +168,50 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
     assert(lsh.nonEmpty)
   }
+
+  test("pq: codes are valid, deterministic, and partition-count-invariant") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+    assert(books.length === 8)
+    assert(books.forall(_.length === 16))
+    assert(books.forall(_.forall(_.length === 8))) // 64 dims / 8 subspaces
+    val codes = Similarity.pqEncoded(emb, books)
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(codes.values.forall(c => c.length === 8 && c.forall(b => b >= 0 && b < 16)))
+    // training and encoding are decimal-accumulated / tie-broken → identical
+    // under a different partitioning
+    val books2 = Similarity.pqCodebooks(emb.repartition(7), m = 8, ksub = 16, iters = 2)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq === books2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("pq ADC approximates exact cosine and training tightens it") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.orderBy($"vec_id".desc).limit(1)
+    val exact = Similarity.topK(emb, q, 1000).as[(Long, Double)].collect().toMap
+    def adcErr(iters: Int): Double = {
+      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = iters)
+      val adc = Similarity.pqTopK(Similarity.pqEncoded(emb, books), books, q, 1000)
+        .as[(Long, Double)].collect().toMap
+      val errs = exact.collect { case (id, c) if adc.contains(id) => math.abs(adc(id) - c) }
+      errs.sum / errs.size
+    }
+    val trained = adcErr(2)
+    assert(trained < 0.2, s"mean ADC error $trained")
+    // Lloyd iterations should not make the codebook worse
+    assert(trained <= adcErr(0) + 0.02)
+  }
+
+  test("pqTopK: k rows, descending, reasonable recall vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.orderBy($"vec_id".desc).limit(1)
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+    val pq = Similarity.pqTopK(Similarity.pqEncoded(emb, books), books, q, 10).collect()
+    assert(pq.length === 10)
+    assert(pq.map(_.getDouble(1)).toSeq === pq.map(_.getDouble(1)).sortBy(-_).toSeq)
+    assert(!pq.map(_.getLong(0)).contains(
+      q.select($"vec_id").head().getLong(0)))
+    val brute = Similarity.topK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val recall = pq.map(_.getLong(0)).count(brute.contains) / 10.0
+    assert(recall >= 0.2, s"recall@10 $recall")
+  }
 }
