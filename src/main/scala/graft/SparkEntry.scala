@@ -342,6 +342,20 @@ object SparkEntry {
     "q_bigram_frac" -> ((s, dir) =>
       TextAnalysis.topBigramFraction(Tables.documents(s, dir))),
 
+    "q_repetition" -> ((s, dir) => {
+      // intra-doc repetition: the raw word-soup texts never repeat a
+      // sentence, so repeated units are synthesized deterministically
+      // (same convention as q_boilerplate/q_url_normalize)
+      val withRep = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            ". click here to subscribe. click here to subscribe").otherwise(""),
+          when(col("doc_id") % 6 === 0, ". limited time offer only").otherwise(""))
+          .as("text"))
+      TextAnalysis.repetitionStats(withRep)
+    }),
+
     "q_url_normalize" -> ((s, dir) => {
       // deterministic synthetic URLs (the documents table carries no URL
       // column): both engines build the identical string, then canonicalize
@@ -472,6 +486,18 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.orderBy(col("vec_id").desc).limit(1), 10)
     }),
+
+    "q_embed_mean" -> ((s, dir) =>
+      // per-class mean-pooled embedding (centroid per label) — the pooling
+      // pass under classifier prototypes / cluster summaries. posexplode →
+      // one partially-aggregated groupBy: the exchange carries
+      // (label × dim) partial sums, never vectors. Decimal accumulation ⇒
+      // partition-invariant, oracle-exact.
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(round(sum(col("x").cast("double").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("mean_x"))),
 
     "q_pq_topk" -> ((s, dir) => {
       // product-quantization ADC top-k: train codebooks, encode the corpus
@@ -942,6 +968,26 @@ object SparkEntry {
         |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
         |FROM cnt GROUP BY doc_id""".stripMargin,
 
+    "q_repetition" ->
+      """WITH synth AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |          THEN '. click here to subscribe. click here to subscribe' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '. limited time offer only' ELSE '' END) AS text
+        |  FROM documents),
+        |units AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\.\s+')) AS unit FROM synth),
+        |gu AS (
+        |  SELECT doc_id, unit, count(*) AS c, length(unit) AS len
+        |  FROM units GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_units,
+        |  round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS dup_unit_frac,
+        |  round(CAST(sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS DOUBLE)
+        |    / nullif(CAST(sum(c * len) AS DOUBLE), 0), 6) AS dup_char_frac
+        |FROM gu GROUP BY doc_id""".stripMargin,
+
     "q_url_normalize" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -1111,6 +1157,15 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
          |  FROM scored)
          |WHERE rn <= 10""".stripMargin,
+
+    "q_embed_mean" ->
+      """SELECT label, CAST(u.dim AS BIGINT) AS dim,
+        |  round(CAST(sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) AS mean_x
+        |FROM (SELECT label,
+        |        unnest(list_transform(embedding, (x, i) -> struct_pack(dim := i - 1, x := x))) AS u
+        |      FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type,

@@ -193,6 +193,34 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Gopher-style intra-document repetition stats over sentence units
+    * (split on ". "): `dup_unit_frac` = unit occurrences beyond the first
+    * of their kind / total units; `dup_char_frac` = characters inside units
+    * that appear ≥ 2 times (all occurrences) / total unit characters. High
+    * values mark templated or looping text that per-document dedup can't
+    * catch and quality filters drop (Rae et al., Gopher, arXiv:2112.11446
+    * §A1.1). Shape: one explode → (doc, unit) counts → per-doc summary —
+    * both shuffles partial-aggregate, carrying unit counts and per-doc
+    * rows, never raw text.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val perUnit = docs
+      .select(col(idCol), explode(split(col(textCol), "\\.\\s+")).as("unit"))
+      .groupBy(col(idCol), col("unit"))
+      .agg(count(lit(1)).as("c"))
+      .select(col(idCol), col("c"), length(col("unit")).as("len"))
+    perUnit
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_units"),
+        round((sum(col("c")) - count(lit(1))).cast("double")
+          / sum(col("c")).cast("double"), 6).as("dup_unit_frac"),
+        round(sum(when(col("c") > 1, col("c") * col("len")).otherwise(0L)).cast("double")
+          / nullif(sum(col("c") * col("len")).cast("double"), lit(0.0)), 6)
+          .as("dup_char_frac"))
+  }
+
   /** Corpus vocabulary: token → frequency over lowercased whitespace tokens,
     * keeping tokens seen ≥ `minCount` times — the counting pass under BPE /
     * tokenizer training and frequency-based filtering. explode + groupBy

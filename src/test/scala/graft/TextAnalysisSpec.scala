@@ -94,6 +94,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(3L)) // no bigrams → no row, same as the oracle
   }
 
+  test("repetitionStats: duplicate-unit and duplicate-char fractions") {
+    val docs = Seq(
+      (1L, "a b. c d. a b"),          // 3 units, "a b"×2 (len 3 each)
+      (2L, "alpha. beta. gamma"),     // all distinct
+      (3L, "x. x. x")                 // one unit ×3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 0.333333, 0.666667))) // (3-2)/3, (2·3)/(3·3)
+    assert(out(2L) === ((3L, 0.0, 0.0)))
+    assert(out(3L) === ((3L, 0.666667, 1.0)))
+  }
+
   test("multimodal attachBinary: payload bytes + typed metadata struct") {
     val df = graft.operators.Multimodal.attachBinary(Tables.documents(spark, sfDir))
     assert(df.schema.fieldNames.toSeq === Seq("doc_id", "payload", "meta"))
