@@ -342,6 +342,15 @@ object SparkEntry {
     "q_bigram_frac" -> ((s, dir) =>
       TextAnalysis.topBigramFraction(Tables.documents(s, dir))),
 
+    "q_charlm" -> ((s, dir) =>
+      TextAnalysis.charBigramLM(Tables.documents(s, dir))),
+
+    "q_mix_temperature" -> ((s, dir) =>
+      // languages are the skewed stratum in the testdata (en dominates) —
+      // α=0.5 downsamples it toward the flattened mixture
+      Sampling.temperatureMix(Tables.documents(s, dir), "lang", "doc_id", 0.5)
+        .select("doc_id", "lang", "source")),
+
     "q_repetition" -> ((s, dir) => {
       // intra-doc repetition: the raw word-soup texts never repeat a
       // sentence, so repeated units are synthesized deterministically
@@ -967,6 +976,33 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS max_count,
         |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
         |FROM cnt GROUP BY doc_id""".stripMargin,
+
+    "q_charlm" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text)),
+        |                        i -> substr(text, i, 2))) AS bg
+        |  FROM documents WHERE length(text) >= 2),
+        |dc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |m AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |ctx AS (SELECT substr(bg, 1, 1) AS a, CAST(sum(c2) AS BIGINT) AS c1
+        |        FROM m GROUP BY 1),
+        |lp AS (SELECT m.bg, ln(c2) - ln(c1) AS logp
+        |       FROM m JOIN ctx ON substr(m.bg, 1, 1) = ctx.a)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(sum(CAST(c * logp AS DECIMAL(28,12))) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE), 6) AS nll
+        |FROM dc JOIN lp ON dc.bg = lp.bg GROUP BY doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |nmin AS (SELECT min(n) AS nm FROM counts),
+        |rates AS (SELECT lang,
+        |    CAST(round(power(CAST(nm AS DOUBLE) / CAST(n AS DOUBLE), 0.5) * 65536, 0)
+        |      AS INT) AS t
+        |  FROM counts, nmin)
+        |SELECT doc_id, lang, source FROM documents JOIN rates USING (lang)
+        |WHERE t >= 65536
+        |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < lpad(lower(to_hex(t)), 4, '0')""".stripMargin,
 
     "q_repetition" ->
       """WITH synth AS (

@@ -90,4 +90,33 @@ object Sampling {
     }
     df.where(keep)
   }
+
+  /** Temperature-scaled mixture — the sampling rates come FROM THE DATA:
+    * kept counts ∝ n_s^`alpha` (the multilingual-LLM temperature rule;
+    * alpha = 1 keeps natural proportions, alpha → 0 flattens toward
+    * uniform), realized downsampling-only — the smallest stratum keeps
+    * everything, a stratum of size n_s keeps rate (n_min/n_s)^(1−alpha).
+    *
+    * Shape: one partially-aggregated count (stratum-cardinality rows), a
+    * broadcast rate join, and the same deterministic md5-prefix membership
+    * as every other sampler — so the mixture is engine-reproducible and a
+    * row's membership never depends on re-runs. The threshold is carried as
+    * an integer and compared only when < 2^16 (rate-1 strata skip the
+    * fixed-width hex comparison, which can't represent "keep all").
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+                     alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0,1]")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = broadcast(counts.crossJoin(broadcast(nMin))
+      .select(col(stratumCol),
+        round(pow(col("__nmin").cast("double") / col("__n").cast("double"),
+          lit(1.0 - alpha)) * 65536, 0).cast("int").as("__t")))
+    df.join(rates, stratumCol)
+      .where(col("__t") >= 65536 ||
+        substring(md5(col(idCol).cast("string")), 1, 4)
+          < lpad(lower(hex(col("__t"))), 4, "0"))
+      .drop("__t")
+  }
 }

@@ -97,8 +97,22 @@ object Similarity {
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b =
       if (blocks > 0) blocks
-      else math.max(4, math.ceil(math.sqrt(
-        4.0 * embeddings.sparkSession.sparkContext.defaultParallelism)).toInt)
+      else {
+        // parallelism-derived grid: cell count b(b+1)/2 ≈ 2× default
+        // parallelism (1-Bucket-Theta guidance) …
+        val fromPar = math.max(4, math.ceil(math.sqrt(
+          4.0 * embeddings.sparkSession.sparkContext.defaultParallelism)).toInt)
+        // … capped by the optimizer's row-count estimate when one exists
+        // (CBO stats or an AQE-materialized child): blocks beyond √(n/64)
+        // leave < 64×64 pair-products per cell, where per-cell fixed costs
+        // (task setup, hash-table build) dominate the quadratic work the
+        // split is meant to balance — a small corpus on a big cluster
+        // otherwise shatters into thousands of near-empty cells, each
+        // shipping its replicated rows for nothing.
+        val fromStats = embeddings.queryExecution.optimizedPlan.stats.rowCount
+          .map(n => math.max(4, math.ceil(math.sqrt(n.toDouble / 64.0)).toInt))
+        fromStats.fold(fromPar)(math.min(fromPar, _))
+      }
     // everything feeding the grid is COMPILED per-row work (Int8Quantize,
     // ArrayDotProduct): these projections re-evaluate after the explode, so
     // an interpreted HOF here would multiply by the replication factor.

@@ -193,6 +193,42 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Character-bigram language-model score — the engine-exact stand-in for
+    * the CCNet/KenLM perplexity filter: train a bigram model ON THE CORPUS
+    * ITSELF (c(ab)/c(a·), maximum likelihood), then score each document by
+    * its average negative log-likelihood in nats (cross-entropy;
+    * perplexity = e^nll). Outlier-high nll marks text whose character
+    * statistics diverge from the corpus — gibberish, wrong-language,
+    * encoding damage; near-zero marks degenerate repetition.
+    *
+    * Shape: one bigram explode feeds both the model counts (vocab-bounded,
+    * partial-aggregated) and per-doc bigram counts; the model side
+    * broadcast-joins back. Per-term c·log p products accumulate in decimal
+    * so the fold order can't move the 6th decimal. Docs under 2 chars have
+    * no bigrams and emit no row.
+    */
+  def charBigramLM(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val bigrams = docs
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, greatest(length($textCol) - 1, 1)), " +
+          s"i -> substring($textCol, i, 2))")).as("bg"))
+      .where(length(col("bg")) === 2)
+    val docCounts = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+    val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("a", substring(col("bg"), 1, 1))
+    val ctx = model.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+    val logp = broadcast(model.join(ctx, "a")
+      .select(col("bg"), (log(col("c2")) - log(col("c1"))).as("__logp")))
+    docCounts
+      .join(logp, "bg")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        round(-sum((col("c") * col("__logp")).cast("decimal(28,12)")).cast("double")
+          / sum(col("c")), 6).as("nll"))
+  }
+
   /** Gopher-style intra-document repetition stats over sentence units
     * (split on ". "): `dup_unit_frac` = unit occurrences beyond the first
     * of their kind / total units; `dup_char_frac` = characters inside units

@@ -81,4 +81,20 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(ids.toSet !== lowestIds.toSet)
   }
+
+  test("temperatureMix: smallest stratum keeps all, larger downsample toward n^alpha") {
+    val df = (1L to 125L).map(i => (i, if (i <= 100) "big" else "small"))
+      .toDF("id", "stratum")
+    // alpha = 1: natural proportions — nothing dropped
+    assert(Sampling.temperatureMix(df, "stratum", "id", 1.0).count() === 125L)
+    // alpha = 0: uniform target — "small" (25) keeps all, "big" keeps rate 25/100
+    val flat = Sampling.temperatureMix(df, "stratum", "id", 0.0)
+    val byStratum = flat.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(byStratum("small") === 25L)
+    assert(byStratum("big") > 10L && byStratum("big") < 45L, s"got ${byStratum("big")}")
+    // deterministic membership
+    val again = Sampling.temperatureMix(df, "stratum", "id", 0.0)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(flat.select("id").as[Long].collect().sorted.toSeq === again)
+  }
 }

@@ -107,6 +107,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((3L, 0.666667, 1.0)))
   }
 
+  test("charBigramLM: hand-computed cross-entropy on a two-doc corpus") {
+    // corpus bigrams: "ab" (from doc 1), "ac" (doc 2); context 'a' total 2
+    // → P = 1/2 each → per-doc nll = ln 2
+    val docs = Seq((1L, "ab"), (2L, "ac")).toDF("doc_id", "text")
+    val out = TextAnalysis.charBigramLM(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((1L, 0.693147)))
+    assert(out(2L) === ((1L, 0.693147)))
+    // a perfectly predictable doc scores 0
+    val aa = TextAnalysis.charBigramLM(Seq((1L, "aaaa")).toDF("doc_id", "text")).collect()
+    assert(aa.head.getDouble(2) === 0.0)
+    // docs under 2 chars emit no row
+    assert(TextAnalysis.charBigramLM(Seq((1L, "x")).toDF("doc_id", "text")).isEmpty)
+  }
+
   test("multimodal attachBinary: payload bytes + typed metadata struct") {
     val df = graft.operators.Multimodal.attachBinary(Tables.documents(spark, sfDir))
     assert(df.schema.fieldNames.toSeq === Seq("doc_id", "payload", "meta"))
