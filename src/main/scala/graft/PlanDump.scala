@@ -26,7 +26,8 @@ object PlanDump {
       val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
       val smj = "SortMergeJoin".r.findAllIn(plan).length
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-      val wsc = "WholeStageCodegen".r.findAllIn(plan).length
+      // codegen stages render as "*(n) Op" in executedPlan.toString
+      val wsc = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet.size
       println(s"== $name: exchanges=$exchanges bhj=$bhj smj=$smj bnlj=$bnlj codegenSpans=$wsc")
       if (args.nonEmpty) df.explain("formatted")
     }

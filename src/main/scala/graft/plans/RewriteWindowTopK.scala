@@ -36,13 +36,24 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Conjunction-aware: `rn <= k AND p` rewrites too — the k-limit conjunct
+    * is what bounds the window input; any other conjunct still filters
+    * above the (recomputed, identical) rank column, so it sees exactly the
+    * rows it would have kept. Multiple rank conjuncts take the tightest k.
+    */
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w @ Window(Seq(winExpr), _, _, child, _))
         if !child.isInstanceOf[GroupTopKPlan] =>
       isRowNumberOverOrder(winExpr) match {
         case Some((partitionSpec, orderSpec)) =>
           val rnAttr = winExpr.toAttribute
-          rankLimit(cond, rnAttr) match {
+          val ks = splitConjuncts(cond).flatMap(c => rankLimit(c, rnAttr))
+          ks.reduceOption(math.min) match {
             case Some(k) if k > 0 =>
               f.copy(child = w.copy(child = GroupTopKPlan(partitionSpec, orderSpec, k, child)))
             case _ => f

@@ -28,6 +28,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("RewriteWindowTopK: rank-limit inside a conjunction rewrites, extra preds survive") {
+    Graft.enable(spark)
+    val orders = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val q = orders.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3 && $"o_totalprice" > 50000.0)
+    assert(q.queryExecution.optimizedPlan.toString().contains("GroupTopK"))
+    val expected = orders.collect().groupBy(_.getLong(0)).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(3)
+        .filter(_.getDouble(2) > 50000.0)
+    }.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = q.select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("RewriteWindowTopK leaves non-top-k window queries alone") {
     Graft.enable(spark)
     val orders = Tables.orders(spark, sfDir)

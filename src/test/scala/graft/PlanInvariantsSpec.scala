@@ -103,6 +103,29 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(pushed.contains("l_shipdate"), pushed)
   }
 
+  test("round-3 operators keep their scale shapes") {
+    // PQ probe: compiled encode + ADC are pure map work — ZERO exchanges
+    // between scan and TakeOrdered
+    val pq = plan("q_pq_topk")
+    assert(count(pq, "Exchange") === 0, pq)
+    assert(pq.contains("TakeOrderedAndProject"), pq)
+    // mean-pooling: one partial-aggregated exchange carrying (label × dim)
+    // sums, never vectors
+    val em = plan("q_embed_mean")
+    assert(count(em, "Exchange") === 1, em)
+    assert(count(em, "HashAggregate") === 2, em)
+    // char-LM: the model side broadcasts (vocab-bounded); no sort-merge
+    // join, no nested loop anywhere
+    val lm = plan("q_charlm")
+    assert(!lm.contains("SortMergeJoin") && !lm.contains("BroadcastNestedLoopJoin"), lm)
+    assert(lm.contains("BroadcastHashJoin"), lm)
+    // temperature mix: rates broadcast back; the only nested loop is the
+    // one-row n_min build (the q_ann_topk convention)
+    val mx = plan("q_mix_temperature")
+    assert(!mx.contains("SortMergeJoin"), mx)
+    assert(count(mx, "BroadcastNestedLoopJoin") <= 1, mx)
+  }
+
   test("incremental bar merge aggregates bars — the tick scans partial-combine first") {
     val p = plan("q_incremental_bars")
     // two mergeableBars partial+final pairs plus the merge's pair: every
