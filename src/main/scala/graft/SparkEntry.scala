@@ -496,6 +496,17 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.orderBy(col("vec_id").desc).limit(1), 10)
     }),
 
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ: partition-pruned coarse cells + ADC over m-byte codes —
+      // the billion-scale composition of q_ann_ivf and q_pq_topk
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansCentroids(emb, 16, 2)
+      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+      Similarity.ivfPqTopK(
+        Similarity.buildIvfPqIndex(emb, cents, books), cents, books,
+        emb.orderBy(col("vec_id").desc).limit(1), 10, nprobe = 8)
+    }),
+
     "q_embed_mean" -> ((s, dir) =>
       // per-class mean-pooled embedding (centroid per label) — the pooling
       // pass under classifier prototypes / cluster summaries. posexplode →

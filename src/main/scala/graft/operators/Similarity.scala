@@ -440,6 +440,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** The combined IVF-PQ index: coarse cell (compiled NearestCentroid) +
+    * m-byte PQ codes (compiled PqEncode) per vector — the standard
+    * billion-scale ANN layout (FAISS IVF-PQ): partition-prune to nprobe
+    * cells, then ADC-scan codes without touching float vectors. Both
+    * assignments are map-side; scan → sink has zero shuffles. Write
+    * `partitionBy("cent_idx")` like [[buildIvfIndex]].
+    *
+    * Codes quantize the raw vector (not the cell residual): scores stay
+    * comparable across cells with ONE LUT per query — residual coding would
+    * need an LUT per probed cell (nprobe× the driver prep) for one extra
+    * bit of effective precision; at the 64-dim testdata scale the
+    * non-residual error is already inside the re-rank margin.
+    */
+  def buildIvfPqIndex(embeddings: DataFrame, centroids: Array[Array[Double]],
+                      codebooks: Array[Array[Array[Double]]],
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol),
+      graft.plans.Exprs.nearestCentroid(col(vecCol), centroids).as("cent_idx"),
+      graft.plans.Exprs.pqEncode(col(vecCol), codebooks).as("codes"))
+
+  /** Top-k against an IVF-PQ index: probe cells picked driver-side against
+    * the coarse codebook, ADC scoring over only the probed cells' codes —
+    * per probed row the work is m table lookups; with a cent_idx-partitioned
+    * index the scan itself is partition-pruned. Approximate on two axes
+    * (cell recall × PQ distortion); re-rank survivors against float vectors
+    * when exact order matters.
+    */
+  def ivfPqTopK(index: DataFrame, centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                query: DataFrame, k: Int, nprobe: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qRow = query.select(col(idCol), col(vecCol)).head()
+    val qid = qRow.getLong(0)
+    val qv = qRow.getSeq[Float](1).toArray.map(_.toDouble)
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qv).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nprobe).map(_._1)
+    val dsub = codebooks(0)(0).length
+    val ipLut = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => c.zipWithIndex.map { case (x, i) => x * qv(s * dsub + i) }.sum)
+    }
+    val normSqLut = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    index
+      .where(col("cent_idx").isin(probes.toSeq: _*) && col(idCol) =!= qid)
+      .select(col(idCol),
+        round(graft.plans.Exprs.pqAdcScore(col("codes"), ipLut, normSqLut, qNorm), 6)
+          .as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucketed near-neighbor pairs: same LSH signature ⇒ candidate; exact
     * cosine verifies. The groupBy key is the signature — candidate work is
     * Σ bucket², never corpus².

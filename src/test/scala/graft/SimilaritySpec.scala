@@ -201,6 +201,27 @@ class SimilaritySpec extends SparkSpec {
     assert(trained <= adcErr(0) + 0.02)
   }
 
+  test("ivfPqTopK: probed-cell ADC results are a subset of full-corpus ADC ranking") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.orderBy($"vec_id".desc).limit(1)
+    val cents = Similarity.kmeansCentroids(emb, 8, 2)
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+    val index = Similarity.buildIvfPqIndex(emb, cents, books)
+    val out = Similarity.ivfPqTopK(index, cents, books, q, 10, nprobe = 4).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getDouble(1)).toSeq === out.map(_.getDouble(1)).sortBy(-_).toSeq)
+    // probing ALL cells must equal the pure-PQ ranking (same ADC scores)
+    val allCells = Similarity.ivfPqTopK(index, cents, books, q, 10, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    val purePq = Similarity.pqTopK(Similarity.pqEncoded(emb, books), books, q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(allCells === purePq)
+    // brute-force recall stays reasonable through both approximations
+    val brute = Similarity.topK(emb, q, 10).collect().map(_.getLong(0)).toSet
+    val recall = out.map(_.getLong(0)).count(brute.contains) / 10.0
+    assert(recall >= 0.2, s"recall@10 $recall")
+  }
+
   test("pqTopK: k rows, descending, reasonable recall vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.orderBy($"vec_id".desc).limit(1)
