@@ -209,18 +209,23 @@ object TextAnalysis {
     */
   def charBigramLM(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
-    val bigrams = docs
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, greatest(length($textCol) - 1, 1)), " +
-          s"i -> substring($textCol, i, 2))")).as("bg"))
-      .where(length(col("bg")) === 2)
-    val docCounts = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
-    val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      .withColumn("a", substring(col("bg"), 1, 1))
-    val ctx = model.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
-    val logp = broadcast(model.join(ctx, "a")
+    // Two COMPILED bigram passes total (graft.plans.CharNgrams — the
+    // interpreted transform/substring HOF costs a lambda per character
+    // position): the model branch partial-aggregates the gram stream
+    // straight to vocab-sized counts and takes its context totals from a
+    // window over that (vocab-sized) frame — NOT a third corpus re-explode;
+    // the scoring branch combines to per-(doc, bigram) counts first so the
+    // decimal accumulation runs per distinct pair, not per occurrence
+    // (measured ~25% of query time at sf0.1), then broadcast-joins the
+    // model. No exchange in the plan ever carries raw gram occurrences.
+    val grams = docs
+      .select(col(idCol), explode(graft.plans.Exprs.charNgrams(col(textCol), 2)).as("bg"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(substring(col("bg"), 1, 1))
+    val logp = broadcast(grams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(w))
       .select(col("bg"), (log(col("c2")) - log(col("c1"))).as("__logp")))
-    docCounts
+    grams
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
       .join(logp, "bg")
       .groupBy(col(idCol))
       .agg(

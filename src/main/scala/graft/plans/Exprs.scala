@@ -48,6 +48,10 @@ object Exprs {
   def charDiversity(text: Column): Column =
     GraftBridge.column(CharDiversity(GraftBridge.expression(text)))
 
+  /** Compiled char n-gram stream (see [[CharNgrams]]). */
+  def charNgrams(text: Column, n: Int): Column =
+    GraftBridge.column(CharNgrams(GraftBridge.expression(text), n))
+
   /** Compiled product-quantization encode (see [[PqEncode]]). */
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     GraftBridge.column(PqEncode(GraftBridge.expression(vec), codebooks))
