@@ -498,10 +498,14 @@ object SparkEntry {
 
     "q_ann_ivfpq" -> ((s, dir) => {
       // IVF-PQ: partition-pruned coarse cells + ADC over m-byte codes —
-      // the billion-scale composition of q_ann_ivf and q_pq_topk
+      // the billion-scale composition of q_ann_ivf and q_pq_topk. Codebooks
+      // train on a deterministic hash SAMPLE (the production shape at
+      // 100 TB: quantizers need representative statistics, not the corpus)
+      // while the full corpus is encoded and probed.
       val emb = Tables.embeddings(s, dir)
-      val cents = Similarity.kmeansCentroids(emb, 16, 2)
-      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+      val sample = Sampling.deterministicSample(emb, "vec_id", 0.25)
+      val cents = Similarity.kmeansCentroids(sample, 16, 2)
+      val books = Similarity.pqCodebooks(sample, m = 8, ksub = 16, iters = 2)
       Similarity.ivfPqTopK(
         Similarity.buildIvfPqIndex(emb, cents, books), cents, books,
         emb.orderBy(col("vec_id").desc).limit(1), 10, nprobe = 8)

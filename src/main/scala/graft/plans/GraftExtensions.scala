@@ -61,7 +61,14 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("graft_char_diversity"),
       info("graft_char_diversity", "graft_char_diversity(text) - Simpson/Gini character diversity in [0, 1)"),
-      (exprs: Seq[Expression]) => CharDiversity(exprs(0))))
+      (exprs: Seq[Expression]) => CharDiversity(exprs(0))),
+    (FunctionIdentifier("graft_char_ngrams"),
+      info("graft_char_ngrams", "graft_char_ngrams(text, n) - all character n-grams (multiset, in order)"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(n: Int, IntegerType) => CharNgrams(exprs(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_char_ngrams: second argument must be an integer literal, got $other")
+      }))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -66,7 +66,8 @@ class ExtensionsSpec extends SparkSpec {
         |       size(graft_minhash(array('ab','bc'), 16)) AS nsig,
         |       graft_simhash(array('x','y')) AS sh,
         |       size(graft_winnow('hello world hello', 4, 3)) AS nw,
-        |       graft_char_diversity('ab') AS cd
+        |       graft_char_diversity('ab') AS cd,
+        |       graft_char_ngrams('abc', 2) AS cng
         |FROM t""".stripMargin).head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 11L) // 1*3 + 2*4
@@ -74,6 +75,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(4) === 16)
     assert(r.getInt(6) > 0)
     assert(r.getDouble(7) === 0.5)
+    assert(r.getSeq[String](8) === Seq("ab", "bc"))
   }
 
   test("saltedJoin equals the plain join result") {
