@@ -68,6 +68,28 @@ object EventsStream {
       .select(col("user_id"), col("fact_ts"), col("fact_value"), col("dim_ts"), col("dim_value"))
   }
 
+  /** Streaming NEAR-dedup for a document stream: rows whose SimHash64
+    * fingerprints collide within the watermark delay collapse to the first
+    * arrival — trivially-reformatted duplicates (the normalizer runs before
+    * hashing) fold together without any pairwise comparison, the only
+    * near-dup shape a one-pass stream admits (bucketed LSH candidate
+    * generation needs a second pass over the bucket; run the batch
+    * operators over the landed data for hamming > 0 recall). State per
+    * fingerprint expires with the watermark — O(docs within the delay).
+    * Batch path: the same fingerprint through dropDuplicates.
+    */
+  def nearDedupWithinWatermark(docs: DataFrame, textCol: String = "text",
+                               delay: String = "1 hour"): DataFrame = {
+    val normed = lower(regexp_replace(col(textCol), "\\s+", " "))
+    val keyed = docs.withColumn("__simhash",
+      graft.plans.Exprs.simhash(split(trim(normed), " ")))
+    val out =
+      if (docs.isStreaming)
+        keyed.withWatermark("ts", delay).dropDuplicatesWithinWatermark("__simhash")
+      else keyed.dropDuplicates("__simhash")
+    out.drop("__simhash")
+  }
+
   /** Streaming exact dedup on `keys`: duplicates arriving within the
     * watermark delay of each other collapse to the first arrival; state per
     * key expires with the watermark, so memory is O(keys within the delay),

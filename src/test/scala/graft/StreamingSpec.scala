@@ -7,6 +7,8 @@ import graft.streaming.EventsStream.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -362,6 +364,31 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.table("dedup_stream").collect()
       assert(rows.length === 2, rows.mkString(";"))
       assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    } finally query.stop()
+  }
+
+  test("nearDedupWithinWatermark folds reformatted duplicates, keeps distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDoc]
+    val out = EventsStream.nearDedupWithinWatermark(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")))
+    val query = out.writeStream.format("memory").queryName("near_dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1L, ts("2024-01-01 10:00:00"), "The quick brown fox"),
+        // same text reformatted: extra whitespace + case — same fingerprint
+        StreamDoc(2L, ts("2024-01-01 10:00:30"), "  the   QUICK brown\tfox "),
+        StreamDoc(3L, ts("2024-01-01 10:01:00"), "an entirely different document"))
+      query.processAllAvailable()
+      val rows = spark.table("near_dedup_stream").collect()
+      assert(rows.length === 2, rows.mkString(";"))
+      assert(rows.map(_.getLong(0)).toSet === Set(1L, 3L))
+      // batch path: same fingerprint semantics through dropDuplicates
+      val batch = EventsStream.nearDedupWithinWatermark(
+        Seq(StreamDoc(1L, ts("2024-01-01 10:00:00"), "a b c"),
+          StreamDoc(2L, ts("2024-01-01 10:00:01"), "A  B  c")).toDS().toDF())
+      assert(batch.count() === 1)
     } finally query.stop()
   }
 
