@@ -137,6 +137,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CharNgrams equals naive sliding window on random unicode text") {
+    val gen = Gen.listOf(Gen.frequency(
+      (8, Gen.alphaNumChar.map(_.toString)), (2, Gen.const(" ")),
+      (2, Gen.oneOf("é", "ß", "中", "文", "🎈")))).map(_.mkString)
+    for (seed <- 30L to 34L) {
+      val texts = Gen.listOfN(40, gen)(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = df.select($"id", graft.plans.Exprs.charNgrams($"text", 2).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        // sliding over CODE POINTS — the kernel must be character-accurate
+        // on multi-byte text, not a byte window. (🎈 is a surrogate pair in
+        // the JVM's UTF-16 Strings, so build the reference from codepoints.)
+        val cps = t.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        val expected = cps.sliding(2).filter(_.length == 2).map(_.mkString).toSeq
+        assert(got(i.toLong) === expected, s"seed=$seed text='$t'")
+      }
+    }
+  }
+
+  test("temperatureMix membership equals the naive per-stratum rate filter (random data)") {
+    for (seed <- 40L to 42L) {
+      val rows = genData(seed, 200).zipWithIndex
+        .map { case (e, i) => (i.toLong, s"s${e.k}") }
+      val df = rows.toDF("id", "stratum")
+      val alpha = 0.3
+      val got = graft.operators.Sampling.temperatureMix(df, "stratum", "id", alpha)
+        .select("id").as[Long].collect().toSet
+      // naive: rates from exact counts, same md5-prefix rule
+      val counts = rows.groupBy(_._2).map { case (s, r) => s -> r.size.toLong }
+      val nMin = counts.values.min
+      val expected = rows.filter { case (id, s) =>
+        val t = math.round(math.pow(nMin.toDouble / counts(s), 1 - alpha) * 65536).toInt
+        t >= 65536 || {
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(4)
+          md < f"$t%04x"
+        }
+      }.map(_._1).toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("incremental append equals naive newer-than filter (random data)") {
     for (seed <- 20L to 23L) {
       val all = genData(seed, 100).zipWithIndex.map { case (e, i) => (e.k, e.t * 1000L + i, e.v) }
