@@ -345,6 +345,19 @@ object SparkEntry {
     "q_charlm" -> ((s, dir) =>
       TextAnalysis.charBigramLM(Tables.documents(s, dir))),
 
+    "q_c4_rules" -> ((s, dir) => {
+      // the word-soup corpus carries no placeholder text or code — the two
+      // content tripwires are synthesized deterministically (q_boilerplate
+      // convention); word-count/word-length variation is natural
+      val synth = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 17 === 0, " lorem ipsum dolor sit amet").otherwise(""),
+          when(col("doc_id") % 23 === 0, " function() { return 1; }").otherwise(""))
+          .as("text"))
+      TextAnalysis.c4Rules(synth)
+    }),
+
     "q_mix_temperature" -> ((s, dir) =>
       // languages are the skewed stratum in the testdata (en dominates) —
       // α=0.5 downsamples it toward the flattened mixture
@@ -1007,6 +1020,26 @@ object SparkEntry {
         |  round(-CAST(sum(CAST(c * logp AS DECIMAL(28,12))) AS DOUBLE)
         |    / CAST(sum(c) AS DOUBLE), 6) AS nll
         |FROM dc JOIN lp ON dc.bg = lp.bg GROUP BY doc_id""".stripMargin,
+
+    "q_c4_rules" ->
+      """WITH synth AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum dolor sit amet' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 23 = 0 THEN ' function() { return 1; }' ELSE '' END) AS text
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS word_count,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / nullif(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 0)
+        |      AS ml,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_brace
+        |  FROM synth)
+        |SELECT doc_id, word_count, round(ml, 6) AS mean_word_len, has_lorem, has_brace,
+        |  (word_count >= 30 AND word_count <= 120000 AND ml >= 3.0 AND ml <= 10.0
+        |   AND NOT has_lorem AND NOT has_brace) AS keep
+        |FROM sig""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

@@ -234,6 +234,34 @@ object TextAnalysis {
           / sum(col("c")), 6).as("nll"))
   }
 
+  /** C4-style heuristic quality rules (Raffel et al., arXiv:1910.10683
+    * §2.2, as carried into FineWeb): word-count bounds, mean-word-length
+    * bounds, and the two classic content tripwires — "lorem ipsum"
+    * (placeholder text) and `{` (code leaking into prose). Emits the
+    * per-document signals plus the combined `keep` verdict so pipelines can
+    * audit WHY a document dropped. Pure codegen'd projection — scan speed,
+    * no shuffle.
+    */
+  def c4Rules(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+              minWords: Long = 30, maxWords: Long = 120000,
+              minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0): DataFrame = {
+    val wc = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    // Σ word lengths = non-whitespace chars; / word count = mean word length
+    val meanLen = length(regexp_replace(col(textCol), "\\s+", ""))
+      .cast("double") / nullif(wc.cast("double"), lit(0.0))
+    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
+    val hasBrace = col(textCol).contains("{")
+    docs.select(
+      col(idCol),
+      wc.as("word_count"),
+      round(meanLen, 6).as("mean_word_len"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (wc >= minWords && wc <= maxWords &&
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+        !hasLorem && !hasBrace).as("keep"))
+  }
+
   /** Gopher-style intra-document repetition stats over sentence units
     * (split on ". "): `dup_unit_frac` = unit occurrences beyond the first
     * of their kind / total units; `dup_char_frac` = characters inside units

@@ -122,6 +122,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.charBigramLM(Seq((1L, "x")).toDF("doc_id", "text")).isEmpty)
   }
 
+  test("c4Rules: signals and keep verdict on crafted docs") {
+    val docs = Seq(
+      (1L, Seq.fill(40)("hello").mkString(" ")),            // clean, 40×5-char words
+      (2L, "too short"),                                     // < minWords
+      (3L, Seq.fill(40)("ok").mkString(" ")),                // mean word len 2 < 3
+      (4L, Seq.fill(40)("hello").mkString(" ") + " lorem ipsum x"),
+      (5L, Seq.fill(40)("hello").mkString(" ") + " if (x) { y }")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Rules(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out(1L) === ((40L, false, false, true)))
+    assert(out(2L)._4 === false)
+    assert(out(3L)._4 === false)
+    assert(out(4L) === ((43L, true, false, false)))
+    assert(out(5L)._3 === true && out(5L)._4 === false)
+    // the keep verdict must vary on the real corpus (not a constant column)
+    val kept = TextAnalysis.c4Rules(Tables.documents(spark, sfDir)).where($"keep").count()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(kept > 0 && kept < total, s"$kept of $total")
+  }
+
   test("multimodal attachBinary: payload bytes + typed metadata struct") {
     val df = graft.operators.Multimodal.attachBinary(Tables.documents(spark, sfDir))
     assert(df.schema.fieldNames.toSeq === Seq("doc_id", "payload", "meta"))
