@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -66,12 +67,54 @@ class QuoteFeedTable(tickers: Seq[String], days: Int) extends Table with Support
 }
 
 class QuoteScanBuilder(tickers: Seq[String], days: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = QuoteFeed.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggSchema: Option[StructType] = None
+  private var aggSpecs: Seq[String] = Nil // "count" | "min_day" | "max_day"
+  private var aggGrouped: Boolean = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** COUNT(*)/MIN(day)/MAX(day), optionally grouped by ticker, are answered
+    * per input partition WITHOUT materializing tick rows — the upstream
+    * call for "how many days, what range" ships one summary row per ticker
+    * instead of the feed. Partial pushdown (supportCompletePushDown stays
+    * false): Spark's final aggregate still merges the per-partition rows,
+    * so the contract holds even if a ticker ever spanned partitions.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def isCol(e: Any, name: String): Boolean = e match {
+      case f: NamedReference => f.fieldNames.length == 1 && f.fieldNames()(0) == name
+      case _ => false
+    }
+    val groupOk = aggregation.groupByExpressions.forall(isCol(_, "ticker"))
+    val specs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if isCol(m.column, "day") => Some("min_day")
+      case m: Max if isCol(m.column, "day") => Some("max_day")
+      case _ => None
+    }
+    if (!groupOk || specs.exists(_.isEmpty)) return false
+    aggSpecs = specs.flatten
+    aggGrouped = aggregation.groupByExpressions.nonEmpty
+    // contract: the pushed-aggregate read schema is the GROUP-BY columns
+    // first, then the aggregate columns, both in Aggregation order — Spark
+    // rebinds positionally (V2ScanRelationPushDown's projection)
+    val groupFields =
+      if (aggGrouped) Seq(StructField("ticker", StringType, nullable = false)) else Nil
+    val aggFields = aggSpecs.map {
+      case "count" => StructField("count_star", LongType, nullable = false)
+      case "min_day" => StructField("min_day", DateType, nullable = false)
+      case "max_day" => StructField("max_day", DateType, nullable = false)
+    }
+    aggSchema = Some(StructType(groupFields ++ aggFields))
+    true
+  }
 
   /** Ticker equality/membership predicates prune INPUT PARTITIONS — a
     * `WHERE ticker = 'x'` over a 500-ticker feed plans one partition and
@@ -92,28 +135,64 @@ class QuoteScanBuilder(tickers: Seq[String], days: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
+    override def readSchema(): StructType = aggSchema.getOrElse(required)
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-quotes tickers=${tickers.size} days=$days " +
-        s"cols=${required.fieldNames.mkString(",")} pushed=[${pushed.mkString(",")}]"
+        s"cols=${readSchema().fieldNames.mkString(",")} pushed=[${pushed.mkString(",")}]" +
+        (if (aggSchema.isDefined) s" pushedAggregates=[${aggSpecs.mkString(",")}]" else "")
     override def planInputPartitions(): Array[InputPartition] = {
       val keep = tickers.filter(t => pushed.forall {
         case EqualTo("ticker", v) => t == v
         case In("ticker", vs) => vs.exists(_ == t)
         case _ => true
       })
-      keep.map(t => QuotePartition(t, days, required.fieldNames): InputPartition).toArray
+      keep.map(t =>
+        QuotePartition(t, days, required.fieldNames,
+          if (aggSchema.isDefined) Some((aggGrouped, aggSpecs)) else None): InputPartition)
+        .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {
-        override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-          new QuotePartitionReader(partition.asInstanceOf[QuotePartition])
+        override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+          val p = partition.asInstanceOf[QuotePartition]
+          p.agg match {
+            case Some((grouped, specs)) => new QuoteAggReader(p, grouped, specs)
+            case None => new QuotePartitionReader(p)
+          }
+        }
       }
   }
 }
 
-case class QuotePartition(ticker: String, days: Int, columns: Array[String])
+/** Pushed-aggregate reader: one summary row per ticker partition — the
+  * generator (stand-in for the upstream API) is never asked for tick rows.
+  * count(*) = days and the day range is the partition's [day0, day0+days)
+  * by construction, all O(1).
+  */
+class QuoteAggReader(p: QuotePartition, grouped: Boolean, specs: Seq[String])
+    extends PartitionReader[InternalRow] {
+  private val epochDay0 = 19723L // 2024-01-01, same origin as the row reader
+  private var emitted = false
+
+  override def next(): Boolean = !emitted && { emitted = true; true }
+
+  override def get(): InternalRow = {
+    val groupVals: Seq[Any] = if (grouped) Seq(UTF8String.fromString(p.ticker)) else Nil
+    val aggVals: Seq[Any] = specs.map {
+      case "count" => p.days.toLong
+      case "min_day" => epochDay0.toInt
+      case "max_day" => (epochDay0 + p.days - 1).toInt
+    }
+    // group columns first, then aggregates — mirrors the read schema
+    InternalRow.fromSeq(groupVals ++ aggVals)
+  }
+
+  override def close(): Unit = ()
+}
+
+case class QuotePartition(ticker: String, days: Int, columns: Array[String],
+                          agg: Option[(Boolean, Seq[String])] = None)
     extends InputPartition
 
 /** Deterministic per-ticker generator (xorshift seeded by ticker name) —

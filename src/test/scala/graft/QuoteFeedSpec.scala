@@ -45,6 +45,27 @@ class QuoteFeedSpec extends SparkSpec {
     assert(full === one.collect().map(_.toSeq).toSet)
   }
 
+  test("DSv2 quote feed: count/min/max aggregates push into the source") {
+    // grouped: one summary row per ticker partition, no tick rows generated
+    val agg = feed.groupBy("ticker")
+      .agg(count(lit(1)).as("n"), min($"day").as("d0"), max($"day").as("d1"))
+    val plan = agg.queryExecution.executedPlan.toString()
+    assert(plan.contains("pushedAggregates=[count,min_day,max_day]"), plan)
+    val rows = agg.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDate(2).toString, r.getDate(3).toString)).toMap
+    assert(rows.keySet === Set("aapl", "msft", "xom", "brk_b"))
+    rows.values.foreach { case (n, d0, d1) =>
+      assert(n === 20L && d0 === "2024-01-01" && d1 === "2024-01-20")
+    }
+    // global (ungrouped) aggregate also pushes; Spark merges the partials
+    val g = feed.agg(count(lit(1)).as("n"), max($"day").as("d1")).head()
+    assert(g.getLong(0) === 80L && g.getDate(1).toString === "2024-01-20")
+    // aggregates the source can't answer stay unpushed and still work
+    val avg = feed.groupBy("ticker").agg(org.apache.spark.sql.functions.avg($"close"))
+    assert(!avg.queryExecution.executedPlan.toString().contains("pushedAggregates"))
+    assert(avg.count() === 4)
+  }
+
   test("quote feed composes with the stock operators (SMA over the feed)") {
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"ticker").orderBy($"day")
     val sma = feed.select($"ticker", $"day", $"close",
