@@ -91,9 +91,13 @@ object Dedup {
       idCol: String = "doc_id",
       numHashes: Int = 64): DataFrame = {
     // a small corpus often arrives as one parquet file = one partition;
-    // spread it so the O(shingles × hashes) signature work uses every core
-    val spread = docs.repartition(
-      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    // spread it so the O(shingles × hashes) signature work uses every core.
+    // GATED on the input actually being under-partitioned: a 100 TB table
+    // already has more splits than cores, and an unconditional repartition
+    // would ship the whole text corpus through an exchange for nothing.
+    val target = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val spread =
+      if (docs.rdd.getNumPartitions >= target) docs else docs.repartition(target)
     spread
       .select(col(idCol).as("id"), tokens(textCol).as("__toks"))
       .select(col("id"), ngramsOfTokens("__toks", 3).as("__sh"))

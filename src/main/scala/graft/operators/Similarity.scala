@@ -33,9 +33,13 @@ object Similarity {
   def cosinePairs(embeddings: DataFrame, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // spread the streamed side: a single-file corpus would otherwise run
-    // the O(n²) pair loop on one core
-    val spread = embeddings.repartition(
-      embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    // the O(n²) pair loop on one core. Gated — an already-well-partitioned
+    // table skips the exchange (brute force is the small-side baseline, but
+    // the guard costs nothing)
+    val target = embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val spread =
+      if (embeddings.rdd.getNumPartitions >= target) embeddings
+      else embeddings.repartition(target)
     val n = spread.select(col(idCol).as("id"), col(vecCol).as("v"), normExact(vecCol).as("nrm"))
     val a = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))

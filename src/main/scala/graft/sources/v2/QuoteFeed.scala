@@ -81,11 +81,30 @@ class QuoteScanBuilder(tickers: Seq[String], days: Int)
   /** COUNT(*)/MIN(day)/MAX(day), optionally grouped by ticker, are answered
     * per input partition WITHOUT materializing tick rows — the upstream
     * call for "how many days, what range" ships one summary row per ticker
-    * instead of the feed. Partial pushdown (supportCompletePushDown stays
-    * false): Spark's final aggregate still merges the per-partition rows,
-    * so the contract holds even if a ticker ever spanned partitions.
+    * instead of the feed.
+    *
+    * Grouped by ticker the pushdown is COMPLETE: partitions are one per
+    * ticker by construction, so every group is fully contained in one
+    * partition and Spark can drop its own aggregate (and the exchange under
+    * it) entirely. Ungrouped stays partial — the global aggregate spans
+    * partitions and Spark must merge the per-partition summaries.
     */
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions.nonEmpty && pushAggregationCheck(aggregation)
+
+  private def pushAggregationCheck(aggregation: Aggregation): Boolean = {
+    def isCol(e: Any, name: String): Boolean = e match {
+      case f: NamedReference => f.fieldNames.length == 1 && f.fieldNames()(0) == name
+      case _ => false
+    }
+    aggregation.groupByExpressions.forall(isCol(_, "ticker")) &&
+      aggregation.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isCol(m.column, "day")
+        case m: Max => isCol(m.column, "day")
+        case _ => false
+      }
+  }
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     def isCol(e: Any, name: String): Boolean = e match {

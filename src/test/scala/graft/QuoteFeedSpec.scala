@@ -51,6 +51,9 @@ class QuoteFeedSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), min($"day").as("d0"), max($"day").as("d1"))
     val plan = agg.queryExecution.executedPlan.toString()
     assert(plan.contains("pushedAggregates=[count,min_day,max_day]"), plan)
+    // grouped by ticker = one partition per group ⇒ COMPLETE pushdown:
+    // no exchange, no Spark-side aggregate left in the plan
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"), plan)
     val rows = agg.collect().map(r =>
       r.getString(0) -> (r.getLong(1), r.getDate(2).toString, r.getDate(3).toString)).toMap
     assert(rows.keySet === Set("aapl", "msft", "xom", "brk_b"))
