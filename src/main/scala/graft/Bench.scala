@@ -24,7 +24,7 @@ object Bench {
     val warmupSf = "/root/testdata/sf0.001"
     Seq("q_dedup_minhash", "q_ngram_jaccard", "q_ann_topk", "q_dedup_embedding",
       "q_token_count", "q_multimodal_features", "q1_pricing_summary",
-      "q3_top_orders", "q_asof_state").foreach { w =>
+      "q3_top_orders", "q_asof_state", "q_charlm", "q_pq_topk").foreach { w =>
       try SparkEntry.queries(w)(spark, warmupSf).count() catch { case _: Throwable => () }
     }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

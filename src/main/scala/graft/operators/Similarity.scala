@@ -497,6 +497,79 @@ object Similarity {
       .limit(k)
   }
 
+  /** RESIDUAL IVF-PQ index: codes quantize r = x − cent[cell] instead of x
+    * itself — the residual's spread is a cell radius, not the corpus
+    * radius, so the same m×ksub budget yields a strictly finer
+    * reconstruction (this is how FAISS's IndexIVFPQ encodes by default).
+    * Returns (codebooks, index): codebooks are trained on a residual
+    * SAMPLE; the index frame (id, cent_idx, codes) is all map-side
+    * compiled work — assignment, subtraction, encode — zero shuffles
+    * scan → sink.
+    */
+  def buildIvfPqResidualIndex(embeddings: DataFrame, centroids: Array[Array[Double]],
+                              m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                              trainFraction: Double = 0.25,
+                              idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    val assigned = embeddings.select(col(idCol), col(vecCol).as("__v"),
+      graft.plans.Exprs.nearestCentroid(col(vecCol), centroids).as("cent_idx"))
+    val residuals = assigned.withColumn("__r",
+      graft.plans.Exprs.subtractCentroid(col("__v"), col("cent_idx"), centroids))
+    val sample =
+      if (trainFraction >= 1.0) residuals
+      else residuals.where(Sampling.samplePredicate(col(idCol), trainFraction))
+    val books = pqCodebooks(sample, m, ksub, iters, idCol, "__r")
+    val index = residuals.select(col(idCol), col("cent_idx"),
+      graft.plans.Exprs.pqEncode(col("__r"), books).as("codes"))
+    (books, index)
+  }
+
+  /** Top-k against a residual IVF-PQ index: per probed cell the driver
+    * precomputes q·cent, ‖cent‖² and the centroid×code cross-norm table
+    * (nprobe·m·ksub·dsub flops — trivial), and the scan scores each row
+    * with O(m) table adds (graft.plans.PqResidualScore). Unprobed cells'
+    * tables stay empty — they're partition-pruned before the expression
+    * ever runs.
+    */
+  def ivfPqResidualTopK(index: DataFrame, centroids: Array[Array[Double]],
+                        codebooks: Array[Array[Array[Double]]],
+                        query: DataFrame, k: Int, nprobe: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qRow = query.select(col(idCol), col(vecCol)).head()
+    val qid = qRow.getLong(0)
+    val qv = qRow.getSeq[Float](1).toArray.map(_.toDouble)
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qv).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nprobe).map(_._1)
+    val probeSet = probes.toSet
+    val dsub = codebooks(0)(0).length
+    val ipLut = codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => c.zipWithIndex.map { case (x, i) => x * qv(s * dsub + i) }.sum)
+    }
+    val resNormSq = codebooks.map(_.map(c => c.map(x => x * x).sum))
+    val qCentDot = centroids.map(c => c.zip(qv).map { case (a, b) => a * b }.sum)
+    val centNormSq = centroids.map(c => c.map(x => x * x).sum)
+    val centCross = centroids.zipWithIndex.map { case (cent, ci) =>
+      if (!probeSet.contains(ci)) Array.empty[Array[Double]]
+      else codebooks.zipWithIndex.map { case (cb, s) =>
+        cb.map(code => code.zipWithIndex.map { case (x, i) =>
+          val dim = s * dsub + i
+          x * (if (dim < cent.length) cent(dim) else 0.0)
+        }.sum)
+      }
+    }
+    index
+      .where(col("cent_idx").isin(probes.toSeq: _*) && col(idCol) =!= qid)
+      .select(col(idCol),
+        round(graft.plans.Exprs.pqResidualScore(col("codes"), col("cent_idx"),
+          ipLut, resNormSq, qCentDot, centNormSq, centCross, qNorm), 6)
+          .as("adc_cosine"))
+      .orderBy(col("adc_cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucketed near-neighbor pairs: same LSH signature ⇒ candidate; exact
     * cosine verifies. The groupBy key is the signature — candidate work is
     * Σ bucket², never corpus².

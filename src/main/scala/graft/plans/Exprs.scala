@@ -60,4 +60,19 @@ object Exprs {
   def pqAdcScore(codes: Column, ipLut: Array[Array[Double]],
                  normSqLut: Array[Array[Double]], qNorm: Double): Column =
     GraftBridge.column(PqAdcScore(GraftBridge.expression(codes), ipLut, normSqLut, qNorm))
+
+  /** Compiled centroid residual r = x − c[centIdx] (see [[SubtractCentroid]]). */
+  def subtractCentroid(vec: Column, centIdx: Column,
+                       centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(SubtractCentroid(
+      GraftBridge.expression(vec), GraftBridge.expression(centIdx), centroids))
+
+  /** Compiled residual-IVF-PQ asymmetric cosine (see [[PqResidualScore]]). */
+  def pqResidualScore(codes: Column, centIdx: Column,
+                      ipLut: Array[Array[Double]], resNormSq: Array[Array[Double]],
+                      qCentDot: Array[Double], centNormSq: Array[Double],
+                      centCross: Array[Array[Array[Double]]], qNorm: Double): Column =
+    GraftBridge.column(PqResidualScore(
+      GraftBridge.expression(codes), GraftBridge.expression(centIdx),
+      ipLut, resNormSq, qCentDot, centNormSq, centCross, qNorm))
 }

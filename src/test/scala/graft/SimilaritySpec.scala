@@ -222,6 +222,74 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@10 $recall")
   }
 
+  test("residual IVF-PQ: LUT algebra matches driver-side reconstruction; wins on clustered data") {
+    // deterministic clustered corpus: 6 well-separated centers, small
+    // residual noise — the geometry residual coding exists for. (The
+    // testdata embeddings are near-isotropic — within-cluster variance ≈
+    // total variance — so they can't demonstrate the residual advantage.)
+    def lcg(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
+    def unif(s: Long): Double = ((lcg(s) >>> 40).toDouble / (1L << 24)) - 0.5
+    val nClusters = 24
+    // random well-separated centers: more center patterns per subspace than
+    // the quantizer has codes (ksub = 4), so raw-vector PQ CANNOT represent
+    // the centers — while the coarse stage hands residual PQ exactly the
+    // small noise it can encode well
+    val centers = Array.tabulate(nClusters)(c => Array.tabulate(16)(d => unif(c * 31L + d) * 6.0))
+    val rows = (0 until 240).map { i =>
+      val cluster = i % nClusters
+      val v = Array.tabulate(16)(d =>
+        (centers(cluster)(d) + unif(i * 97L + d + 7) * 0.2).toFloat)
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.orderBy($"vec_id".desc).limit(1)
+    val exact = Similarity.topK(emb, q, 300).as[(Long, Double)].collect().toMap
+    val cents = Similarity.kmeansCentroids(emb, nClusters, 3)
+    val books = Similarity.pqCodebooks(emb, m = 4, ksub = 4, iters = 2)
+    val plain = Similarity.ivfPqTopK(
+      Similarity.buildIvfPqIndex(emb, cents, books), cents, books, q, 300, nprobe = nClusters)
+      .as[(Long, Double)].collect().toMap
+    val (rBooks, rIndex) = Similarity.buildIvfPqResidualIndex(
+      emb, cents, m = 4, ksub = 4, iters = 2, trainFraction = 1.0)
+    val res = Similarity.ivfPqResidualTopK(rIndex, cents, rBooks, q, 300, nprobe = nClusters)
+      .as[(Long, Double)].collect().toMap
+    def meanErr(adc: Map[Long, Double]): Double = {
+      val errs = exact.collect { case (id, c) if adc.contains(id) => math.abs(adc(id) - c) }
+      errs.sum / errs.size
+    }
+    val (pe, re) = (meanErr(plain), meanErr(res))
+    assert(re < pe, s"residual ADC error $re should beat plain $pe on clustered data")
+    // the LUT algebra is EXACT for the reconstruction x̂ = cent + decode(codes):
+    // recompute a few scores driver-side from the index rows and compare
+    val qv = rows.last._2.map(_.toDouble)
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val dsub = rBooks(0)(0).length
+    val sample = rIndex.where($"vec_id" =!= rows.last._1).orderBy($"vec_id").limit(20)
+      .as[(Long, Int, Seq[Byte])].collect()
+    val adcScores = Similarity.ivfPqResidualTopK(rIndex, cents, rBooks, q, 300, nprobe = nClusters)
+      .as[(Long, Double)].collect().toMap
+    sample.foreach { case (id, cell, codes) =>
+      val xhat = cents(cell).clone()
+      codes.zipWithIndex.foreach { case (code, s) =>
+        val cb = rBooks(s)((code.toInt) & 0xff)
+        cb.zipWithIndex.foreach { case (x, i) => xhat(s * dsub + i) += x }
+      }
+      val ip = xhat.zip(qv).map { case (a, b) => a * b }.sum
+      val expected = ip / (qNorm * math.sqrt(xhat.map(x => x * x).sum))
+      adcScores.get(id).foreach { got =>
+        assert(math.abs(got - expected) < 1e-6, s"id=$id got $got expected $expected")
+      }
+    }
+    // deterministic under repartitioning
+    val (rBooks2, rIndex2) = Similarity.buildIvfPqResidualIndex(
+      emb.repartition(5), cents, m = 4, ksub = 4, iters = 2, trainFraction = 1.0)
+    val res2 = Similarity.ivfPqResidualTopK(rIndex2, cents, rBooks2, q, 10, nprobe = nClusters)
+      .as[(Long, Double)].collect().toSeq
+    val res1 = Similarity.ivfPqResidualTopK(rIndex, cents, rBooks, q, 10, nprobe = nClusters)
+      .as[(Long, Double)].collect().toSeq
+    assert(res1 === res2)
+  }
+
   test("pqTopK: k rows, descending, reasonable recall vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.orderBy($"vec_id".desc).limit(1)
