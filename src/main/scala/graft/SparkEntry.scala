@@ -518,9 +518,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val sample = Sampling.deterministicSample(emb, "vec_id", 0.25)
       val cents = Similarity.kmeansCentroids(sample, 16, 2)
-      val books = Similarity.pqCodebooks(sample, m = 8, ksub = 16, iters = 2)
-      Similarity.ivfPqTopK(
-        Similarity.buildIvfPqIndex(emb, cents, books), cents, books,
+      // residual coding (the FAISS IndexIVFPQ default): codes quantize
+      // x − cent[cell], probed via the cell-aware LUT kernel
+      val (books, index) = Similarity.buildIvfPqResidualIndex(
+        emb, cents, m = 8, ksub = 16, iters = 2, trainFraction = 0.25)
+      Similarity.ivfPqResidualTopK(index, cents, books,
         emb.orderBy(col("vec_id").desc).limit(1), 10, nprobe = 8)
     }),
 
