@@ -150,6 +150,18 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "last_purchase_value")
     }),
 
+    "q_asof_ttl" -> ((s, dir) => {
+      // feature-store point-in-time join: the as-of match only counts if
+      // it's fresh (≤ 1 h old at the fact's timestamp); staler → null
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("value"))
+      AsOfJoin.asOfTtl(clicks, purchases, "user_id", "ts",
+        "value", "recent_purchase_value", ttlSec = 3600)
+        .select("event_id", "user_id", "ts", "recent_purchase_value")
+    }),
+
     "q_asof_forward" -> ((s, dir) => {
       // attribution direction: each click joins the NEXT purchase value
       // at-or-after it (dims deduped per (key, ts) — equal-instant tie
@@ -826,6 +838,15 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q_asof_ttl" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS value FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN p.ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+        |       THEN p.value END AS recent_purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "q_asof_nearest" ->
       """WITH p AS (SELECT user_id, ts, max(value) AS value FROM events

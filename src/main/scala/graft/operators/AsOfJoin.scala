@@ -118,6 +118,30 @@ object AsOfJoin {
       .drop("__bv", "__bt", "__fv", "__ft")
   }
 
+  /** TTL as-of — the feature-store point-in-time join: each fact takes the
+    * latest dim at-or-before it ONLY IF that dim is no older than `ttlSec`;
+    * a staler match is as good as no match (features expire — serving a
+    * week-old price as "current" is a correctness bug, not a best effort).
+    * Same single-shuffle union+window pass as [[asOf]], carrying the
+    * matched timestamp so staleness is decided per row afterwards.
+    */
+  def asOfTtl(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      valueCol: String,
+      outCol: String,
+      ttlSec: Long): DataFrame = {
+    val back = right.select(col(key), col(tsCol),
+      col(valueCol).as("__v"), col(tsCol).as("__t"))
+    asOf(left, back, key, tsCol, Seq("__v", "__t"))
+      .withColumn(outCol,
+        when(unix_micros(col(tsCol).cast("timestamp"))
+          - unix_micros(col("__t").cast("timestamp")) <= ttlSec * 1000000L, col("__v")))
+      .drop("__v", "__t")
+  }
+
   /** Broadcast as-of: when the right side is dimension-sized (the
     * reference's share snapshots — thousands of rows), the union+window
     * path still shuffles the FACT table on the key. Here the dim packs

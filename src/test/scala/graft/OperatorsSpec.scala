@@ -153,6 +153,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(3))            // nothing later for this key
   }
 
+  test("asOfTtl nulls matches staler than the TTL, keeps fresh ones") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "fresh"),   // match 30 min old
+      (1L, ts("2024-01-01 12:01:00"), "stale"),   // match 2h01 old
+      (1L, ts("2024-01-01 10:00:00"), "exact"),   // equal-instant match
+      (2L, ts("2024-01-01 10:00:00"), "none")
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 42.0)).toDF("user_id", "ts", "px")
+    val out = AsOfJoin.asOfTtl(left, right, "user_id", "ts", "px", "recent", ttlSec = 3600)
+      .select("tag", "recent").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("fresh") === Some(42.0))
+    assert(out("stale") === None)
+    assert(out("exact") === Some(42.0))
+    assert(out("none") === None)
+  }
+
   test("asOfNearest picks the closer side, ties to at-or-before") {
     val left = Seq(
       (1L, ts("2024-01-02 12:00:00"), "closer_after"),  // 12h back vs 6h fwd
