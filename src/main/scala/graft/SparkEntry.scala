@@ -357,6 +357,13 @@ object SparkEntry {
     "q_charlm" -> ((s, dir) =>
       TextAnalysis.charBigramLM(Tables.documents(s, dir))),
 
+    "q_compress_ratio" -> ((s, dir) =>
+      // deflate-ratio repetition signal — deterministic but
+      // java.util.zip-specific, so rows-only (no SQL-engine oracle)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(graft.plans.Exprs.compressRatio(col("text")), 6).as("compress_ratio"))),
+
     "q_c4_rules" -> ((s, dir) => {
       // the word-soup corpus carries no placeholder text or code — the two
       // content tripwires are synthesized deterministically (q_boilerplate

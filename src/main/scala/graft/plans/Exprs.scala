@@ -48,6 +48,10 @@ object Exprs {
   def charDiversity(text: Column): Column =
     GraftBridge.column(CharDiversity(GraftBridge.expression(text)))
 
+  /** Compiled deflate compression-ratio signal (see [[CompressRatio]]). */
+  def compressRatio(text: Column): Column =
+    GraftBridge.column(CompressRatio(GraftBridge.expression(text)))
+
   /** Compiled char n-gram stream (see [[CharNgrams]]). */
   def charNgrams(text: Column, n: Int): Column =
     GraftBridge.column(CharNgrams(GraftBridge.expression(text), n))

@@ -62,6 +62,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_char_diversity"),
       info("graft_char_diversity", "graft_char_diversity(text) - Simpson/Gini character diversity in [0, 1)"),
       (exprs: Seq[Expression]) => CharDiversity(exprs(0))),
+    (FunctionIdentifier("graft_compress_ratio"),
+      info("graft_compress_ratio", "graft_compress_ratio(text) - deflate compressed/raw byte ratio (repetition signal)"),
+      (exprs: Seq[Expression]) => CompressRatio(exprs(0))),
     (FunctionIdentifier("graft_char_ngrams"),
       info("graft_char_ngrams", "graft_char_ngrams(text, n) - all character n-grams (multiset, in order)"),
       (exprs: Seq[Expression]) => exprs(1) match {

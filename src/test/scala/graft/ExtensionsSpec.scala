@@ -67,7 +67,8 @@ class ExtensionsSpec extends SparkSpec {
         |       graft_simhash(array('x','y')) AS sh,
         |       size(graft_winnow('hello world hello', 4, 3)) AS nw,
         |       graft_char_diversity('ab') AS cd,
-        |       graft_char_ngrams('abc', 2) AS cng
+        |       graft_char_ngrams('abc', 2) AS cng,
+        |       graft_compress_ratio('xyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxy') AS cr
         |FROM t""".stripMargin).head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 11L) // 1*3 + 2*4
@@ -76,6 +77,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(6) > 0)
     assert(r.getDouble(7) === 0.5)
     assert(r.getSeq[String](8) === Seq("ab", "bc"))
+    assert(r.getDouble(9) > 0.0 && r.getDouble(9) < 1.0)
   }
 
   test("saltedJoin equals the plain join result") {

@@ -122,6 +122,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.charBigramLM(Seq((1L, "x")).toDF("doc_id", "text")).isEmpty)
   }
 
+  test("compressRatio separates repetitive from high-entropy text, deterministic") {
+    val docs = Seq(
+      (1L, "spam " * 200),                                   // highly repetitive
+      (2L, (1 to 200).map(i => (i * 2654435761L).toHexString).mkString(" ")), // high entropy
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id", graft.plans.Exprs.compressRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) < 0.1, s"repetitive ${out(1L)}")
+    assert(out(2L) > 0.5, s"entropy ${out(2L)}")
+    assert(out(3L) === 1.0)
+    val again = docs.select($"doc_id", graft.plans.Exprs.compressRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(out === again)
+  }
+
   test("c4Rules: signals and keep verdict on crafted docs") {
     val docs = Seq(
       (1L, Seq.fill(40)("hello").mkString(" ")),            // clean, 40×5-char words
