@@ -124,6 +124,15 @@ class PlanInvariantsSpec extends SparkSpec {
     val mx = plan("q_mix_temperature")
     assert(!mx.contains("SortMergeJoin"), mx)
     assert(count(mx, "BroadcastNestedLoopJoin") <= 1, mx)
+    // scan-speed quality signals: pure projections, zero exchanges
+    for (q <- Seq("q_c4_rules", "q_compress_ratio")) {
+      assert(count(plan(q), "Exchange") === 0, s"$q:\n${plan(q)}")
+    }
+    // TTL as-of keeps the single-shuffle union+window shape: one exchange
+    // for the as-of window, plus the query's own (key, ts) dim dedup
+    val ttl = plan("q_asof_ttl")
+    assert(count(ttl, "Exchange hashpartitioning") === 2, ttl)
+    assert(count(ttl, "Window") === 1, ttl)
   }
 
   test("incremental bar merge aggregates bars — the tick scans partial-combine first") {
