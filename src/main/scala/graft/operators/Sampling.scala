@@ -103,6 +103,8 @@ object Sampling {
     * row's membership never depends on re-runs. The threshold is carried as
     * an integer and compared only when < 2^16 (rate-1 strata skip the
     * fixed-width hex comparison, which can't represent "keep all").
+    * Null-stratum rows drop (the equi-join can't match them) — coalesce to
+    * a sentinel stratum first if they should participate.
     */
   def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
                      alpha: Double): DataFrame = {

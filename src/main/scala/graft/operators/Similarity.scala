@@ -451,11 +451,11 @@ object Similarity {
     * assignments are map-side; scan → sink has zero shuffles. Write
     * `partitionBy("cent_idx")` like [[buildIvfIndex]].
     *
-    * Codes quantize the raw vector (not the cell residual): scores stay
-    * comparable across cells with ONE LUT per query — residual coding would
-    * need an LUT per probed cell (nprobe× the driver prep) for one extra
-    * bit of effective precision; at the 64-dim testdata scale the
-    * non-residual error is already inside the re-rank margin.
+    * Codes here quantize the raw vector: one LUT per query, the simplest
+    * probe. When the corpus actually clusters, prefer
+    * [[buildIvfPqResidualIndex]]/[[ivfPqResidualTopK]] — residual coding
+    * spends the same m×ksub budget on the within-cell structure (the FAISS
+    * default) at the cost of per-probed-cell cross tables.
     */
   def buildIvfPqIndex(embeddings: DataFrame, centroids: Array[Array[Double]],
                       codebooks: Array[Array[Array[Double]]],
