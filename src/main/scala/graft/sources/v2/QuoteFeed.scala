@@ -68,12 +68,24 @@ class QuoteFeedTable(tickers: Seq[String], days: Int) extends Table with Support
 
 class QuoteScanBuilder(tickers: Seq[String], days: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = QuoteFeed.schema
   private var pushed: Array[Filter] = Array.empty
   private var aggSchema: Option[StructType] = None
   private var aggSpecs: Seq[String] = Nil // "count" | "min_day" | "max_day"
   private var aggGrouped: Boolean = false
+  private var limit: Int = Int.MaxValue
+
+  /** LIMIT n caps each partition's generated rows at n (a PARTIAL limit —
+    * Spark still applies the global cut): a `feed.limit(5)` makes 5-row
+    * upstream requests instead of full-history pulls. Returning false keeps
+    * Spark's limit operator in the plan, which is what partial pushdown
+    * requires.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limit = n
+    false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -159,15 +171,20 @@ class QuoteScanBuilder(tickers: Seq[String], days: Int)
     override def description(): String =
       s"graft-quotes tickers=${tickers.size} days=$days " +
         s"cols=${readSchema().fieldNames.mkString(",")} pushed=[${pushed.mkString(",")}]" +
-        (if (aggSchema.isDefined) s" pushedAggregates=[${aggSpecs.mkString(",")}]" else "")
+        (if (aggSchema.isDefined) s" pushedAggregates=[${aggSpecs.mkString(",")}]" else "") +
+        (if (limit != Int.MaxValue && aggSchema.isEmpty) s" pushedLimit=$limit" else "")
     override def planInputPartitions(): Array[InputPartition] = {
       val keep = tickers.filter(t => pushed.forall {
         case EqualTo("ticker", v) => t == v
         case In("ticker", vs) => vs.exists(_ == t)
         case _ => true
       })
+      // the limit cap never composes with a pushed aggregate: Spark only
+      // pushes a limit sitting directly above the scan, and the agg reader's
+      // count = days must stay the true row count regardless
+      val cappedDays = if (aggSchema.isDefined) days else math.min(days, limit)
       keep.map(t =>
-        QuotePartition(t, days, required.fieldNames,
+        QuotePartition(t, cappedDays, required.fieldNames,
           if (aggSchema.isDefined) Some((aggGrouped, aggSpecs)) else None): InputPartition)
         .toArray
     }

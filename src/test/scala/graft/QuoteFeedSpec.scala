@@ -69,6 +69,19 @@ class QuoteFeedSpec extends SparkSpec {
     assert(avg.count() === 4)
   }
 
+  test("DSv2 quote feed: limit caps per-partition generation, result still exact") {
+    val limited = feed.limit(5)
+    assert(limited.count() === 5)
+    // the cap reaches the scan: readers generate at most 5 rows per ticker
+    // partition instead of the full history
+    assert(feed.limit(5).queryExecution.executedPlan.toString().contains("pushedLimit=5"))
+    // values match the uncapped feed's first days (the generator's walk is
+    // sequential — truncation can't change earlier rows)
+    val capped = feed.limit(80).where($"ticker" === "msft").collect().map(_.toSeq).toSet
+    val full = feed.where($"ticker" === "msft").collect().map(_.toSeq).toSet
+    assert(capped === full)
+  }
+
   test("quote feed composes with the stock operators (SMA over the feed)") {
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"ticker").orderBy($"day")
     val sma = feed.select($"ticker", $"day", $"close",
