@@ -350,14 +350,26 @@ object Similarity {
     * its nearest of `nlist` centroids, then search only the query's
     * `nprobe` nearest cells. Work drops from O(n) dot products per query to
     * O(n/nlist · nprobe) — the standard ANN scale path when the corpus no
-    * longer fits one scan per query. Self-contained convenience over
-    * seedCentroids + buildIvfIndex + ivfTopKIndexed; repeated-query callers
-    * should persist the index (partitioned by cent_idx) and probe that.
+    * longer fits one scan per query.
+    *
+    * Centroids are TRAINED (Lloyd's k-means on a deterministic hash sample,
+    * the same shape q_ann_ivfpq uses), not raw seed vectors: untrained seeds
+    * give unbalanced inverted lists — hot cells approach full scans, empty
+    * cells waste nprobe — and recall that degrades exactly when the corpus
+    * is large enough to need IVF. Training cost is bounded: the sample is
+    * hash-selected (no shuffle), and each Lloyd iteration shuffles only
+    * k×dims partial sums. Self-contained convenience over kmeansCentroids +
+    * buildIvfIndex + ivfTopKIndexed; repeated-query callers should persist
+    * the index (partitioned by cent_idx) and probe that.
     */
   def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
+              trainIters: Int = 2, trainFraction: Double = 0.25,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = seedCentroids(embeddings, nlist, idCol, vecCol)
+    val sample =
+      if (trainFraction >= 1.0) embeddings
+      else embeddings.where(Sampling.samplePredicate(col(idCol), trainFraction))
+    val cents = kmeansCentroids(sample, nlist, trainIters, idCol, vecCol)
     ivfTopKIndexed(buildIvfIndex(embeddings, cents, idCol, vecCol), cents,
       query, k, nprobe, idCol, vecCol)
   }

@@ -208,7 +208,9 @@ object TextAnalysis {
     * no bigrams and emit no row.
     */
   def charBigramLM(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id",
+                   maxBroadcastGrams: Long = 4L * 1000 * 1000,
+                   sniffDocs: Int = 64): DataFrame = {
     // Two COMPILED bigram passes total (graft.plans.CharNgrams — the
     // interpreted transform/substring HOF costs a lambda per character
     // position): the model branch partial-aggregates the gram stream
@@ -216,14 +218,34 @@ object TextAnalysis {
     // window over that (vocab-sized) frame — NOT a third corpus re-explode;
     // the scoring branch combines to per-(doc, bigram) counts first so the
     // decimal accumulation runs per distinct pair, not per occurrence
-    // (measured ~25% of query time at sf0.1), then broadcast-joins the
-    // model. No exchange in the plan ever carries raw gram occurrences.
+    // (measured ~25% of query time at sf0.1), then joins the model back.
+    // No exchange in the plan ever carries raw gram occurrences.
     val grams = docs
       .select(col(idCol), explode(graft.plans.Exprs.charNgrams(col(textCol), 2)).as("bg"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(substring(col("bg"), 1, 1))
-    val logp = broadcast(grams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val model = grams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
       .withColumn("c1", sum(col("c2")).over(w))
-      .select(col("bg"), (log(col("c2")) - log(col("c1"))).as("__logp")))
+      .select(col("bg"), (log(col("c2")) - log(col("c1"))).as("__logp"))
+    // Size-adaptive model join. The model is CHARSET²-bounded, not bounded:
+    // Latin corpora hold ~10⁴ distinct char bigrams (a trivial broadcast),
+    // but a CJK-heavy corpus has ~10⁸ possible bigrams — FORCING a
+    // broadcast there (the hint overrides Spark's size threshold) blows up
+    // both the driver and every executor. The gate sniffs the charset from
+    // a `sniffDocs`-row prefix (limit-pushed scan, ~ms) and bounds the model
+    // by charset²: below `maxBroadcastGrams` the hint pins the broadcast,
+    // above it the hint is withheld so the scoring join shuffles on `bg` —
+    // uniform-ish hash keys, carrying per-(doc, gram) counts, never raw
+    // occurrences. Decided this way — rather than counting the materialized
+    // model, as connectedComponents can afford to — both join plans stay
+    // LAZY, so AQE still runs the model and scoring scans as concurrent
+    // query stages (an eager count was measured to serialize them: 2.4 s →
+    // 4.0 s on q_charlm at sf0.1). AQE's own threshold remains the second
+    // line of defense: a sniff that underestimates a mixed corpus still
+    // can't force a broadcast past the planner's size check.
+    val charset = docs.select(substring(col(textCol), 1, 4096).as(textCol)).limit(sniffDocs)
+      .select(explode(graft.plans.Exprs.charNgrams(col(textCol), 1)).as("ch"))
+      .agg(countDistinct(col("ch"))).head().getLong(0)
+    val logp = if (charset * charset > maxBroadcastGrams) model else broadcast(model)
     grams
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
       .join(logp, "bg")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Sampling, Similarity}
 import graft.plans.Exprs
 import org.apache.spark.sql.functions._
 
@@ -37,21 +37,52 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getDouble(1) > out(1).getDouble(1))
   }
 
-  test("ivfTopK: exact cosines, deterministic, reasonable recall vs brute force") {
+  test("ivfTopK: exact cosines, deterministic, trained-centroid recall vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.orderBy($"vec_id".desc).limit(1) // a non-centroid query vector
     val brute = Similarity.topK(emb, q, 10).collect()
     val bruteCos = brute.map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val ivf = Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 8).collect()
+    val ivf = Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 6).collect()
     assert(ivf.length === 10)
     // any id IVF returns that brute force also ranked must carry the exact same cosine
     ivf.foreach { r =>
       bruteCos.get(r.getLong(0)).foreach(c => assert(c === r.getDouble(1)))
     }
+    // trained centroids (kmeans-on-sample) must hold real recall — a floor
+    // an untrained-seed regression would actually trip. The testdata
+    // embeddings are near-isotropic (no cluster structure), the worst case
+    // for IVF: neighbors spread across cells roughly uniformly, so recall is
+    // probe-budget-bound (~nprobe/nlist + query-cell mass). 0.7 at
+    // nprobe=6/nlist=16 holds trained and fails seeded.
     val recall = ivf.map(_.getLong(0)).count(bruteCos.contains) / 10.0
-    assert(recall >= 0.2, s"recall $recall")
-    val again = Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 8).collect()
+    assert(recall >= 0.7, s"recall $recall")
+    val again = Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 6).collect()
     assert(ivf.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+  }
+
+  test("ivfTopK training beats untrained seed centroids on mean recall") {
+    // the regression this guards: ivfTopK silently falling back to raw seed
+    // vectors as the codebook. Mean recall over 8 queries de-noises the
+    // per-query spread; everything here is deterministic (hash sample,
+    // lowest-id seeds, decimal accumulation), so the margin is stable.
+    val emb = Tables.embeddings(spark, sfDir)
+    val qids = emb.orderBy($"vec_id".desc).limit(8).select($"vec_id").as[Long].collect()
+    def meanRecall(cents: Array[Array[Double]]): Double = {
+      val index = Similarity.buildIvfIndex(emb, cents).cache()
+      val r = qids.map { qid =>
+        val q = emb.where($"vec_id" === qid)
+        val brute = Similarity.topK(emb, q, 10).collect().map(_.getLong(0)).toSet
+        val ivf = Similarity.ivfTopKIndexed(index, cents, q, 10, nprobe = 4).collect()
+        ivf.map(_.getLong(0)).count(brute.contains) / 10.0
+      }.sum / qids.length
+      index.unpersist()
+      r
+    }
+    val seed = meanRecall(Similarity.seedCentroids(emb, 16))
+    val trained = meanRecall(Similarity.kmeansCentroids(
+      Sampling.deterministicSample(emb, "vec_id", 0.25), 16, 2))
+    assert(trained >= seed + 0.05, s"trained $trained vs seed $seed")
+    assert(trained >= 0.55, s"trained mean recall $trained")
   }
 
   test("ivf assignment is map-side (no join/shuffle before the probe filter)") {
