@@ -291,6 +291,32 @@ object SparkEntry {
         .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as long)")
           .as("approx_users"))),
 
+    "q_theta_sets" -> ((s, dir) => {
+      // theta-sketch SET ALGEBRA — the operation family HLL cannot do (HLL
+      // only unions): intersection and difference cardinalities across
+      // pre-aggregated sketches, the audience-overlap / retention shape.
+      // One partial-aggregated pass builds a sketch per event type (the
+      // exchange carries sketch bytes, never user ids); the set algebra
+      // runs on two one-row frames. Below the sketch's nominal capacity
+      // (2^12 entries — the testdata's user sets are smaller at every SF)
+      // theta sketches are EXACT, so the DuckDB oracle checks exact set
+      // cardinalities; above capacity the same query degrades to bounded
+      // estimates.
+      val ev = events(s, dir)
+      val sk = ev.groupBy(col("event_type"))
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      val a = sk.where(col("event_type") === "click").select(col("sk").as("a"))
+      val b = sk.where(col("event_type") === "purchase").select(col("sk").as("b"))
+      a.crossJoin(b).select(
+        expr("cast(round(theta_sketch_estimate(a)) as long)").as("n_click"),
+        expr("cast(round(theta_sketch_estimate(b)) as long)").as("n_purchase"),
+        expr("cast(round(theta_sketch_estimate(theta_union(a, b))) as long)").as("n_union"),
+        expr("cast(round(theta_sketch_estimate(theta_intersection(a, b))) as long)")
+          .as("n_intersect"),
+        expr("cast(round(theta_sketch_estimate(theta_difference(a, b))) as long)")
+          .as("n_click_only"))
+    }),
+
     "q_market_day" -> ((s, dir) =>
       events(s, dir)
         .select(to_date(col("ts")).as("d")).distinct()
@@ -521,7 +547,7 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) =>
-      Similarity.cosinePairsBucketed(Tables.embeddings(s, dir), 0.2, planes = 8)),
+      Similarity.cosinePairsBucketed(Tables.embeddings(s, dir), 0.2)),
 
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -565,6 +591,89 @@ object SparkEntry {
       val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
       Similarity.pqTopK(Similarity.pqEncoded(emb, books), books,
         emb.orderBy(col("vec_id")).limit(1), 10)
+    }),
+
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      // the production IVF shape: the index PERSISTS partitioned by
+      // cent_idx, so a probe is a partition-PRUNED scan (`PartitionFilters:
+      // [cent_idx IN (…)]` — plan-spec-asserted) plus one dot product per
+      // probed row. This key makes CORRECTNESS exercise the pruned on-disk
+      // path, not the inline rebuild; train/encode cost amortizes across
+      // queries exactly as it would at 100 TB.
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansCentroids(
+        Sampling.deterministicSample(emb, "vec_id", 0.25), 16, 2)
+      val path = s"/tmp/graft_ivf_index_${new java.io.File(dir).getName}"
+      Similarity.buildIvfIndex(emb, cents).write.mode("overwrite")
+        .partitionBy("cent_idx").parquet(path)
+      Similarity.ivfTopKIndexed(s.read.parquet(path), cents,
+        emb.orderBy(col("vec_id").desc).limit(1), 10, nprobe = 4)
+    }),
+
+    "q_ann_recall" -> ((s, dir) => {
+      // driver-visible QUALITY metrics for the rows-only ANN family: no
+      // DuckDB oracle can check a sketch, so emit recall@10 vs the exact
+      // brute-force ranking AS DATA — the check harness (and any operator
+      // dashboard) reads the quality instead of trusting a rows-only green.
+      // Truth is one brute scan; each method's candidate ids join against
+      // it — all bounded, engine-side work.
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.orderBy(col("vec_id").desc).limit(1)
+      val brute = Similarity.topK(emb, q, 10).select(col("vec_id"), lit(1).as("hit"))
+      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+      val encoded = Similarity.pqEncoded(emb, books)
+      val methods: Seq[(String, DataFrame)] = Seq(
+        "ivf_trained" -> Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 4),
+        "pq_adc" -> Similarity.pqTopK(encoded, books, q, 10),
+        "pq_adc_rerank" -> Similarity.pqTopKReranked(encoded, books, emb, q, 10))
+      methods
+        .map { case (m, df) => df.select(lit(m).as("method"), col("vec_id")) }
+        .reduce(_.unionByName(_))
+        .join(broadcast(brute), Seq("vec_id"), "left")
+        .groupBy(col("method"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / 10.0, 6)
+          .as("recall_at_10"))
+    }),
+
+    "q_pair_quality" -> ((s, dir) => {
+      // pair-level quality for the sub-quadratic candidate generators,
+      // again as data. Every truth set here is SCALABLE — no all-pairs
+      // path: LSH-cosine recall scores against the exact grid theta-join
+      // (itself oracle-exact), and the text generators score PRECISION by
+      // exact-verifying only their own candidates (recall for those has no
+      // sub-quadratic truth; simhash recall is pigeonhole-complete by
+      // construction, spec-verified).
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      // each candidate pipeline materializes ONCE (pair lists are bounded);
+      // the count and the exact-verify join both read the checkpointed rows
+      // instead of re-running signatures/buckets
+      // τ = 0.4 (the q_dedup_embedding setting): the exact truth set's cost
+      // is dominated by per-survivor decimal recompute, so a low threshold
+      // that passes ~5% of all pairs turns the truth query quadratic-ish in
+      // OUTPUT (measured 33 s vs 1.4 s at sf0.1 for τ 0.2 vs 0.4)
+      def mat(df: DataFrame): DataFrame = df.localCheckpoint(true)
+      val exact = mat(Similarity.cosinePairsExact(emb, 0.4).select("id_a", "id_b"))
+      val lsh = mat(Similarity.cosinePairsBucketed(emb, 0.4).select("id_a", "id_b"))
+      val nTrue = exact.count()
+      val lshHit = lsh.join(exact, Seq("id_a", "id_b")).count()
+      // threshold 0 = every LSH candidate with its exact jaccard, one
+      // lineage (skips minhashCandidates' est_jaccard join-back, which this
+      // metric would discard anyway)
+      val mhJ = mat(Dedup.ngramJaccard(docs, 0.0))
+      val nMh = mhJ.count()
+      val mhGood = mhJ.where(col("jaccard") >= 0.4).count()
+      val sh = mat(Dedup.simhashPairs(docs).select("id_a", "id_b"))
+      val nSh = sh.count()
+      val shGood = Dedup.ngramJaccard(docs, 0.4, candidates = Some(sh)).count()
+      def ratio(a: Long, b: Long): Double =
+        if (b == 0) 1.0 else math.rint(a.toDouble / b * 1e6) / 1e6
+      Seq(
+        ("lsh_cosine", "recall_vs_exact_t0.4", nTrue, ratio(lshHit, nTrue)),
+        ("minhash_lsh", "precision_at_j0.4", nMh, ratio(mhGood, nMh)),
+        ("simhash_h3", "precision_at_j0.4", nSh, ratio(shGood, nSh)))
+        .toDF("method", "metric", "n_pairs", "value")
     }),
 
     "q_json_props" -> ((s, dir) =>
@@ -1321,6 +1430,24 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // theta sketches are exact below their 2^12-entry nominal capacity and
+    // the testdata's per-type user sets stay under it at every SF, so the
+    // oracle checks the exact set cardinalities the sketches must reproduce
+    "q_theta_sets" ->
+      """SELECT
+        | (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS n_click,
+        | (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS n_purchase,
+        | (SELECT count(DISTINCT user_id) FROM events
+        |    WHERE event_type IN ('click', 'purchase')) AS n_union,
+        | (SELECT count(*) FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'click'
+        |    INTERSECT
+        |    SELECT user_id FROM events WHERE event_type = 'purchase')) AS n_intersect,
+        | (SELECT count(*) FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'click'
+        |    EXCEPT
+        |    SELECT user_id FROM events WHERE event_type = 'purchase')) AS n_click_only""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents

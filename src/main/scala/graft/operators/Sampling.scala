@@ -107,18 +107,38 @@ object Sampling {
     * a sentinel stratum first if they should participate.
     */
   def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
-                     alpha: Double): DataFrame = {
+                     alpha: Double): DataFrame =
+    applyRates(df, temperatureRates(df, stratumCol, alpha), stratumCol, idCol)
+
+  /** The rates alone: stratum → integer membership threshold (out of 2^16),
+    * kept counts ∝ n_s^alpha realized downsampling-only. Factored out so a
+    * STREAM can sample against rates computed from the landed corpus
+    * ([[graft.streaming.EventsStream.temperatureMixStream]]): the rule
+    * needs global per-stratum counts, which a live stream can't see — the
+    * corpus it has already landed can.
+    */
+  def temperatureRates(df: DataFrame, stratumCol: String, alpha: Double): DataFrame = {
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0,1]")
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
     val nMin = counts.agg(min(col("__n")).as("__nmin"))
-    val rates = broadcast(counts.crossJoin(broadcast(nMin))
+    counts.crossJoin(broadcast(nMin))
       .select(col(stratumCol),
         round(pow(col("__nmin").cast("double") / col("__n").cast("double"),
-          lit(1.0 - alpha)) * 65536, 0).cast("int").as("__t")))
-    df.join(rates, stratumCol)
+          lit(1.0 - alpha)) * 65536, 0).cast("int").as("__t"))
+  }
+
+  /** Membership filter against a precomputed rate table — the same
+    * deterministic md5-prefix test as every other sampler, so a row's
+    * membership depends only on (id, its stratum's rate), never on when or
+    * where the filter runs. The threshold is carried as an integer and
+    * compared only when < 2^16 (rate-1 strata skip the fixed-width hex
+    * comparison, which can't represent "keep all").
+    */
+  def applyRates(df: DataFrame, rates: DataFrame, stratumCol: String,
+                 idCol: String): DataFrame =
+    df.join(broadcast(rates), stratumCol)
       .where(col("__t") >= 65536 ||
         substring(md5(col(idCol).cast("string")), 1, 4)
           < lpad(lower(hex(col("__t"))), 4, "0"))
       .drop("__t")
-  }
 }

@@ -456,6 +456,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** PQ ADC with exact re-rank — the production probe shape: ADC ranks a
+    * candidate margin (4k + 16) from the m-byte codes alone, then ONLY
+    * those candidates fetch their float vectors for the decimal-exact
+    * cosine that defines the final order. On corpora whose top-k cosine
+    * band is tighter than the ADC distortion (near-isotropic embeddings —
+    * exactly what q_ann_recall measured: pure-ADC recall 0.1), the re-rank
+    * recovers most of the lost ranking quality while still scanning codes,
+    * not vectors; the vector reads are k-proportional, not corpus-
+    * proportional.
+    */
+  def pqTopKReranked(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+                     embeddings: DataFrame, query: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cands = pqTopK(encoded, codebooks, query, 4 * k + 16, idCol, vecCol)
+      .select(col(idCol))
+    val q = broadcast(query.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    cands
+      .join(embeddings.select(col(idCol), col(vecCol).as("v")), idCol)
+      .crossJoin(q)
+      .select(col(idCol),
+        round(dotExact("v", "qv")
+          / nullif(sqrt(dotExact("v", "v")) * sqrt(dotExact("qv", "qv")), lit(0.0)), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The combined IVF-PQ index: coarse cell (compiled NearestCentroid) +
     * m-byte PQ codes (compiled PqEncode) per vector — the standard
     * billion-scale ANN layout (FAISS IVF-PQ): partition-prune to nprobe
@@ -582,25 +609,52 @@ object Similarity {
       .limit(k)
   }
 
-  /** Bucketed near-neighbor pairs: same LSH signature ⇒ candidate; exact
-    * cosine verifies. The groupBy key is the signature — candidate work is
-    * Σ bucket², never corpus².
+  /** Bucketed near-neighbor pairs with OR-amplified banding: the
+    * `planes × bands` sign bits split into `bands` bands of `planes` bits,
+    * and two vectors are candidates when ANY band matches exactly — the
+    * same AND-within/OR-across construction the minhash path uses. For
+    * per-bit agreement p = 1 − θ/π, candidate probability is
+    * 1 − (1 − p^planes)^bands: at cosine 0.4 the 4×8 default catches ~75%
+    * of true pairs where a single 8-plane bucket (the pre-banding shape)
+    * caught ~2.5% — single-band hyperplane LSH AND-amplifies only, so its
+    * recall collapses exponentially in the plane count. Exact cosine
+    * verifies every candidate, so precision is 1.0 by construction either
+    * way (the q_pair_quality diagnostic reads the recall).
+    *
+    * Scale shape: the band stage shuffles only (band, bits, id) — vectors
+    * never enter the explosion; per-bucket pair work is Σ bucket² with a
+    * `maxBucketSize` guard, never corpus²; survivors join vectors back by
+    * id and pay the compiled screen + decimal-exact verify (the two-phase
+    * house rule).
     */
-  def cosinePairsBucketed(embeddings: DataFrame, threshold: Double, planes: Int = 12,
+  def cosinePairsBucketed(embeddings: DataFrame, threshold: Double, planes: Int = 4,
+                          bands: Int = 8, maxBucketSize: Int = 10000,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = embeddings.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      normExact(vecCol).as("nrm"), lshSignature(vecCol, planes).as("sig"))
-    val buckets = sig
-      .groupBy(col("sig"))
-      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("members"))
-      .where(size(col("members")) > 1)
-    buckets
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(dotExact("a.v", "b.v") / nullif(col("a.nrm") * col("b.nrm"), lit(0.0)), 6)
+    require(planes > 0 && bands > 0 && planes * bands <= 63,
+      "planes × bands must fit a 63-bit signature")
+    val mask = (1L << planes) - 1
+    val sig = embeddings.select(col(idCol).as("id"),
+      lshSignature(vecCol, planes * bands).as("sig"))
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
+      shiftright(col("sig"), b * planes).bitwiseAND(lit(mask)).as("bits")))
+    val pairs = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normExact(vecCol).as("nrm"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .where(graft.plans.Exprs.dot(col("va"), col("vb"))
+        / nullif(col("na") * col("nb"), lit(0.0)) > threshold - 1e-6)
+      .select(col("id_a"), col("id_b"),
+        round(dotExact("va", "vb") / nullif(col("na") * col("nb"), lit(0.0)), 6)
           .as("cosine"))
       .where(col("cosine") > threshold)
   }

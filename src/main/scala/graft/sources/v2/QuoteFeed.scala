@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -165,20 +166,38 @@ class QuoteScanBuilder(tickers: Seq[String], days: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Scan with Batch {
+  private def keptTickers: Seq[String] = tickers.filter(t => pushed.forall {
+    case EqualTo("ticker", v) => t == v
+    case In("ticker", vs) => vs.exists(_ == t)
+    case _ => true
+  })
+
+  override def build(): Scan = new Scan with Batch with SupportsReportPartitioning {
     override def readSchema(): StructType = aggSchema.getOrElse(required)
     override def toBatch: Batch = this
+
+    /** The feed is key-grouped by construction — one input partition per
+      * ticker — so report exactly that: with
+      * `spark.sql.sources.v2.bucketing.enabled=true`, ANY
+      * `groupBy("ticker")` aggregate (not just the pushed count/min/max)
+      * and ticker-keyed storage-partitioned joins satisfy their clustered
+      * distribution straight off the scan — zero Exchange. Each partition
+      * carries its key ([[QuotePartition.partitionKey]]); the report
+      * degrades to unknown when column pruning drops `ticker` from the
+      * read schema (nothing downstream could bind the key expression).
+      */
+    override def outputPartitioning(): Partitioning =
+      if (readSchema().fieldNames.contains("ticker"))
+        new KeyGroupedPartitioning(Array(Expressions.identity("ticker")), keptTickers.size)
+      else new UnknownPartitioning(keptTickers.size)
+
     override def description(): String =
       s"graft-quotes tickers=${tickers.size} days=$days " +
         s"cols=${readSchema().fieldNames.mkString(",")} pushed=[${pushed.mkString(",")}]" +
         (if (aggSchema.isDefined) s" pushedAggregates=[${aggSpecs.mkString(",")}]" else "") +
         (if (limit != Int.MaxValue && aggSchema.isEmpty) s" pushedLimit=$limit" else "")
     override def planInputPartitions(): Array[InputPartition] = {
-      val keep = tickers.filter(t => pushed.forall {
-        case EqualTo("ticker", v) => t == v
-        case In("ticker", vs) => vs.exists(_ == t)
-        case _ => true
-      })
+      val keep = keptTickers
       // the limit cap never composes with a pushed aggregate: Spark only
       // pushes a limit sitting directly above the scan, and the agg reader's
       // count = days must stay the true row count regardless
@@ -229,7 +248,14 @@ class QuoteAggReader(p: QuotePartition, grouped: Boolean, specs: Seq[String])
 
 case class QuotePartition(ticker: String, days: Int, columns: Array[String],
                           agg: Option[(Boolean, Seq[String])] = None)
-    extends InputPartition
+    extends InputPartition with HasPartitionKey {
+  /** The partition's grouping-key value — what lets Spark trust the scan's
+    * [[KeyGroupedPartitioning]] report and plan ticker-clustered operators
+    * without an exchange.
+    */
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(ticker))
+}
 
 /** Deterministic per-ticker generator (xorshift seeded by ticker name) —
   * the slot where a real implementation calls the upstream API once per

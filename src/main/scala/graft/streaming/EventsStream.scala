@@ -103,6 +103,51 @@ object EventsStream {
       events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Streaming temperature-scaled mixture — the continuous face of
+    * Sampling.temperatureMix, closing the batch/streaming asymmetry in the
+    * sampling family. The temperature rule needs GLOBAL per-stratum counts,
+    * which a live stream cannot see (a global aggregate feeding a join
+    * against its own stream would stack two stateful ops and still answer
+    * "rates as of when?"); the production shape samples the stream against
+    * rates computed from the LANDED corpus. That contract is explicit here:
+    * `rates` is a static frame — `Sampling.temperatureRates(spark.read
+    * .parquet(landedDir), …)` — and a stream-static join re-evaluates the
+    * static side every micro-batch, so overwriting the rates table
+    * REFRESHES the broadcast as the corpus grows, without restarting the
+    * query. Membership stays the deterministic md5-prefix test keyed on
+    * (id, stratum rate): a rate refresh changes sampling going forward but
+    * can never retroactively resample rows already emitted, and replays
+    * after failure make identical decisions — exactly-once-safe.
+    *
+    * This stateless form joins one FIXED rates frame (a running query pins
+    * the static side's resolved file listing at start — overwriting those
+    * files breaks the query, it does not refresh it); for live refresh use
+    * [[temperatureMixStreamRefreshing]].
+    */
+  def temperatureMixStream(stream: DataFrame, rates: DataFrame,
+                           stratumCol: String = "lang",
+                           idCol: String = "doc_id"): DataFrame =
+    graft.operators.Sampling.applyRates(stream, rates, stratumCol, idCol)
+
+  /** The refresh-capable form: foreachBatch RE-READS the rates table at
+    * every micro-batch (a fresh read re-lists files, where a stream-static
+    * join pins the listing once at query start), so overwriting
+    * `ratesDir` — e.g. a scheduled job re-running
+    * `Sampling.temperatureRates` over the grown corpus — changes sampling
+    * from the next micro-batch on, with no query restart. `sink` receives
+    * each batch's sampled rows plus the batch id (foreachBatch's
+    * exactly-once contract: the id is stable across replays, and so is the
+    * md5 membership, so an idempotent sink dedups replays).
+    */
+  def temperatureMixStreamRefreshing(stream: DataFrame, ratesDir: String,
+                                     stratumCol: String = "lang",
+                                     idCol: String = "doc_id")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val rates = batch.sparkSession.read.parquet(ratesDir)
+      sink(graft.operators.Sampling.applyRates(batch, rates, stratumCol, idCol), batchId)
+    }
+
   case class AsOfIn(user_id: Long, ts: Timestamp, is_dim: Boolean, value: Double)
   case class AsOfBuffers(facts: Seq[(Long, Double)], dims: Seq[(Long, Double)])
   case class AsOfOut(user_id: Long, ts: Timestamp, value: Double, dim_value: Option[Double])

@@ -140,6 +140,44 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("asOfAuto: broadcast path below the dim gate, union+window above, same results") {
+    // a skewed window partition can't be split by AQE, so the switch to the
+    // fact-shuffle-free broadcast path is the skew bound for dim-sized rights
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val clicks = ev.where($"event_type" === "click").select("event_id", "user_id", "ts")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    def resultOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val small = AsOfJoin.asOfAuto(clicks, purchases, "user_id", "ts", "value", "v")
+    val smallPlan = small.queryExecution.executedPlan.toString()
+    assert(smallPlan.contains("BroadcastExchange"), s"dim-sized right must broadcast:\n$smallPlan")
+    assert(!smallPlan.contains("Window"), s"broadcast path must not window:\n$smallPlan")
+    val large = AsOfJoin.asOfAuto(clicks, purchases, "user_id", "ts", "value", "v",
+      maxBroadcastRows = 0)
+    val largePlan = large.queryExecution.executedPlan.toString()
+    assert(largePlan.contains("Window"), s"above the gate: union+window:\n$largePlan")
+    assert(resultOf(small) === resultOf(large))
+    assert(resultOf(small).nonEmpty)
+  }
+
+  test("theta sketch set algebra is exact below sketch capacity") {
+    val ev = Seq(
+      (1L, "click"), (2L, "click"), (3L, "click"), (4L, "click"),
+      (3L, "purchase"), (4L, "purchase"), (5L, "purchase"))
+      .toDF("user_id", "event_type")
+    val sk = ev.groupBy($"event_type").agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val a = sk.where($"event_type" === "click").select($"sk".as("a"))
+    val b = sk.where($"event_type" === "purchase").select($"sk".as("b"))
+    val out = a.crossJoin(b).select(
+      expr("cast(round(theta_sketch_estimate(theta_union(a, b))) as long)"),
+      expr("cast(round(theta_sketch_estimate(theta_intersection(a, b))) as long)"),
+      expr("cast(round(theta_sketch_estimate(theta_difference(a, b))) as long)")).head()
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) === ((5L, 2L, 2L)))
+  }
+
   test("asOfForward picks the earliest right row at-or-after, else null") {
     val left = Seq((1L, ts("2024-01-02 10:00:00"), "l1"), (1L, ts("2024-01-01 10:00:00"), "l2"),
       (2L, ts("2024-01-09 00:00:00"), "l3"))

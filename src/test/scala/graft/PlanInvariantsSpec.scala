@@ -135,6 +135,18 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(count(ttl, "Window") === 1, ttl)
   }
 
+  test("round-4 operators keep their scale shapes") {
+    // persisted-IVF probe: the on-disk index scan is partition-PRUNED to
+    // the nprobe cells — the probe never touches unprobed cells' files
+    val ivfIdx = plan("q_ann_ivf_indexed")
+    assert(ivfIdx.contains("PartitionFilters: [cent_idx"), ivfIdx)
+    // banded LSH: id-only band shuffle — no nested loop, no vector payload
+    // in the explosion (asserted via: the only joins are the id-keyed
+    // vector join-backs, hash joins all)
+    val lsh = plan("q_ann_lsh")
+    assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"), lsh)
+  }
+
   test("incremental bar merge aggregates bars — the tick scans partial-combine first") {
     val p = plan("q_incremental_bars")
     // two mergeableBars partial+final pairs plus the merge's pair: every

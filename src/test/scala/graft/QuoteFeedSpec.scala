@@ -82,6 +82,31 @@ class QuoteFeedSpec extends SparkSpec {
     assert(capped === full)
   }
 
+  test("DSv2 quote feed: reported key-grouped partitioning makes grouped aggregates exchange-free") {
+    // The scan reports KeyGroupedPartitioning(ticker) with per-partition
+    // keys, so under v2 bucketing an ARBITRARY groupBy(ticker) aggregate —
+    // one the source cannot push (sum of closes) — satisfies its clustered
+    // distribution straight off the scan: zero Exchange in the plan.
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val grouped = feed.groupBy($"ticker")
+        .agg(sum($"close").as("sum_close"), count(lit(1)).as("n"))
+      val plan = grouped.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"grouped agg must not shuffle:\n$plan")
+      val rows = grouped.collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(rows.keySet === Set("aapl", "msft", "xom", "brk_b"))
+      assert(rows.values.forall(_ === 20L))
+      // same values as the shuffled plan
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val viaShuffle = feed.groupBy($"ticker")
+        .agg(sum($"close").as("sum_close"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(grouped.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+        === viaShuffle)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("quote feed composes with the stock operators (SMA over the feed)") {
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"ticker").orderBy($"day")
     val sma = feed.select($"ticker", $"day", $"close",

@@ -190,14 +190,41 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
-  test("bucketed LSH pairs are a subset of brute force at the same threshold") {
+  test("bucketed LSH pairs: subset of brute force, banded recall beats single-band") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.cosinePairs(emb, 0.2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.cosinePairsBucketed(emb, 0.2, planes = 8)
+    val lsh = Similarity.cosinePairsBucketed(emb, 0.2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(brute))
     assert(lsh.nonEmpty)
+    // OR-amplification must actually amplify: the banded default's recall
+    // strictly dominates a single AND-only band of the same total bits
+    val single = Similarity.cosinePairsBucketed(emb, 0.2, planes = 32, bands = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(lsh), "a 32-bit full-signature match implies some 4-bit band matches")
+    assert(lsh.size > single.size, s"banded ${lsh.size} vs single ${single.size}")
+  }
+
+  test("pqTopKReranked: exact-cosine order, recall at least matches pure ADC") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.orderBy($"vec_id".desc).limit(1)
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+    val encoded = Similarity.pqEncoded(emb, books)
+    val brute = Similarity.topK(emb, q, 10).as[(Long, Double)].collect()
+    val bruteIds = brute.map(_._1).toSet
+    val adc = Similarity.pqTopK(encoded, books, q, 10).collect().map(_.getLong(0))
+    val rr = Similarity.pqTopKReranked(encoded, books, emb, q, 10)
+      .as[(Long, Double)].collect()
+    assert(rr.length === 10)
+    // re-ranked scores ARE exact cosines: every id shared with brute force
+    // carries the identical value
+    val bruteCos = brute.toMap
+    rr.foreach { case (id, c) => bruteCos.get(id).foreach(b => assert(b === c)) }
+    val adcRecall = adc.count(bruteIds.contains) / 10.0
+    val rrRecall = rr.map(_._1).count(bruteIds.contains) / 10.0
+    assert(rrRecall >= adcRecall, s"rerank $rrRecall vs adc $adcRecall")
+    assert(rrRecall >= 0.5, s"rerank recall $rrRecall")
   }
 
   test("pq: codes are valid, deterministic, and partition-count-invariant") {

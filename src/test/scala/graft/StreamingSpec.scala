@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+case class StreamLangDoc(doc_id: Long, ts: Timestamp, lang: String)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -389,6 +390,56 @@ class StreamingSpec extends SparkSpec {
         Seq(StreamDoc(1L, ts("2024-01-01 10:00:00"), "a b c"),
           StreamDoc(2L, ts("2024-01-01 10:00:01"), "A  B  c")).toDS().toDF())
       assert(batch.count() === 1)
+    } finally query.stop()
+  }
+
+  test("temperatureMixStream samples against landed-corpus rates, refreshed without restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    // landed corpus: en-heavy (8 docs) vs fr (2 docs); alpha=0 flattens
+    // toward uniform → en keeps (2/8)^1 = 25% (threshold 0x4000), fr keeps all
+    val landed = ((1L to 8L).map(i => (i, "en")) ++ Seq((9L, "fr"), (10L, "fr")))
+      .toDF("doc_id", "lang")
+    val ratesDir = java.nio.file.Files.createTempDirectory("graft_rates").toString
+    Sampling.temperatureRates(landed, "lang", alpha = 0.0)
+      .write.mode("overwrite").parquet(ratesDir)
+    val input = MemoryStream[StreamLangDoc]
+    val sampled = scala.collection.mutable.Set.empty[Long]
+    val query = EventsStream.temperatureMixStreamRefreshing(
+      input.toDS().toDF(), ratesDir) { (batch, _) =>
+      sampled.synchronized {
+        sampled ++= batch.select(col("doc_id")).collect().map(_.getLong(0))
+      }
+    }.start()
+    def md5hex4(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    try {
+      val phase1 = (1L to 10L).map(i =>
+        StreamLangDoc(i, ts("2024-01-01 10:00:00"), if (i <= 8) "en" else "fr"))
+      input.addData(phase1: _*)
+      query.processAllAvailable()
+      val want1 = phase1.filter(d => d.lang == "fr" || md5hex4(d.doc_id) < "4000")
+        .map(_.doc_id).toSet
+      assert(sampled.synchronized(sampled.toSet) === want1,
+        "stream sample must equal the deterministic batch rule")
+      // batch mirror: applyRates on the same frame gives the same membership
+      val batch = Sampling.applyRates(
+        phase1.toDF().select($"doc_id", $"lang"), spark.read.parquet(ratesDir),
+        "lang", "doc_id").select($"doc_id").as[Long].collect().toSet
+      assert(batch === want1)
+      // REFRESH: corpus evolved — alpha=1 keeps natural proportions (all
+      // thresholds 2^16). Overwrite the rates table; the next micro-batch
+      // re-reads it — no query restart, no stale file listing.
+      Sampling.temperatureRates(landed, "lang", alpha = 1.0)
+        .write.mode("overwrite").parquet(ratesDir)
+      // ids chosen to FAIL the old en threshold — only the refreshed rates
+      // let them through
+      val phase2 = (11L to 30L).map(i => StreamLangDoc(i, ts("2024-01-01 11:00:00"), "en"))
+        .filter(d => md5hex4(d.doc_id) >= "4000").take(3)
+      assert(phase2.nonEmpty)
+      input.addData(phase2: _*)
+      query.processAllAvailable()
+      assert(sampled.synchronized(sampled.toSet) === want1 ++ phase2.map(_.doc_id).toSet)
     } finally query.stop()
   }
 
