@@ -496,6 +496,23 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }),
 
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      // same semantics as q_decontaminate (same oracle!), but the gram
+      // membership set ships as a fixed-size bloom filter with an exact
+      // confirm join on the bloom survivors — the shape that scales past
+      // a broadcastable benchmark gram set
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateBloom(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0))
+        .select("doc_id", "lang", "source")
+    }),
+
+    "q_chunk_split" -> ((s, dir) =>
+      // sliding-window chunking (RAG / long-doc pretraining): 64-token
+      // chunks, 16-token overlap, codegen'd scan-speed projection
+      TextAnalysis.chunkDocs(Tables.documents(s, dir), size = 64, overlap = 16)),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir)).select("id", "simhash")),
 
@@ -1320,6 +1337,32 @@ object SparkEntry {
         |          WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench))
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+
+    // bloom pre-screen + exact confirm = exactly decontaminate's semantics,
+    // so the bloom variant shares its oracle verbatim
+    "q_decontaminate_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 6, 2)),
+        |                        i -> array_to_string(t[i:i+7], ' '))) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |dirty AS (SELECT DISTINCT doc_id FROM grams
+        |          WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench))
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+
+    "q_chunk_split" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        |starts AS (SELECT doc_id, t, n, unnest(range(0, n, 48)) AS start FROM sized)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+        |  array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text,
+        |  CAST(least(64, n - start) AS BIGINT) AS n_tokens
+        |FROM starts
+        |WHERE start = 0 OR start + 16 < n""".stripMargin,
 
     "q_dedup_keep" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

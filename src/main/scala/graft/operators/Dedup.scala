@@ -453,6 +453,40 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Decontamination past broadcast scale: [[decontaminate]] broadcasts the
+    * benchmark's raw gram STRINGS, which stops working when the eval suite
+    * union grows to hundreds of millions of grams. Here the membership set
+    * ships as a fixed-size BLOOM FILTER (Spark's own runtime-filter
+    * aggregate — `numBits` bytes/8 regardless of gram count), the corpus
+    * gram stream probes it map-side, and the few bloom survivors (true
+    * hits + the fp rate) are CONFIRMED by an exact join against the gram
+    * set — which now touches a candidate set, not the corpus, so AQE can
+    * shuffle-join it without anyone broadcasting strings. No false
+    * negatives (bloom) + exact confirm (join) ⇒ semantics identical to
+    * [[decontaminate]], checked by the same oracle.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                         expectedGrams: Long = 1000 * 1000, numBits: Long = 8L * 1000 * 1000,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("__gid"), tokens(textCol).as("__toks"))
+      .select(col("__gid"), explode(ngramsOfTokens("__toks", n)).as("g"))
+    val benchGrams = grams(benchmark).select(col("g")).distinct()
+    // the sketch is MODEL-sized (numBits/8 bytes regardless of gram count)
+    // and might_contain requires a constant filter — driver-resident like
+    // every codebook, shipped once inside the plan
+    val bloomBytes = benchGrams
+      .agg(graft.plans.Exprs.bloomAgg(xxhash64(col("g")), expectedGrams, numBits).as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    val candidates = grams(corpus)
+      .where(graft.plans.Exprs.bloomMightContain(lit(bloomBytes), xxhash64(col("g"))))
+      .select(col("__gid"), col("g"))
+    val contaminated = candidates
+      .join(benchGrams, "g")
+      .select(col("__gid").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash fingerprint over whitespace tokens — one compiled
     * vote-and-assemble pass per row (graft.plans.SimHash64).
     */

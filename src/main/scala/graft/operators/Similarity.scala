@@ -625,20 +625,22 @@ object Similarity {
     * never enter the explosion; per-bucket pair work is Σ bucket² with a
     * `maxBucketSize` guard, never corpus²; survivors join vectors back by
     * id and pay the compiled screen + decimal-exact verify (the two-phase
-    * house rule).
+    * house rule). Each band draws its bits from a DISJOINT hyperplane
+    * family (HyperplaneLSH's offset), so per-band bucket count 2^planes is
+    * NOT capped by a shared 63-bit signature — at corpus scale raise
+    * `planes` so buckets stay ≈ n/2^planes rows (the 4×8 default suits
+    * ~10³–10⁵ rows; a billion-row corpus wants ~24 planes per band, which
+    * single-signature bit-slicing could never hold).
     */
   def cosinePairsBucketed(embeddings: DataFrame, threshold: Double, planes: Int = 4,
                           bands: Int = 8, maxBucketSize: Int = 10000,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(planes > 0 && bands > 0 && planes * bands <= 63,
-      "planes × bands must fit a 63-bit signature")
-    val mask = (1L << planes) - 1
-    val sig = embeddings.select(col(idCol).as("id"),
-      lshSignature(vecCol, planes * bands).as("sig"))
+    require(planes > 0 && planes <= 63 && bands > 0,
+      "planes must be in [1, 63]; bands unbounded")
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
-      shiftright(col("sig"), b * planes).bitwiseAND(lit(mask)).as("bits")))
-    val pairs = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      graft.plans.Exprs.hyperplaneLsh(col(vecCol), planes, b * planes).as("bits")))
+    val pairs = embeddings
+      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
       .groupBy(col("bb.band").as("band"), col("bb.bits").as("bits"))
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)

@@ -312,6 +312,38 @@ object TextAnalysis {
           .as("dup_char_frac"))
   }
 
+  /** Sliding-window document chunking — the context-window splitting pass
+    * under RAG indexing and long-document pre-training: each document
+    * yields chunks of `size` whitespace tokens starting every
+    * `size − overlap` tokens, so consecutive chunks share `overlap` tokens
+    * and no boundary sentence is ever lost to a hard cut. A trailing start
+    * whose tokens are wholly contained in the previous chunk is suppressed
+    * (start + overlap must still be inside the doc). Pure builtins
+    * (split/sequence/slice/explode) — fully codegen'd, no shuffle: at
+    * 100 TB this runs at scan speed and the output is safely larger than
+    * the input by ×(1 + overlap/stride).
+    */
+  def chunkDocs(docs: DataFrame, size: Int = 128, overlap: Int = 32,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    // `size` the param shadows functions.size — qualify the builtin
+    val nToks = org.apache.spark.sql.functions.size(col("__toks")).cast("long")
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .withColumn("__n", nToks)
+      .where(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(expr(s"sequence(0L, __n - 1, $stride)")).as("start"))
+      .where(col("start") === 0 || col("start") + overlap < col("__n"))
+      .select(
+        col(idCol),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"), (col("start") + 1).cast("int"), lit(size)), " ")
+          .as("chunk_text"),
+        least(lit(size.toLong), col("__n") - col("start")).as("n_tokens"))
+  }
+
   /** Corpus vocabulary: token → frequency over lowercased whitespace tokens,
     * keeping tokens seen ≥ `minCount` times — the counting pass under BPE /
     * tokenizer training and frequency-based filtering. explode + groupBy

@@ -24,9 +24,11 @@ object Exprs {
   def simhash(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 
-  /** Compiled random-hyperplane LSH signature (see [[HyperplaneLSH]]). */
-  def hyperplaneLsh(vec: Column, planes: Int): Column =
-    GraftBridge.column(HyperplaneLSH(GraftBridge.expression(vec), planes))
+  /** Compiled random-hyperplane LSH signature (see [[HyperplaneLSH]]);
+    * `offset` picks a disjoint hyperplane family for stacked/banded use.
+    */
+  def hyperplaneLsh(vec: Column, planes: Int, offset: Int = 0): Column =
+    GraftBridge.column(HyperplaneLSH(GraftBridge.expression(vec), planes, offset))
 
   /** Compiled one-pass int8 quantization (see [[Int8Quantize]]). */
   def quantizeInt8(vec: Column): Column =
@@ -79,4 +81,27 @@ object Exprs {
     GraftBridge.column(PqResidualScore(
       GraftBridge.expression(codes), GraftBridge.expression(centIdx),
       ipLut, resNormSq, qCentDot, centNormSq, centCross, qNorm))
+
+  /** Bloom-filter aggregate over xxhash64'd values (Spark's own runtime-
+    * filter machinery, surfaced as a library call): one binary sketch whose
+    * size is `numBits` regardless of item count — the membership-set shape
+    * when the set outgrows a broadcast of its raw values. `hashed` MUST be
+    * an xxhash64 column (the aggregate hashes longs).
+    */
+  def bloomAgg(hashed: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    GraftBridge.column(new BloomFilterAggregate(GraftBridge.expression(hashed),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Membership probe against a [[bloomAgg]] sketch: false positives at the
+    * configured rate, NO false negatives — safe as a pre-screen whose
+    * survivors an exact join confirms.
+    */
+  def bloomMightContain(bloom: Column, hashed: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(bloom), GraftBridge.expression(hashed)))
+  }
 }

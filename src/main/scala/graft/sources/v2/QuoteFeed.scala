@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
@@ -172,7 +172,8 @@ class QuoteScanBuilder(tickers: Seq[String], days: Int)
     case _ => true
   })
 
-  override def build(): Scan = new Scan with Batch with SupportsReportPartitioning {
+  override def build(): Scan = new Scan with Batch with SupportsReportPartitioning
+      with SupportsReportOrdering {
     override def readSchema(): StructType = aggSchema.getOrElse(required)
     override def toBatch: Batch = this
 
@@ -190,6 +191,25 @@ class QuoteScanBuilder(tickers: Seq[String], days: Int)
       if (readSchema().fieldNames.contains("ticker"))
         new KeyGroupedPartitioning(Array(Expressions.identity("ticker")), keptTickers.size)
       else new UnknownPartitioning(keptTickers.size)
+
+    /** Each partition is one ticker whose reader emits days ASCENDING by
+      * construction, so rows are sorted by (ticker, day) within every
+      * partition — reported so a per-ticker time window
+      * (`Window.partitionBy(ticker).orderBy(day)`) or a ticker-keyed
+      * merge plans with NO Sort on top of the scan (and, with the
+      * key-grouped report above, no Exchange either). Withheld when
+      * pruning/aggregation drops the ordered columns.
+      */
+    override def outputOrdering(): Array[SortOrder] = {
+      val names = readSchema().fieldNames
+      if (names.contains("ticker") && names.contains("day") && aggSchema.isEmpty)
+        Array(
+          Expressions.sort(Expressions.identity("ticker"),
+            SortDirection.ASCENDING, NullOrdering.NULLS_FIRST),
+          Expressions.sort(Expressions.identity("day"),
+            SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+      else Array.empty
+    }
 
     override def description(): String =
       s"graft-quotes tickers=${tickers.size} days=$days " +

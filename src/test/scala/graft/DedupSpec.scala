@@ -108,6 +108,24 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("decontaminateBloom equals exact decontaminate, even with a saturated filter") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where($"doc_id" % 50 =!= 0)
+    val bench = docs.where($"doc_id" % 50 === 0)
+    val exact = Dedup.decontaminate(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.decontaminateBloom(corpus, bench)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom === exact)
+    // a deliberately tiny filter saturates (high fp rate) — the exact
+    // confirm join must still keep the results identical, proving the
+    // bloom stage is a pure pre-screen that can only over-ADMIT candidates
+    val saturated = Dedup.decontaminateBloom(corpus, bench,
+      expectedGrams = 8, numBits = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(saturated === exact)
+  }
+
   test("winnowOverlapPairs flags shared-substring docs, not disjoint ones") {
     val docs = Seq(
       (1L, near1), (2L, "PREFIX " + near1 + " SUFFIX"), // containment

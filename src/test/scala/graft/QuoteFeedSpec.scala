@@ -107,6 +107,31 @@ class QuoteFeedSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
+  test("DSv2 quote feed: reported ordering makes per-ticker windows sort-free") {
+    // partitions are single-ticker with days ascending, reported via
+    // SupportsReportOrdering — a per-ticker time window needs neither an
+    // Exchange (key-grouped report) nor a Sort (ordering report)
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"ticker").orderBy($"day")
+      val sma = feed.select($"ticker", $"day", $"close",
+        avg($"close").over(w.rowsBetween(-4, 0)).as("sma5"))
+      val plan = sma.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"windowed feed must not shuffle:\n$plan")
+      assert(!plan.contains("Sort"), s"windowed feed must not re-sort:\n$plan")
+      // values match the explicitly sorted computation
+      val viaDefault = {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        feed.select($"ticker", $"day", $"close",
+          avg($"close").over(w.rowsBetween(-4, 0)).as("sma5"))
+          .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(3))).toSet
+      }
+      assert(sma.collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(3))).toSet
+        === viaDefault)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   test("quote feed composes with the stock operators (SMA over the feed)") {
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"ticker").orderBy($"day")
     val sma = feed.select($"ticker", $"day", $"close",

@@ -154,6 +154,22 @@ class TextAnalysisSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("chunkDocs: sliding windows with overlap, contained trailing start suppressed") {
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, size = 4, overlap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // stride 3 → starts 0,3,6 for the 10-token doc; start 9 is suppressed
+    // (9 + overlap 1 is not inside the doc — its tokens are all in chunk 2)
+    assert(out.keySet === Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    assert(out((1L, 0L)) === (("a b c d", 4L)))
+    assert(out((1L, 1L)) === (("d e f g", 4L)))   // overlap: shares 'd'
+    assert(out((1L, 2L)) === (("g h i j", 4L)))
+    assert(out((2L, 0L)) === (("x y", 2L)))        // short doc: one short chunk
+    // every token appears in some chunk (no boundary loss)
+    val covered = out.collect { case ((1L, _), (t, _)) => t.split(" ") }.flatten.toSet
+    assert(covered === Set("a", "b", "c", "d", "e", "f", "g", "h", "i", "j"))
+  }
+
   test("compressRatio separates repetitive from high-entropy text, deterministic") {
     val docs = Seq(
       (1L, "spam " * 200),                                   // highly repetitive
