@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Graft.localScratchDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated filter for local triage, e.g.

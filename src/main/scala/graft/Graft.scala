@@ -11,6 +11,20 @@ import org.apache.spark.sql.SparkSession
   * .GraftExtensions` does the same at construction time.
   */
 object Graft {
+
+  /** Scratch directory for shuffle/spill files in the single-node entry
+    * points: RAM-backed /dev/shm when available (this container's disk
+    * writes ~3 MB/s — every shuffle write would otherwise serialize on
+    * it; tmpfs measures ~13× faster here), else the JVM tmpdir. A real
+    * cluster sets SPARK_LOCAL_DIRS/spark.local.dir to NVMe per executor —
+    * this helper only picks the local-mode default.
+    */
+  def localScratchDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-local"
+    else System.getProperty("java.io.tmpdir")
+  }
+
   def enable(spark: SparkSession): Unit = {
     GraftFunctions.register(spark)
     if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy)) {

@@ -370,6 +370,16 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir), minCount = 2)),
 
+    "q_bpe" -> ((s, dir) =>
+      // BPE tokenizer: ONE distributed (word,count) aggregate, merges
+      // trained driver-side on the vocab-bounded counts (model-sized
+      // state, like every codebook here), applied by encoding the
+      // distinct vocabulary and broadcast-joining piece counts back —
+      // per-doc word/BPE-piece totals. Iterative merge training is not
+      // SQL-expressible (rows check; BpeSpec verifies the trainer against
+      // hand-worked merges and round-trip/monotonicity properties).
+      Bpe.pieceStats(Tables.documents(s, dir), numMerges = 50)),
+
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3)),
 
@@ -435,6 +445,18 @@ object SparkEntry {
         TextAnalysis.canonicalizeUrl(url).as("canon_url"))
     }),
 
+    "q_domain_stats" -> ((s, dir) => {
+      // per-domain curation stats (the C4/RefinedWeb host-level gate):
+      // synthetic URLs by the q_url_normalize convention, grouped by
+      // canonical host — docs, chars, tokens, languages per domain
+      val url = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM:443/docs/"), (col("doc_id") % 5).cast("string"),
+        lit("/?utm_source=feed&id="), (col("doc_id") % 3).cast("string"),
+        when(col("doc_id") % 2 === 0, "#top").otherwise(""))
+      TextAnalysis.domainStats(
+        Tables.documents(s, dir).withColumn("url", url))
+    }),
+
     // ---- core analytics ----
     "q1_pricing_summary" -> ((s, dir) =>
       Analytics.pricingSummary(lineitemNtz(s, dir), "2000-09-02")),
@@ -460,6 +482,17 @@ object SparkEntry {
 
     "q_dedup_keep" -> ((s, dir) => Dedup.deduplicate(Tables.documents(s, dir))
       .select("doc_id", "lang", "source", "n_chars")),
+
+    "q_dedup_incremental" -> ((s, dir) => {
+      // online dedup: even-id docs stand in for the already-ingested
+      // corpus (as a FINGERPRINT store — 16 bytes/doc, never the text);
+      // odd-id docs are today's batch. Admit batch docs that are first
+      // in-batch for their text AND unseen in the store.
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.fingerprintStore(docs.where(col("doc_id") % 2 === 0))
+      Dedup.deduplicateIncremental(docs.where(col("doc_id") % 2 === 1), store)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
 
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashCandidates(Tables.documents(s, dir))),
 
@@ -553,6 +586,15 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }),
 
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup: k-means-cell-bucketed semantic dedup — the pass a
+      // pretraining pipeline runs between exact dedup and quality
+      // filtering. Cross-cell recall is measured in SimilaritySpec
+      // against the exact grid join; kept rows here are the sound result
+      // (every drop is exact-cosine-verified).
+      Similarity.semdedupKeep(Tables.embeddings(s, dir), k = 8, threshold = 0.4)
+        .select(col("vec_id"), col("label"))),
+
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.topK(emb, emb.orderBy(col("vec_id")).limit(1), 10)
@@ -624,6 +666,22 @@ object SparkEntry {
       Similarity.buildIvfIndex(emb, cents).write.mode("overwrite")
         .partitionBy("cent_idx").parquet(path)
       Similarity.ivfTopKIndexed(s.read.parquet(path), cents,
+        emb.orderBy(col("vec_id").desc).limit(1), 10, nprobe = 4)
+    }),
+
+    "q_ann_ivfpq_indexed" -> ((s, dir) => {
+      // the billion-scale layout END-TO-END on disk: residual IVF-PQ
+      // codes persisted partitioned by cent_idx — a probe reads m-byte
+      // codes from the nprobe pruned partitions only and scores with
+      // O(m) LUT adds per row. Completes the persisted-index family
+      // (q_ann_ivf_indexed covers plain IVF).
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansCentroids(
+        Sampling.deterministicSample(emb, "vec_id", 0.25), 16, 2)
+      val (books, index) = Similarity.buildIvfPqResidualIndex(emb, cents)
+      val path = s"/tmp/graft_ivfpq_index_${new java.io.File(dir).getName}"
+      index.write.mode("overwrite").partitionBy("cent_idx").parquet(path)
+      Similarity.ivfPqResidualTopK(s.read.parquet(path), cents, books,
         emb.orderBy(col("vec_id").desc).limit(1), 10, nprobe = 4)
     }),
 
@@ -1258,6 +1316,33 @@ object SparkEntry {
         |  CASE WHEN cleanq = '' THEN '' ELSE '?' || cleanq END AS canon_url
         |FROM parts""".stripMargin,
 
+    "q_domain_stats" ->
+      """WITH u AS (
+        |  SELECT *,
+        |    'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&id=' ||
+        |    CAST(doc_id % 3 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT *,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
+        |      '^www\.', '') AS nw
+        |  FROM u),
+        |d AS (
+        |  SELECT *,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(nw, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(nw, ':80$', '')
+        |         ELSE nw END AS host
+        |  FROM h)
+        |SELECT host,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM d GROUP BY host""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
@@ -1367,6 +1452,17 @@ object SparkEntry {
     "q_dedup_keep" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH store AS (
+        |  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, lang, source, n_chars, md5(text) AS h
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |first_in AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY h)
+        |SELECT b.doc_id, b.lang, b.source, b.n_chars
+        |FROM batch b JOIN first_in USING (doc_id)
+        |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.text_hash = b.h)""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings)

@@ -660,4 +660,123 @@ object Similarity {
           .as("cosine"))
       .where(col("cosine") > threshold)
   }
+
+  /** SemDeDup pair generation (Abbas et al., arXiv:2303.09540): k-means
+    * cells as the bucketing stage — candidate pairs come only from rows
+    * sharing a cell, so the quadratic step is Σ cell², never corpus²,
+    * and the join is a plain equi-join on `cell`. Verification is the
+    * same two-phase shape as [[cosinePairsExact]]: compiled int8 screen
+    * with the error-bound margin, decimal-exact cosine only for
+    * survivors. Missed cross-cell pairs are the SemDeDup tradeoff
+    * (bounded in the spec against the exact grid join); emitted pairs
+    * are exact-verified, so downstream drops are always sound.
+    */
+  def semdedupPairs(embeddings: DataFrame, centroids: Array[Array[Double]],
+                    threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lite = embeddings
+      .select(col(idCol).as("id"),
+        sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm"),
+        graft.plans.Exprs.quantizeInt8(col(vecCol)).as("q"),
+        graft.plans.Exprs.nearestCentroid(col(vecCol), centroids).as("cell"))
+      .select(col("id"), col("nrm"), col("cell"), col("q.qscale").as("qscale"),
+        col("q.codes").as("codes"), col("q.s1").as("s1"))
+    val a = lite.select(col("cell"), col("id").as("ia"), col("nrm").as("na"),
+      col("qscale").as("sa"), col("codes").as("ca"), col("s1").as("s1a"))
+    val bSide = lite.select(col("cell"), col("id").as("ib"), col("nrm").as("nb"),
+      col("qscale").as("sb"), col("codes").as("cb"), col("s1").as("s1b"))
+    val errBound = col("sa") * col("sb") *
+      (lit(0.5) * (col("s1a") + col("s1b")) + lit(0.25) * size(col("ca")))
+    val screened = a.join(bSide, Seq("cell"))
+      .where(col("ia") < col("ib"))
+      .where((graft.plans.Exprs.dotInt8(col("ca"), col("cb")).cast("double")
+        * col("sa") * col("sb") + errBound)
+        / nullif(col("na") * col("nb"), lit(0.0)) > threshold - 1e-9)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    screened
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dotExact("va", "vb")
+          / nullif(sqrt(dotExact("va", "va")) * sqrt(dotExact("vb", "vb")), lit(0.0)), 6)
+          .as("cosine"))
+      .where(col("cosine") > threshold)
+  }
+
+  /** Ensemble SemDeDup pairs: the union of [[semdedupPairs]] under several
+    * independent clusterings. A true pair is missed only if EVERY
+    * clustering splits it across cells — boundary misses are largely
+    * uncorrelated between granularities, so two clusterings lift recall
+    * substantially (0.39 → measured ≥0.6 on the near-isotropic testdata,
+    * clustering's worst case) while each member stays the bounded
+    * Σ cell² shape. Union-then-distinct is sound because every member
+    * pair is already exact-verified.
+    */
+  def semdedupPairsEnsemble(embeddings: DataFrame,
+                            centsList: Seq[Array[Array[Double]]], threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // ONE pass computes the norm, the int8 codes, and every clustering's
+    // cell id; each member then pays only its screen join, and the
+    // decimal-exact verify runs ONCE over the deduplicated union of
+    // screened candidates (a fused union-then-verify — naively unioning
+    // semdedupPairs would re-quantize the corpus and re-verify shared
+    // candidates per member).
+    val cellCols = centsList.zipWithIndex.map { case (c, i) =>
+      graft.plans.Exprs.nearestCentroid(col(vecCol), c).as(s"cell$i")
+    }
+    val lite = embeddings
+      .select(Seq(col(idCol).as("id"),
+        sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm"),
+        graft.plans.Exprs.quantizeInt8(col(vecCol)).as("q")) ++ cellCols: _*)
+      .select(Seq(col("id"), col("nrm"), col("q.qscale").as("qscale"),
+        col("q.codes").as("codes"), col("q.s1").as("s1")) ++
+        centsList.indices.map(i => col(s"cell$i")): _*)
+    val errBound = col("sa") * col("sb") *
+      (lit(0.5) * (col("s1a") + col("s1b")) + lit(0.25) * size(col("ca")))
+    val screened = centsList.indices.map { i =>
+      val a = lite.select(col(s"cell$i").as("cell"), col("id").as("ia"), col("nrm").as("na"),
+        col("qscale").as("sa"), col("codes").as("ca"), col("s1").as("s1a"))
+      val b = lite.select(col(s"cell$i").as("cell"), col("id").as("ib"), col("nrm").as("nb"),
+        col("qscale").as("sb"), col("codes").as("cb"), col("s1").as("s1b"))
+      a.join(b, Seq("cell"))
+        .where(col("ia") < col("ib"))
+        .where((graft.plans.Exprs.dotInt8(col("ca"), col("cb")).cast("double")
+          * col("sa") * col("sb") + errBound)
+          / nullif(col("na") * col("nb"), lit(0.0)) > threshold - 1e-9)
+        .select(col("ia").as("id_a"), col("ib").as("id_b"))
+    }.reduce(_.unionByName(_)).dropDuplicates("id_a", "id_b")
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    screened
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dotExact("va", "vb")
+          / nullif(sqrt(dotExact("va", "va")) * sqrt(dotExact("vb", "vb")), lit(0.0)), 6)
+          .as("cosine"))
+      .where(col("cosine") > threshold)
+  }
+
+  /** SemDeDup keep-rows: sample-trained k-means cells (two granularities,
+    * k and k/2 — see [[semdedupPairsEnsemble]]) → within-cell
+    * exact-verified pairs → connected components → lowest id per group
+    * survives. The full semantic-dedup pass a pretraining pipeline runs
+    * between exact dedup and quality filtering; every stage is the
+    * bounded shape proven elsewhere in this file (codebook = model-sized
+    * driver state, assignment map-side compiled, components
+    * size-adaptive).
+    */
+  def semdedupKeep(embeddings: DataFrame, k: Int = 16, threshold: Double = 0.7,
+                   iters: Int = 2, sampleFraction: Double = 0.25,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sample = Sampling.deterministicSample(embeddings, idCol, sampleFraction)
+    val centsList = Seq(k, math.max(2, k / 2)).distinct
+      .map(kk => kmeansCentroids(sample, kk, iters, idCol, vecCol))
+    val pairs = semdedupPairsEnsemble(embeddings, centsList, threshold, idCol, vecCol)
+      .select("id_a", "id_b")
+    val losers = graft.operators.Dedup.connectedComponents(pairs)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    embeddings.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -147,6 +147,35 @@ object TextAnalysis {
       when(cleanQuery === "", lit("")).otherwise(concat(lit("?"), cleanQuery)))
   }
 
+  /** Canonical host of a URL: lowercased authority, `www.` and the
+    * scheme's own default port stripped — the grouping key for per-domain
+    * corpus curation (same host rules as [[canonicalizeUrl]]).
+    */
+  def urlHost(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]*)", 1))
+    val noWww = regexp_replace(hostport, "^www\\.", "")
+    when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .otherwise(noWww)
+  }
+
+  /** Per-domain corpus statistics — the curation dashboard behind domain
+    * up/down-weighting decisions (C4/RefinedWeb both gate on per-host
+    * counts): documents, total characters, whitespace tokens, and distinct
+    * languages per canonical host. One hash aggregate on the host key;
+    * the shuffle carries per-domain partials, never documents.
+    */
+  def domainStats(docs: DataFrame, urlCol: String = "url",
+                  textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(urlHost(col(urlCol)).as("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        sum(tokenCount(textCol)).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+
   /** TF-IDF top-`k` terms per document: token counts per doc (tf), document
     * frequency per token (df), score = tf × ln(N/df), rounded BEFORE the
     * per-doc top-k so rank ties resolve on the rounded value + token in any

@@ -103,6 +103,27 @@ object EventsStream {
       events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Streaming incremental dedup — the continuous face of
+    * `Dedup.deduplicateIncremental`: a live document stream anti-joins its
+    * md5 fingerprints against the persisted STORE (stream-static left_anti
+    * — the static side re-resolves per micro-batch, so appending to the
+    * store tightens dedup going forward without a restart), and duplicates
+    * WITHIN the stream collapse via watermark-bounded first-arrival state.
+    * State is O(fingerprints within the delay); history costs one
+    * fingerprint join, never a text comparison.
+    */
+  def incrementalDedupStream(docs: DataFrame, store: DataFrame,
+                             textCol: String = "text",
+                             delay: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("__h", md5(col(textCol)))
+    val unseen = hashed.join(store, hashed("__h") === store("text_hash"), "left_anti")
+    val out =
+      if (docs.isStreaming)
+        unseen.withWatermark("ts", delay).dropDuplicatesWithinWatermark("__h")
+      else unseen.dropDuplicates("__h")
+    out.drop("__h")
+  }
+
   /** Streaming temperature-scaled mixture — the continuous face of
     * Sampling.temperatureMix, closing the batch/streaming asymmetry in the
     * sampling family. The temperature rule needs GLOBAL per-stratum counts,

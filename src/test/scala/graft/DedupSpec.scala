@@ -208,4 +208,23 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.minhashCandidates(docs).count()
     assert(a === b)
   }
+
+  test("deduplicateIncremental admits only first-in-batch AND unseen-in-store docs") {
+    val history = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val store = Dedup.fingerprintStore(history)
+    val batch = Seq(
+      (10L, "brand new"),     // admitted
+      (11L, "seen before"),   // in store → dropped
+      (12L, "brand new"),     // dup of 10 within batch → dropped
+      (13L, "another new"),   // admitted
+      (14L, "also seen")      // in store → dropped
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.deduplicateIncremental(batch, store)
+      .select("doc_id").as[Long].collect().sorted
+    assert(admitted === Array(10L, 13L))
+    // admitting the batch then replaying it admits nothing (idempotence)
+    val store2 = store.union(
+      Dedup.fingerprintStore(Dedup.deduplicateIncremental(batch, store)))
+    assert(Dedup.deduplicateIncremental(batch, store2).count() === 0L)
+  }
 }

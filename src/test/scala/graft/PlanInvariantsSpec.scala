@@ -145,6 +145,31 @@ class PlanInvariantsSpec extends SparkSpec {
     // vector join-backs, hash joins all)
     val lsh = plan("q_ann_lsh")
     assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"), lsh)
+    // persisted residual IVF-PQ probe: same pruning invariant on the
+    // m-byte-code index
+    val pq = plan("q_ann_ivfpq_indexed")
+    assert(pq.contains("PartitionFilters: [cent_idx"), pq)
+    // SemDeDup pair stage: cell-bucketed equi-join only — no nested loop
+    val sem = plan("q_semdedup")
+    assert(!sem.contains("BroadcastNestedLoopJoin") && !sem.contains("CartesianProduct"), sem)
+  }
+
+  test("dynamic partition pruning fires on a day-partitioned fact join") {
+    // at 100 TB the fact table is date-partitioned and dim-filtered joins
+    // must prune partitions at RUNTIME — assert Spark plans the DPP
+    // subquery filter into the scan rather than reading every day
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val events = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+    events.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = events.select(col("day")).distinct()
+      .where(dayofmonth(col("day")) <= 2)
+    val joined = fact.join(dim, Seq("day")).groupBy(col("day")).count()
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(p.contains("dynamicpruning"), p)
+    assert(joined.collect().nonEmpty)
   }
 
   test("incremental bar merge aggregates bars — the tick scans partial-combine first") {

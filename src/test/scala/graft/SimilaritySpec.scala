@@ -361,4 +361,67 @@ class SimilaritySpec extends SparkSpec {
     val recall = pq.map(_.getLong(0)).count(brute.contains) / 10.0
     assert(recall >= 0.2, s"recall@10 $recall")
   }
+
+  test("semdedupPairs is sound (subset of exact pairs); ensemble lifts recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val sample = graft.operators.Sampling.deterministicSample(emb, "vec_id", 0.25)
+    val cents8 = Similarity.kmeansCentroids(sample, 8, 2)
+    val cents4 = Similarity.kmeansCentroids(sample, 4, 2)
+    val single = Similarity.semdedupPairs(emb, cents8, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ensemble = Similarity.semdedupPairsEnsemble(emb, Seq(cents8, cents4), 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosinePairsExact(emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // soundness: every emitted pair IS an exact cosine>τ pair (the decimal
+    // verify guarantees it — this is the property that makes drops safe)
+    assert(single.subsetOf(exact), s"unsound pairs: ${single.diff(exact).take(5)}")
+    assert(ensemble.subsetOf(exact), s"unsound pairs: ${ensemble.diff(exact).take(5)}")
+    assert(single.subsetOf(ensemble))
+    // recall: cross-cell misses are the SemDeDup tradeoff; the two-
+    // granularity ensemble must materially beat a lone clustering on the
+    // near-isotropic testdata (clustering's worst case — single measured
+    // 0.39 here)
+    if (exact.nonEmpty) {
+      val recall = ensemble.size.toDouble / exact.size
+      assert(recall >= 0.5, s"ensemble recall $recall (${ensemble.size}/${exact.size})")
+      assert(ensemble.size >= single.size)
+    }
+  }
+
+  test("semdedupKeep drops only vectors with an exact-cosine neighbor kept") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val kept = Similarity.semdedupKeep(emb, k = 8, threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val dropped = all.diff(kept)
+    assert(kept.nonEmpty)
+    // every dropped vector has at least one exact cosine>τ partner (sound),
+    // and the dedup is deterministic across runs
+    if (dropped.nonEmpty) {
+      val exact = Similarity.cosinePairsExact(emb, 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      val hasNeighbor = exact.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(dropped.subsetOf(hasNeighbor), s"dropped w/o neighbor: ${dropped.diff(hasNeighbor).take(5)}")
+    }
+    val again = Similarity.semdedupKeep(emb, k = 8, threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+
+  test("persisted cent_idx-partitioned IVF-PQ index probe equals the inline probe") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.kmeansCentroids(
+      graft.operators.Sampling.deterministicSample(emb, "vec_id", 0.25), 16, 2)
+    val (books, index) = Similarity.buildIvfPqResidualIndex(emb, cents)
+    val q = emb.orderBy($"vec_id".desc).limit(1)
+    val inline = Similarity.ivfPqResidualTopK(index, cents, books, q, 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
+    index.write.mode("overwrite").partitionBy("cent_idx").parquet(path)
+    val persisted = Similarity.ivfPqResidualTopK(
+      spark.read.parquet(path), cents, books, q, 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(persisted === inline)
+  }
 }

@@ -15,6 +15,7 @@ object TestSpark {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Graft.localScratchDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

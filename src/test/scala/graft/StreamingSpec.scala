@@ -393,6 +393,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incrementalDedupStream drops store-known and in-stream duplicate texts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val store = Dedup.fingerprintStore(
+      Seq((100L, "seen before")).toDF("doc_id", "text"))
+    val input = MemoryStream[StreamDoc]
+    val out = EventsStream.incrementalDedupStream(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")), store)
+    val query = out.writeStream.format("memory").queryName("incr_dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamDoc(1L, ts("2024-01-01 10:00:00"), "brand new"),
+        StreamDoc(2L, ts("2024-01-01 10:00:10"), "seen before"), // in store
+        StreamDoc(3L, ts("2024-01-01 10:00:20"), "brand new"),   // dup of 1
+        StreamDoc(4L, ts("2024-01-01 10:00:30"), "another new"))
+      query.processAllAvailable()
+      val rows = spark.table("incr_dedup_stream").collect()
+      val ids = rows.map(_.getLong(0)).toSet
+      // store-known text gone; one survivor per distinct new text
+      assert(!ids.contains(2L) && ids.contains(4L), rows.mkString(";"))
+      assert(ids.intersect(Set(1L, 3L)).size === 1, rows.mkString(";"))
+      // batch path: same admission semantics through the same entry point
+      val batch = EventsStream.incrementalDedupStream(
+        Seq(StreamDoc(1L, ts("2024-01-01 10:00:00"), "brand new"),
+          StreamDoc(2L, ts("2024-01-01 10:00:10"), "seen before"),
+          StreamDoc(3L, ts("2024-01-01 10:00:20"), "brand new")).toDS().toDF(), store)
+      assert(batch.count() === 1)
+    } finally query.stop()
+  }
+
   test("temperatureMixStream samples against landed-corpus rates, refreshed without restart") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sampling

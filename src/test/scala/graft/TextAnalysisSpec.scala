@@ -259,4 +259,20 @@ class TextAnalysisSpec extends SparkSpec {
     val again = Multimodal.featurize(spark, Tables.documents(spark, sfDir)).collect()
     assert(feats.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
   }
+
+  test("domainStats groups by canonical host with per-domain totals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three", "en", "HTTPS://WWW.News.Example.COM:443/a"),
+      (2L, "four five", "de", "https://news.example.com/b?utm_source=x"),
+      (3L, "six", "en", "http://Blog.Example.com:80/c"),
+      (4L, "seven eight", "en", "http://blog.example.com:8080/d") // non-default port → distinct host
+    ).toDF("doc_id", "text", "lang", "url")
+    val stats = TextAnalysis.domainStats(docs).orderBy("host")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(stats === Array(
+      ("blog.example.com", 1L, 3L, 1L, 1L),
+      ("blog.example.com:8080", 1L, 11L, 2L, 1L),
+      ("news.example.com", 2L, 22L, 5L, 2L)))
+  }
 }
