@@ -370,6 +370,11 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir), minCount = 2)),
 
+    "q_wordlm" -> ((s, dir) =>
+      // word-level LM cross-entropy (the KenLM/CCNet perplexity filter at
+      // word granularity) — corpus-trained, decimal-exact, oracle-checked
+      TextAnalysis.wordBigramLM(Tables.documents(s, dir))),
+
     "q_bpe" -> ((s, dir) =>
       // BPE tokenizer: ONE distributed (word,count) aggregate, merges
       // trained driver-side on the vocab-bounded counts (model-sized
@@ -742,10 +747,19 @@ object SparkEntry {
       val sh = mat(Dedup.simhashPairs(docs).select("id_a", "id_b"))
       val nSh = sh.count()
       val shGood = Dedup.ngramJaccard(docs, 0.4, candidates = Some(sh)).count()
+      // SemDeDup ensemble recall vs the same exact truth set (its pairs are
+      // exact-verified, so precision is 1.0 by construction — recall is the
+      // number that can silently regress)
+      val semSample = Sampling.deterministicSample(emb, "vec_id", 0.25)
+      val semCents = Seq(8, 4).map(k => Similarity.kmeansCentroids(semSample, k, 2))
+      val sem = mat(Similarity.semdedupPairsEnsemble(emb, semCents, 0.4)
+        .select("id_a", "id_b"))
+      val semHit = sem.join(exact, Seq("id_a", "id_b")).count()
       def ratio(a: Long, b: Long): Double =
         if (b == 0) 1.0 else math.rint(a.toDouble / b * 1e6) / 1e6
       Seq(
         ("lsh_cosine", "recall_vs_exact_t0.4", nTrue, ratio(lshHit, nTrue)),
+        ("semdedup_ens2", "recall_vs_exact_t0.4", nTrue, ratio(semHit, nTrue)),
         ("minhash_lsh", "precision_at_j0.4", nMh, ratio(mhGood, nMh)),
         ("simhash_h3", "precision_at_j0.4", nSh, ratio(shGood, nSh)))
         .toDF("method", "metric", "n_pairs", "value")
@@ -1230,6 +1244,25 @@ object SparkEntry {
         |        FROM m GROUP BY 1),
         |lp AS (SELECT m.bg, ln(c2) - ln(c1) AS logp
         |       FROM m JOIN ctx ON substr(m.bg, 1, 1) = ctx.a)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(sum(CAST(c * logp AS DECIMAL(28,12))) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE), 6) AS nll
+        |FROM dc JOIN lp ON dc.bg = lp.bg GROUP BY doc_id""".stripMargin,
+
+    "q_wordlm" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |                        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |dc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |m AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY 1),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS a, CAST(sum(c2) AS BIGINT) AS c1
+        |        FROM m GROUP BY 1),
+        |lp AS (SELECT m.bg, ln(c2) - ln(c1) AS logp
+        |       FROM m JOIN ctx ON split_part(m.bg, ' ', 1) = ctx.a)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
         |  round(-CAST(sum(CAST(c * logp AS DECIMAL(28,12))) AS DOUBLE)
         |    / CAST(sum(c) AS DOUBLE), 6) AS nll

@@ -285,6 +285,50 @@ object TextAnalysis {
           / sum(col("c")), 6).as("nll"))
   }
 
+  /** Word-bigram LM cross-entropy — [[charBigramLM]] at word granularity,
+    * the closer stand-in for the KenLM perplexity filter CCNet actually
+    * runs (trained on the corpus itself, maximum likelihood c(ab)/c(a·)).
+    * Outlier-high nll flags documents whose word sequences diverge from
+    * corpus statistics; near-zero flags degenerate repetition.
+    *
+    * Same shape and same scale gate as the char LM: one token-bigram
+    * explode feeds model and scoring branches; context totals come from a
+    * window over the VOCAB²-bounded model frame, never a corpus
+    * re-explode; the model join broadcasts only when a sniffed
+    * distinct-token bound says vocab² fits (a web corpus' word-bigram
+    * vocabulary is ~10⁸ — far past any broadcast), else it shuffle-joins
+    * on `bg`. Decimal-accumulated c·log p keeps results
+    * partitioning-invariant (the DuckDB oracle hash-matches).
+    */
+  def wordBigramLM(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id",
+                   maxBroadcastGrams: Long = 4L * 1000 * 1000,
+                   sniffDocs: Int = 64): DataFrame = {
+    val toks = docs.select(col(idCol), Dedup.tokens(textCol).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+    val grams = toks.select(col(idCol), explode(expr(
+      "transform(sequence(1, size(__toks) - 1), " +
+        "i -> concat(try_element_at(__toks, i), ' ', try_element_at(__toks, i + 1)))")).as("bg"))
+      .where(col("bg").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("bg"), " ", 1))
+    val model = grams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(w))
+      .select(col("bg"), (log(col("c2")) - log(col("c1"))).as("__logp"))
+    val vocab = docs.select(substring(col(textCol), 1, 4096).as(textCol)).limit(sniffDocs)
+      .select(explode(Dedup.tokens(textCol)).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val logp = if (vocab * vocab > maxBroadcastGrams) model else broadcast(model)
+    grams
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .join(logp, "bg")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        round(-sum((col("c") * col("__logp")).cast("decimal(28,12)")).cast("double")
+          / sum(col("c")), 6).as("nll"))
+  }
+
   /** C4-style heuristic quality rules (Raffel et al., arXiv:1910.10683
     * §2.2, as carried into FineWeb): word-count bounds, mean-word-length
     * bounds, and the two classic content tripwires — "lorem ipsum"

@@ -119,6 +119,11 @@ class PlanInvariantsSpec extends SparkSpec {
     val lm = plan("q_charlm")
     assert(!lm.contains("SortMergeJoin") && !lm.contains("BroadcastNestedLoopJoin"), lm)
     assert(lm.contains("BroadcastHashJoin"), lm)
+    // word-level LM shares the shape: model broadcasts below the vocab²
+    // gate, no sort-merge or nested-loop joins anywhere
+    val wlm = plan("q_wordlm")
+    assert(!wlm.contains("SortMergeJoin") && !wlm.contains("BroadcastNestedLoopJoin"), wlm)
+    assert(wlm.contains("BroadcastHashJoin"), wlm)
     // temperature mix: rates broadcast back; the only nested loop is the
     // one-row n_min build (the q_ann_topk convention)
     val mx = plan("q_mix_temperature")

@@ -260,6 +260,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(feats.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
   }
 
+  test("wordBigramLM matches hand-computed ML cross-entropy") {
+    import spark.implicits._
+    // model counts: "a b":2, "b a":1, "a c":1; ctx a: 3, b: 1
+    // d1 = -(2·ln(2/3) + 1·ln(1))/3; d2 = -ln(1/3)
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.wordBigramLM(docs).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(out(0)._2 === 3L && out(1)._2 === 1L)
+    assert(math.abs(out(0)._3 - (-(2 * math.log(2.0 / 3)) / 3)) < 1e-6, out(0).toString)
+    assert(math.abs(out(1)._3 - (-math.log(1.0 / 3))) < 1e-6, out(1).toString)
+    // single-token and empty docs emit no row
+    val edge = TextAnalysis.wordBigramLM(
+      Seq((3L, "lonely"), (4L, "  ")).toDF("doc_id", "text"))
+    assert(edge.count() === 0)
+  }
+
   test("domainStats groups by canonical host with per-domain totals") {
     import spark.implicits._
     val docs = Seq(
