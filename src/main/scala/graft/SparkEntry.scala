@@ -370,6 +370,12 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir), minCount = 2)),
 
+    "q_quality_gate" -> ((s, dir) =>
+      // FineWeb-style quantile cut: keep docs at or above the corpus' own
+      // 25th quality percentile — exact interpolated percentile, so the
+      // oracle reproduces the threshold bit-for-bit
+      TextAnalysis.qualityGate(Tables.documents(s, dir), 0.25)),
+
     "q_wordlm" -> ((s, dir) =>
       // word-level LM cross-entropy (the KenLM/CCNet perplexity filter at
       // word granularity) — corpus-trained, decimal-exact, oracle-checked
@@ -496,6 +502,18 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val store = Dedup.fingerprintStore(docs.where(col("doc_id") % 2 === 0))
       Dedup.deduplicateIncremental(docs.where(col("doc_id") % 2 === 1), store)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    "q_dedup_incremental_near" -> ((s, dir) => {
+      // incremental NEAR-dedup: history persists as a MinHash SIGNATURE
+      // store (~512 B/doc); today's batch drops docs whose estimated
+      // Jaccard vs any store doc clears the threshold, then near-dedups
+      // within itself exactly. Signature estimation is engine-specific →
+      // rows check; DedupSpec pins the semantics.
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.minhashSignatures(docs.where(col("doc_id") % 2 === 0))
+      Dedup.nearDedupIncremental(docs.where(col("doc_id") % 2 === 1), store, 0.7)
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
@@ -1248,6 +1266,25 @@ object SparkEntry {
         |  round(-CAST(sum(CAST(c * logp AS DECIMAL(28,12))) AS DOUBLE)
         |    / CAST(sum(c) AS DOUBLE), 6) AS nll
         |FROM dc JOIN lp ON dc.bg = lp.bg GROUP BY doc_id""".stripMargin,
+
+    "q_quality_gate" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |   CAST(toks AS BIGINT) AS n_tokens,
+        |   round(punct / nullif(chars, 0), 6) AS punct_ratio,
+        |   round(stops / nullif(toks, 0), 6) AS stopword_ratio,
+        |   CAST(round(CAST(least(chars / 500.0, 1.0) AS DECIMAL(18,12)) * 0.5
+        |       + CAST(least(stops / nullif(toks, 0) * 5.0, 1.0) AS DECIMAL(18,12)) * 0.3
+        |       + CAST(1.0 - least(punct / nullif(chars, 0) * 10.0, 1.0) AS DECIMAL(18,12)) * 0.2, 6)
+        |     AS DOUBLE) AS quality
+        |  FROM (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS stops,
+        |    CAST(length(text) AS DOUBLE) AS chars
+        |  FROM documents)),
+        |t AS (SELECT quantile_cont(quality, 0.25) AS thr FROM s)
+        |SELECT s.* FROM s, t WHERE s.quality >= t.thr""".stripMargin,
 
     "q_wordlm" ->
       """WITH t AS (

@@ -72,6 +72,51 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Incremental NEAR-dedup against a persisted SIGNATURE store — the
+    * production shape for continuous crawl ingestion (a MinHash store is
+    * how web-scale pipelines dedup each day's batch against ALL history
+    * without re-reading historical text: numHashes longs/doc ≈ 512 bytes
+    * vs the document). Batch docs whose estimated Jaccard (fraction of
+    * agreeing signature slots — the store holds signatures, not text)
+    * against ANY store doc reaches `threshold` are dropped; survivors then
+    * near-dedup WITHIN the batch exactly ([[deduplicateNear]]'s
+    * LSH → exact-Jaccard → components pipeline). Candidates come from a
+    * banded (band, bucket) equi-join carrying ids only; the signature
+    * agreement HOF runs per candidate, never per corpus row. Admit the
+    * survivors by appending `minhashSignatures(kept)` to the store.
+    */
+  def nearDedupIncremental(batch: DataFrame, storeSigs: DataFrame,
+                           threshold: Double = 0.7,
+                           numHashes: Int = 64, bands: Int = 16,
+                           maxBucketSize: Int = 10000,
+                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val batchSigs = minhashSignatures(batch, textCol, idCol, numHashes)
+    def banded(sigs: DataFrame, side: String) = sigs
+      .select(col("id").as(side), explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
+      .select(col(side), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // the maxBucketSize guard caps the STORE side (the unbounded one): a
+    // boilerplate bucket shared by millions of historical docs would turn
+    // the candidate join quadratic — those docs belong to an exact-hash
+    // pass, not pairwise estimation (the lshCandidatePairs convention)
+    val storeBands = banded(storeSigs, "sid")
+    val okBuckets = storeBands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val cands = banded(batchSigs, "bid")
+      .join(storeBands.join(okBuckets, Seq("band", "bucket"), "left_semi"),
+        Seq("band", "bucket"))
+      .select(col("bid"), col("sid")).distinct()
+    val seen = cands
+      .join(batchSigs.select(col("id").as("bid"), col("__sig").as("__sig_a")), "bid")
+      .join(storeSigs.select(col("id").as("sid"), col("__sig").as("__sig_b")), "sid")
+      .where(expr("size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), v -> v))")
+        .cast("double") / lit(numHashes) >= threshold)
+      .select(col("bid").as(idCol)).distinct()
+    deduplicateNear(batch.join(seen, Seq(idCol), "left_anti"),
+      threshold, textCol, idCol)
+  }
+
   /** Character k-shingle set of `textCol` (distinct). */
   def charShingles(textCol: String, k: Int): Column = expr(
     s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substring($textCol, i, $k)))")

@@ -74,6 +74,23 @@ object TextAnalysis {
         6).cast("double").as("quality"))
   }
 
+  /** Quantile-threshold quality gate — the FineWeb-style "keep everything
+    * above the corpus' own q-th score percentile" cut (an absolute
+    * threshold drifts as the corpus mix shifts; a quantile tracks it).
+    * One aggregate computes the EXACT interpolated percentile (what the
+    * oracle can reproduce — at 100 TB swap in approx_percentile and accept
+    * the sketch bound); the one-row threshold broadcasts back, so the gate
+    * is scan → one-row cross join → filter: no data-sized shuffle at all.
+    */
+  def qualityGate(docs: DataFrame, quantile: Double = 0.25,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = qualityScore(docs, textCol, idCol)
+    val thr = scored.agg(expr(s"percentile(quality, $quantile)").as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .where(col("quality") >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercase, strip
     * non-alphanumerics, collapse whitespace) — catches trivially-reformatted
     * duplicates that exact hashing misses.

@@ -227,4 +227,24 @@ class DedupSpec extends SparkSpec {
       Dedup.fingerprintStore(Dedup.deduplicateIncremental(batch, store)))
     assert(Dedup.deduplicateIncremental(batch, store2).count() === 0L)
   }
+
+  test("nearDedupIncremental drops store-near docs and near-dedups the batch") {
+    val history = Seq((100L, near1)).toDF("doc_id", "text")
+    val store = Dedup.minhashSignatures(history)
+    val batch = Seq(
+      (10L, near1),   // identical to store doc → dropped
+      (11L, near2),   // near-dup of store doc → dropped
+      (12L, far),     // novel → kept
+      (13L, far)      // intra-batch dup of 12 → one of them kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDedupIncremental(batch, store, 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(12L), kept.mkString(","))
+    // an empty store admits everything except intra-batch near-dups
+    val emptyStore = Dedup.minhashSignatures(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val kept2 = Dedup.nearDedupIncremental(batch, emptyStore, 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2 === Array(10L, 12L), kept2.mkString(","))
+  }
 }

@@ -35,7 +35,8 @@ class PlanInvariantsSpec extends SparkSpec {
   }
 
   test("pair generators never plan a nested-loop join") {
-    for (q <- Seq("q_dedup_embedding", "q_ann_lsh", "q_dedup_minhash", "q_dedup_simhash")) {
+    for (q <- Seq("q_dedup_embedding", "q_ann_lsh", "q_dedup_minhash", "q_dedup_simhash",
+        "q_dedup_incremental_near")) {
       assert(!plan(q).contains("BroadcastNestedLoopJoin"), s"$q:\n${plan(q)}")
     }
   }

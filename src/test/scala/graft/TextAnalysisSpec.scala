@@ -260,6 +260,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(feats.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
   }
 
+  test("qualityGate keeps exactly the docs at/above the corpus quantile") {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = TextAnalysis.qualityScore(docs)
+    val thr = scored.selectExpr("percentile(quality, 0.25)").head().getDouble(0)
+    val kept = TextAnalysis.qualityGate(docs, 0.25)
+    assert(kept.count() === scored.where(col("quality") >= thr).count())
+    assert(kept.count() >= (0.74 * scored.count()).toLong)
+  }
+
   test("wordBigramLM matches hand-computed ML cross-entropy") {
     import spark.implicits._
     // model counts: "a b":2, "b a":1, "a c":1; ctx a: 3, b: 1
