@@ -91,6 +91,17 @@ object TextAnalysis {
       .drop("__thr")
   }
 
+  /** One-row threshold frame for [[qualityGate]]'s streaming face: the
+    * exact q-th quality percentile of a LANDED corpus (column `__thr`).
+    * Computed from data at rest because a live stream cannot see its own
+    * percentile — the same landed-corpus contract as
+    * `Sampling.temperatureRates`.
+    */
+  def qualityThreshold(landed: DataFrame, quantile: Double = 0.25,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    qualityScore(landed, textCol, idCol)
+      .agg(expr(s"percentile(quality, $quantile)").as("__thr"))
+
   /** Document fingerprint: md5 of the normalized text (lowercase, strip
     * non-alphanumerics, collapse whitespace) — catches trivially-reformatted
     * duplicates that exact hashing misses.

@@ -124,6 +124,25 @@ object EventsStream {
     out.drop("__h")
   }
 
+  /** Streaming quality gate — the continuous face of
+    * `TextAnalysis.qualityGate`: each arriving document is scored at scan
+    * speed and kept iff its quality clears the threshold frame
+    * (`TextAnalysis.qualityThreshold(landedCorpus, q)` — a ONE-ROW static
+    * frame, broadcast-joined on a constant key so the stream side never
+    * shuffles). The quantile comes from the LANDED corpus by contract —
+    * a live stream cannot see its own percentile, and pinning the cut to
+    * data at rest makes replayed batches make identical decisions. For
+    * live refresh, wrap in foreachBatch and recompute the threshold per
+    * micro-batch (the temperatureMixStreamRefreshing pattern).
+    */
+  def qualityGateStream(docs: DataFrame, threshold: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    graft.operators.TextAnalysis.qualityScore(docs, textCol, idCol)
+      .withColumn("__k", lit(1))
+      .join(broadcast(threshold.withColumn("__k", lit(1))), "__k")
+      .where(col("quality") >= col("__thr"))
+      .drop("__k", "__thr")
+
   /** Streaming temperature-scaled mixture — the continuous face of
     * Sampling.temperatureMix, closing the batch/streaming asymmetry in the
     * sampling family. The temperature rule needs GLOBAL per-stratum counts,

@@ -393,6 +393,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("qualityGateStream keeps exactly what the batch gate keeps at the landed threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // landed corpus with a real quality spread; the stream replays it
+    val landed = Tables.documents(spark, sfDir).limit(100)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val thr = TextAnalysis.qualityThreshold(
+      landed.toSeq.toDF("doc_id", "text"), 0.25)
+    val input = MemoryStream[StreamDoc]
+    val out = EventsStream.qualityGateStream(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")), thr)
+    val query = out.writeStream.format("memory").queryName("quality_gate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(landed.map { case (id, t) => StreamDoc(id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("quality_gate_stream")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = TextAnalysis.qualityGate(
+        landed.toSeq.toDF("doc_id", "text"), 0.25)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.size < landed.length)
+    } finally query.stop()
+  }
+
   test("incrementalDedupStream drops store-known and in-stream duplicate texts") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
