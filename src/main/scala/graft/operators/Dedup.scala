@@ -80,10 +80,13 @@ object Dedup {
     * agreeing signature slots — the store holds signatures, not text)
     * against ANY store doc reaches `threshold` are dropped; survivors then
     * near-dedup WITHIN the batch exactly ([[deduplicateNear]]'s
-    * LSH → exact-Jaccard → components pipeline). Candidates come from a
-    * banded (band, bucket) equi-join carrying ids only; the signature
-    * agreement HOF runs per candidate, never per corpus row. Admit the
-    * survivors by appending `minhashSignatures(kept)` to the store.
+    * LSH → exact-Jaccard → components pipeline), REUSING the signatures
+    * computed here — the batch is shingled and MinHashed exactly once.
+    * Candidates come from a banded (band, bucket) equi-join carrying ids
+    * only; the compiled signature-agreement kernel
+    * ([[graft.plans.SigAgreement]]) runs per candidate, never per corpus
+    * row. Admit the survivors by appending the kept signatures (already
+    * computed) to the store.
     */
   def nearDedupIncremental(batch: DataFrame, storeSigs: DataFrame,
                            threshold: Double = 0.7,
@@ -91,30 +94,38 @@ object Dedup {
                            maxBucketSize: Int = 10000,
                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // the batch signatures feed BOTH passes (store screen + intra-batch
+    // near-dedup) — computed once here, never re-derived from text
     val batchSigs = minhashSignatures(batch, textCol, idCol, numHashes)
     def banded(sigs: DataFrame, side: String) = sigs
       .select(col("id").as(side), explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
       .select(col(side), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // the maxBucketSize guard caps the STORE side (the unbounded one): a
-    // boilerplate bucket shared by millions of historical docs would turn
-    // the candidate join quadratic — those docs belong to an exact-hash
-    // pass, not pairwise estimation (the lshCandidatePairs convention)
-    val storeBands = banded(storeSigs, "sid")
-    val okBuckets = storeBands.groupBy(col("band"), col("bucket"))
+    def capped(bands: DataFrame): DataFrame = bands
+      .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucketSize)
       .select(col("band"), col("bucket"))
-    val cands = banded(batchSigs, "bid")
-      .join(storeBands.join(okBuckets, Seq("band", "bucket"), "left_semi"),
+    // the maxBucketSize guard caps BOTH sides of the candidate join: a
+    // boilerplate bucket shared by millions of historical docs — or by most
+    // of a batch whose pages share a template — would turn it quadratic;
+    // those docs belong to an exact-hash pass, not pairwise estimation
+    // (the lshCandidatePairs convention). Capping each side bounds a
+    // bucket's contribution at maxBucketSize² candidates.
+    val storeBands = banded(storeSigs, "sid")
+    val batchBands = banded(batchSigs, "bid")
+    val cands = batchBands
+      .join(capped(batchBands), Seq("band", "bucket"), "left_semi")
+      .join(storeBands.join(capped(storeBands), Seq("band", "bucket"), "left_semi"),
         Seq("band", "bucket"))
       .select(col("bid"), col("sid")).distinct()
     val seen = cands
       .join(batchSigs.select(col("id").as("bid"), col("__sig").as("__sig_a")), "bid")
       .join(storeSigs.select(col("id").as("sid"), col("__sig").as("__sig_b")), "sid")
-      .where(expr("size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), v -> v))")
+      .where(graft.plans.Exprs.sigAgreement(col("__sig_a"), col("__sig_b"))
         .cast("double") / lit(numHashes) >= threshold)
       .select(col("bid").as(idCol)).distinct()
-    deduplicateNear(batch.join(seen, Seq(idCol), "left_anti"),
-      threshold, textCol, idCol)
+    val kept = batch.join(seen, Seq(idCol), "left_anti")
+    val keptSigs = batchSigs.join(seen.withColumnRenamed(idCol, "id"), Seq("id"), "left_anti")
+    deduplicateNear(kept, threshold, textCol, idCol, sigs = Some(keptSigs))
   }
 
   /** Character k-shingle set of `textCol` (distinct). */
@@ -217,7 +228,7 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("__sig").as("__sig_b")), "id_b")
       .select(
         col("id_a"), col("id_b"),
-        (expr("size(filter(zip_with(__sig_a, __sig_b, (x, y) -> x = y), v -> v))").cast("double")
+        (graft.plans.Exprs.sigAgreement(col("__sig_a"), col("__sig_b")).cast("double")
           / lit(numHashes)).as("est_jaccard"))
   }
 
@@ -226,22 +237,25 @@ object Dedup {
     * The expensive exact step only ever touches LSH survivors.
     *
     * `candidates` (id_a, id_b) lets a pipeline that already ran LSH feed
-    * its pairs in; by default the candidate stage runs here, WITHOUT the
-    * est_jaccard signature join-back that `minhashCandidates` pays — the
-    * exact Jaccard below supersedes the estimate, so signatures are
-    * computed exactly once in this lineage.
+    * its pairs in; `sigs` lets one that already holds (id, __sig)
+    * signatures skip the re-shingle. By default the candidate stage runs
+    * here, WITHOUT the est_jaccard signature join-back that
+    * `minhashCandidates` pays — the exact Jaccard below supersedes the
+    * estimate, so signatures are computed exactly once in this lineage.
     */
   def ngramJaccard(
       docs: DataFrame,
       threshold: Double,
       textCol: String = "text",
       idCol: String = "doc_id",
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None,
+      sigs: Option[DataFrame] = None): DataFrame = {
     val grams = docs
       .select(col(idCol).as("gid"), tokens(textCol).as("__toks"))
       .select(col("gid"), ngramsOfTokens("__toks", 3).as("grams"))
     val cands = candidates.getOrElse(
-      lshCandidatePairs(minhashSignatures(docs, textCol, idCol)).select("id_a", "id_b"))
+      lshCandidatePairs(sigs.getOrElse(minhashSignatures(docs, textCol, idCol)))
+        .select("id_a", "id_b"))
     cands
       .join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
       .join(grams.withColumnRenamed("gid", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
@@ -469,8 +483,10 @@ object Dedup {
     * semi/anti pattern on ids — wide document rows shuffle once.
     */
   def deduplicateNear(docs: DataFrame, threshold: Double,
-                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val pairs = ngramJaccard(docs, threshold, textCol, idCol).select("id_a", "id_b")
+                      textCol: String = "text", idCol: String = "doc_id",
+                      sigs: Option[DataFrame] = None): DataFrame = {
+    val pairs = ngramJaccard(docs, threshold, textCol, idCol, sigs = sigs)
+      .select("id_a", "id_b")
     val losers = connectedComponents(pairs)
       .where(col("id") =!= col("component"))
       .select(col("id").as(idCol))

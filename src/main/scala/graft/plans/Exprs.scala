@@ -20,6 +20,10 @@ object Exprs {
   def minhash(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), numHashes))
 
+  /** Compiled MinHash signature-agreement count (see [[SigAgreement]]). */
+  def sigAgreement(a: Column, b: Column): Column =
+    GraftBridge.column(SigAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Compiled 64-bit SimHash fingerprint (see [[SimHash64]]). */
   def simhash(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))

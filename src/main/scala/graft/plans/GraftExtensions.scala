@@ -35,6 +35,9 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"graft_minhash: second argument must be an integer literal, got $other")
       }),
+    (FunctionIdentifier("graft_sig_agreement"),
+      info("graft_sig_agreement", "graft_sig_agreement(a, b) - count of agreeing slots between two array<bigint> MinHash signatures"),
+      (exprs: Seq[Expression]) => SigAgreement(exprs(0), exprs(1))),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(tokens) - 64-bit SimHash fingerprint"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))),

@@ -247,4 +247,49 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept2 === Array(10L, 12L), kept2.mkString(","))
   }
+
+  test("SigAgreement kernel matches the zip_with HOF differentially") {
+    val df = spark.range(200).select(col("id"),
+      expr("transform(sequence(0, 63), i -> xxhash64(id, i) % 4)").as("a"),
+      expr("transform(sequence(0, 63), i -> xxhash64(id + 1, i) % 4)").as("b"))
+    val mismatched = df.where(
+      graft.plans.Exprs.sigAgreement(col("a"), col("b")) =!=
+        expr("size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))")).count()
+    assert(mismatched === 0L)
+    // ragged lengths: both conventions count agreement over the overlap only
+    val ragged = Seq((Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L)))
+      .toDF("a", "b")
+      .select(graft.plans.Exprs.sigAgreement(col("a"), col("b")))
+      .head().getInt(0)
+    assert(ragged === 2)
+  }
+
+  test("deduplicateNear with precomputed signatures equals the self-computed path") {
+    val docs = Seq(
+      (1L, near1), (2L, near2), (3L, far),
+      (4L, far + " with a small tail"), (5L, "entirely unrelated fifth document text")
+    ).toDF("doc_id", "text")
+    val plain = Dedup.deduplicateNear(docs, 0.6)
+      .select("doc_id").as[Long].collect().sorted
+    val threaded = Dedup.deduplicateNear(docs, 0.6,
+      sigs = Some(Dedup.minhashSignatures(docs)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(threaded === plain)
+  }
+
+  test("nearDedupIncremental caps degenerate BATCH-side buckets too") {
+    // five identical batch docs put 5 ids in every band bucket; with
+    // maxBucketSize = 3 those buckets are dropped on the BATCH side, so the
+    // store screen can't go quadratic against them — the docs fall through
+    // to the intra-batch pass (default caps), which collapses them to one.
+    val store = Dedup.minhashSignatures(Seq((100L, near1)).toDF("doc_id", "text"))
+    val batch = (10L to 14L).map(i => (i, near1)).toDF("doc_id", "text")
+    val kept = Dedup.nearDedupIncremental(batch, store, 0.7, maxBucketSize = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(10L), kept.mkString(","))
+    // with a roomy cap the store screen drops all five (they near-match 100)
+    val keptRoomy = Dedup.nearDedupIncremental(batch, store, 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptRoomy.isEmpty, keptRoomy.mkString(","))
+  }
 }

@@ -68,7 +68,9 @@ class ExtensionsSpec extends SparkSpec {
         |       size(graft_winnow('hello world hello', 4, 3)) AS nw,
         |       graft_char_diversity('ab') AS cd,
         |       graft_char_ngrams('abc', 2) AS cng,
-        |       graft_compress_ratio('xyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxy') AS cr
+        |       graft_compress_ratio('xyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxy') AS cr,
+        |       graft_sig_agreement(cast(array(1, 2, 3) as array<bigint>),
+        |                           cast(array(1, 9, 3) as array<bigint>)) AS sa
         |FROM t""".stripMargin).head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 11L) // 1*3 + 2*4
@@ -78,6 +80,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(7) === 0.5)
     assert(r.getSeq[String](8) === Seq("ab", "bc"))
     assert(r.getDouble(9) > 0.0 && r.getDouble(9) < 1.0)
+    assert(r.getInt(10) === 2)
   }
 
   test("saltedJoin equals the plain join result") {
