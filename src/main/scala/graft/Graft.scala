@@ -18,12 +18,23 @@ object Graft {
     * it; tmpfs measures ~13× faster here), else the JVM tmpdir. A real
     * cluster sets SPARK_LOCAL_DIRS/spark.local.dir to NVMe per executor —
     * this helper only picks the local-mode default.
+    *
+    * /dev/shm is used only with real headroom (≥ 4 GiB usable): spilling
+    * into a near-full RAM-backed mount (Docker's 64 MB tmpfs default)
+    * trades an ENOSPC/OOM for the slow disk it was avoiding. The
+    * GRAFT_LOCAL_DIR env var / graft.local.dir system property override
+    * both choices; SPARK_LOCAL_DIRS still wins over everything where set.
     */
-  def localScratchDir: String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-local"
-    else System.getProperty("java.io.tmpdir")
-  }
+  def localScratchDir: String =
+    sys.env.get("GRAFT_LOCAL_DIR")
+      .orElse(sys.props.get("graft.local.dir"))
+      .getOrElse {
+        val shm = new java.io.File("/dev/shm")
+        val minFree = 4L * 1024 * 1024 * 1024
+        if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minFree)
+          "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir")
+      }
 
   def enable(spark: SparkSession): Unit = {
     GraftFunctions.register(spark)

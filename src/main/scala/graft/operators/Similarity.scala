@@ -768,10 +768,16 @@ object Similarity {
     */
   def semdedupKeep(embeddings: DataFrame, k: Int = 16, threshold: Double = 0.7,
                    iters: Int = 2, sampleFraction: Double = 0.25,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sample = Sampling.deterministicSample(embeddings, idCol, sampleFraction)
-    val centsList = Seq(k, math.max(2, k / 2)).distinct
-      .map(kk => kmeansCentroids(sample, kk, iters, idCol, vecCol))
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   centroids: Option[Seq[Array[Array[Double]]]] = None): DataFrame = {
+    // `centroids` lets a pipeline that already trained the ensemble (e.g. a
+    // quality diagnostic scoring the same clustering) pass it in — codebooks
+    // are model-sized driver state, trained once per corpus snapshot
+    val centsList = centroids.getOrElse {
+      val sample = Sampling.deterministicSample(embeddings, idCol, sampleFraction)
+      Seq(k, math.max(2, k / 2)).distinct
+        .map(kk => kmeansCentroids(sample, kk, iters, idCol, vecCol))
+    }
     val pairs = semdedupPairsEnsemble(embeddings, centsList, threshold, idCol, vecCol)
       .select("id_a", "id_b")
     val losers = graft.operators.Dedup.connectedComponents(pairs)
