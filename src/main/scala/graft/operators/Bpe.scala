@@ -32,11 +32,21 @@ object Bpe {
       .where(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
-  /** A word as its BPE symbol sequence: characters plus the terminal
+  /** A word as its BPE symbol sequence: code points plus the terminal
     * end-of-word marker (the classic Sennrich et al. 2015 formulation).
+    * Code points, not UTF-16 chars — splitting a surrogate pair would
+    * make two unpaired-half "symbols" no encoder could ever emit.
     */
-  private def symbols(word: String): Vector[String] =
-    word.map(_.toString).toVector :+ "</w>"
+  private def symbols(word: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      b += word.substring(i, i + n)
+      i += n
+    }
+    (b += "</w>").result()
+  }
 
   /** Train `numMerges` merges on a (word, count) table. Deterministic:
     * the winning pair is the highest total count, ties to the
@@ -88,15 +98,30 @@ object Bpe {
     merges.foldLeft(symbols(word))((syms, m) => applyMerge(syms, m))
 
   /** The full pipeline: train on the corpus' own counts, then per-document
-    * whitespace-token and BPE-piece totals. Only the vocabulary is encoded
-    * (driver-side, vocab-bounded — the same footprint as holding the
-    * counts); per-word piece counts broadcast-join back to the exploded
-    * corpus, and the result aggregates per document.
+    * whitespace-token and BPE-piece totals.
+    *
+    * The driver-side state is CAPPED, the way real BPE trainers bound
+    * theirs (HF/sentencepiece `min_frequency` + `vocab_size`): only words
+    * with count ≥ `minCount`, and at most the `maxVocab` most frequent
+    * (ties broken by word, so the cap is deterministic), are collected —
+    * a 100 TB web corpus has ~10⁸ distinct "words" (typos, URLs, hex
+    * blobs) and an uncapped collect is a driver OOM. The frequent vocab
+    * is encoded driver-side and broadcast-joined; words OUTSIDE the cap
+    * still encode EXACTLY — the compiled per-row segmenter
+    * (graft.plans.BpeEncode, the same merge table as a foldable literal)
+    * covers them after the broadcast join misses, so capping changes
+    * training statistics only (negligibly, since the tail it drops is
+    * exactly the mass real trainers drop), never apply correctness.
     */
   def pieceStats(docs: DataFrame, numMerges: Int = 50,
+                 minCount: Long = 1, maxVocab: Int = 1 << 20,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
-    val counts = wordCounts(docs, textCol).collect()
+    val counts = wordCounts(docs, textCol)
+      .where(col("n") >= minCount)
+      .orderBy(col("n").desc, col("word"))
+      .limit(maxVocab)
+      .collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     val merges = trainMerges(counts, numMerges)
     val pieces = counts.map { case (w, _) => (w, encodeWord(w, merges).length.toLong) }
@@ -104,8 +129,11 @@ object Bpe {
     docs
       .select(col(idCol), explode(Dedup.tokens(textCol)).as("word"))
       .where(col("word") =!= "")
-      .join(broadcast(pieceDf), Seq("word"))
+      .join(broadcast(pieceDf), Seq("word"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_bpe_pieces"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_pieces"),
+          size(graft.plans.Exprs.bpeEncode(col("word"), merges)).cast("long")))
+          .as("n_bpe_pieces"))
   }
 }

@@ -58,6 +58,18 @@ object Exprs {
   def compressRatio(text: Column): Column =
     GraftBridge.column(CompressRatio(GraftBridge.expression(text)))
 
+  /** Compiled per-row BPE segmentation with a trained merge list (see
+    * [[BpeEncode]]). The merge table ships as a foldable literal — model
+    * state inside the plan, like the codebook expressions.
+    */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val lit = Literal.create(merges.map(m => Seq(m._1, m._2)),
+      ArrayType(ArrayType(StringType, containsNull = false), containsNull = false))
+    GraftBridge.column(BpeEncode(GraftBridge.expression(word), lit))
+  }
+
   /** Compiled char n-gram stream (see [[CharNgrams]]). */
   def charNgrams(text: Column, n: Int): Column =
     GraftBridge.column(CharNgrams(GraftBridge.expression(text), n))

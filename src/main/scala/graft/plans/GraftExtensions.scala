@@ -68,6 +68,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_compress_ratio"),
       info("graft_compress_ratio", "graft_compress_ratio(text) - deflate compressed/raw byte ratio (repetition signal)"),
       (exprs: Seq[Expression]) => CompressRatio(exprs(0))),
+    (FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode", "graft_bpe_encode(word, merges) - BPE pieces of word under a trained array<array<string>> merge list"),
+      (exprs: Seq[Expression]) => BpeEncode(exprs(0), exprs(1))),
     (FunctionIdentifier("graft_char_ngrams"),
       info("graft_char_ngrams", "graft_char_ngrams(text, n) - all character n-grams (multiset, in order)"),
       (exprs: Seq[Expression]) => exprs(1) match {

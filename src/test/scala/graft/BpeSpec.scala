@@ -65,4 +65,57 @@ class BpeSpec extends SparkSpec {
     val wc = Bpe.wordCounts(docs).as[(String, Long)].collect().toMap
     assert(wc === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
   }
+
+  test("BpeEncode expression matches encodeWord differentially (incl. multibyte)") {
+    val merges = Bpe.trainMerges(counts :+ ("hélloé", 4L) :+ ("a😀b", 2L), 12)
+    val words = Seq("low", "lowest", "newest", "unseen", "xyz", "hélloé",
+      "a😀b", "😀😀", "")
+    val got = words.toDF("w")
+      .select(col("w"), graft.plans.Exprs.bpeEncode(col("w"), merges).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    for (w <- words)
+      assert(got(w) === Bpe.encodeWord(w, merges), s"word=$w")
+  }
+
+  test("pieceStats: a non-binding cap reproduces the uncapped result exactly") {
+    val docs = Seq(
+      (1L, "low low lower rareword"),
+      (2L, "newest widest anotherrare"),
+      (3L, "low newest newest")).toDF("doc_id", "text")
+    val uncapped = Bpe.pieceStats(docs, numMerges = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // cap present but not binding (6 distinct words ≤ maxVocab = 6): the
+    // collected table, hence the trained merges and every total, is
+    // unchanged — the cap machinery itself is a no-op until it has to bite
+    val roomy = Bpe.pieceStats(docs, numMerges = 8, minCount = 1, maxVocab = 6)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(roomy === uncapped)
+  }
+
+  test("pieceStats with a BINDING cap: every token still counted, OOV encoded exactly") {
+    val docs = Seq(
+      (1L, "low low lower rareword"),
+      (2L, "newest widest anotherrare"),
+      (3L, "low newest newest")).toDF("doc_id", "text")
+    // minCount = 2 keeps only {low: 3, newest: 3} as driver state; the
+    // expected totals re-derive from first principles: train on the capped
+    // table, encode EVERY token (in-vocab and OOV alike) with those merges
+    val cappedCounts = Bpe.wordCounts(docs).where(col("n") >= 2)
+      .as[(String, Long)].collect().toSeq
+    val merges = Bpe.trainMerges(cappedCounts, 8)
+    val expected = docs.as[(Long, String)].collect().map { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (id, toks.length.toLong, toks.map(w => Bpe.encodeWord(w, merges).length.toLong).sum)
+    }.sortBy(_._1)
+    val got = Bpe.pieceStats(docs, numMerges = 8, minCount = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === expected)
+    // a maxVocab = 1 cap pushes all but one word through the compiled
+    // fallback; token counts must still cover every word (left join —
+    // rows are never dropped)
+    val tiny = Bpe.pieceStats(docs, numMerges = 8, maxVocab = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(tiny.map(r => (r._1, r._2)) === expected.map(r => (r._1, r._2)))
+    tiny.foreach { case (_, nWords, nPieces) => assert(nPieces >= nWords) }
+  }
 }

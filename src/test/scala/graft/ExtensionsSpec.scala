@@ -70,7 +70,8 @@ class ExtensionsSpec extends SparkSpec {
         |       graft_char_ngrams('abc', 2) AS cng,
         |       graft_compress_ratio('xyxyxyxyxyxyxyxyxyxyxyxyxyxyxyxy') AS cr,
         |       graft_sig_agreement(cast(array(1, 2, 3) as array<bigint>),
-        |                           cast(array(1, 9, 3) as array<bigint>)) AS sa
+        |                           cast(array(1, 9, 3) as array<bigint>)) AS sa,
+        |       graft_bpe_encode('lowest', array(array('l', 'o'), array('lo', 'w'))) AS bp
         |FROM t""".stripMargin).head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 11L) // 1*3 + 2*4
@@ -81,6 +82,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](8) === Seq("ab", "bc"))
     assert(r.getDouble(9) > 0.0 && r.getDouble(9) < 1.0)
     assert(r.getInt(10) === 2)
+    assert(r.getSeq[String](11) === Seq("low", "e", "s", "t", "</w>"))
   }
 
   test("saltedJoin equals the plain join result") {
