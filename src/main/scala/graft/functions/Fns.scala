@@ -120,13 +120,30 @@ object Fns {
     "2026-01-01", "2026-01-19", "2026-02-16", "2026-04-03", "2026-05-25",
     "2026-06-19", "2026-07-03", "2026-09-07", "2026-11-26", "2026-12-25")
 
+  /** The range [[marketHolidays]] actually covers. Outside it the closure
+    * list is not authoritative, so market-day tests return NULL (unknown)
+    * instead of silently treating an unlisted holiday as an open day —
+    * the failure mode of a static calendar that a `pandas_market_calendars`
+    * resolver doesn't have. Extending coverage = extending the list (or
+    * swapping in the calendar-dimension lookup the scaladoc above names).
+    */
+  val marketCalendarStart: String = "2020-01-01"
+  val marketCalendarEnd: String = "2026-12-31"
+
   /** Market-day test — functions.py:60-66 (get_market_day): weekdays that
-    * are not NYSE closures. The literal holiday set compiles to an InSet
-    * membership probe — still pure codegen, no join.
+    * are not NYSE closures; NULL for dates outside the covered calendar
+    * range. The literal holiday set compiles to an InSet membership
+    * probe — still pure codegen, no join.
     */
   def isMarketDay(d: Column): Column = {
+    val dd = d.cast("date")
+    val inRange = dd.between(
+      lit(java.sql.Date.valueOf(marketCalendarStart)),
+      lit(java.sql.Date.valueOf(marketCalendarEnd)))
     val dow = dayofweek(d) // 1=Sun..7=Sat
-    dow =!= 1 && dow =!= 7 && !d.cast("date").isin(marketHolidays.map(java.sql.Date.valueOf): _*)
+    when(inRange,
+      dow =!= 1 && dow =!= 7 && !dd.isin(marketHolidays.map(java.sql.Date.valueOf): _*))
+      .otherwise(lit(null).cast("boolean"))
   }
 
   /** Most recent market day strictly before `d` — functions.py:103-115's

@@ -192,17 +192,23 @@ object TextAnalysis {
     * up/down-weighting decisions (C4/RefinedWeb both gate on per-host
     * counts): documents, total characters, whitespace tokens, and distinct
     * languages per canonical host. One hash aggregate on the host key;
-    * the shuffle carries per-domain partials, never documents.
+    * the shuffle carries per-domain partials, never documents. A corpus
+    * without a language column (langCol absent from the schema) reports
+    * n_langs = 0 rather than failing analysis.
     */
   def domainStats(docs: DataFrame, urlCol: String = "url",
-                  textCol: String = "text"): DataFrame =
+                  textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val nLangs =
+      if (docs.columns.contains(langCol)) countDistinct(col(langCol))
+      else lit(0L)
     docs
       .groupBy(urlHost(col(urlCol)).as("host"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(length(col(textCol)).cast("long")).as("total_chars"),
         sum(tokenCount(textCol)).as("total_tokens"),
-        countDistinct(col("lang")).as("n_langs"))
+        nLangs.as("n_langs"))
+  }
 
   /** TF-IDF top-`k` terms per document: token counts per doc (tf), document
     * frequency per token (df), score = tf × ln(N/df), rounded BEFORE the

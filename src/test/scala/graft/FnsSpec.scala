@@ -81,6 +81,18 @@ class FnsSpec extends SparkSpec {
     assert(out.toSeq === Seq(false, true, false))
   }
 
+  test("isMarketDay is NULL (unknown) outside the covered calendar range") {
+    // 2019-07-04 was a real NYSE closure but predates the holiday table:
+    // the old behavior silently called it an open Thursday; now any date
+    // outside [marketCalendarStart, marketCalendarEnd] flags as unknown
+    val out = Seq("2019-07-04", "2027-03-01", "2020-01-02", "2026-12-31")
+      .toDF("d").select(Fns.isMarketDay(to_date($"d")).as("m")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).isNullAt(0))
+    assert(out(2).getBoolean(0) === true)  // in-range Thursday, open
+    assert(out(3).getBoolean(0) === true)  // range end is inclusive
+  }
+
   test("prevMarketDay steps over holidays") {
     // Tue 2024-01-16: previous market day is Fri 2024-01-12 (MLK Monday closed)
     // Fri 2023-11-24: previous market day is Wed 2023-11-22 (Thanksgiving Thursday)

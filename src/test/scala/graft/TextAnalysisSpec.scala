@@ -300,5 +300,12 @@ class TextAnalysisSpec extends SparkSpec {
       ("blog.example.com", 1L, 3L, 1L, 1L),
       ("blog.example.com:8080", 1L, 11L, 2L, 1L),
       ("news.example.com", 2L, 22L, 5L, 2L)))
+    // a corpus without a language column still profiles (n_langs = 0)
+    // instead of throwing AnalysisException
+    val noLang = TextAnalysis.domainStats(docs.drop("lang")).orderBy("host")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(noLang.map(_._5).toSeq === Seq(0L, 0L, 0L))
+    assert(noLang.map(r => (r._1, r._2, r._3, r._4)) ===
+      stats.map(r => (r._1, r._2, r._3, r._4)))
   }
 }
