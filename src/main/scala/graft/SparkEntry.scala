@@ -124,6 +124,30 @@ object SparkEntry {
       (path, cents)
     }
 
+  /** The incremental-maintenance demo index: built from the 90% "historical"
+    * slice, then the 10% "daily batch" appended with the FROZEN centroids
+    * (Similarity.appendToIvfIndex) — built once per process so the append
+    * is never replayed into the same partitions. Also captures the
+    * cell-occupancy drift across the append (the retrain trigger).
+    */
+  private def sharedIvfAppendIndex(s: SparkSession, dir: String)
+      : (String, Array[Array[Double]], Double) =
+    memo(s, s"ivfappend:$dir") {
+      val emb = Tables.embeddings(s, dir)
+      val hist = emb.where(col("vec_id") % 10 =!= 0)
+      val batch = emb.where(col("vec_id") % 10 === 0)
+      val cents = Similarity.kmeansCentroids(
+        Sampling.deterministicSample(hist, "vec_id", 0.25), 16, 2)
+      val path = s"${indexRoot(s)}/ivf_append_${new java.io.File(dir).getName}"
+      Similarity.buildIvfIndex(hist, cents).write.mode("overwrite")
+        .partitionBy("cent_idx").parquet(path)
+      val baseCounts = Similarity.ivfCellCounts(s.read.parquet(path))
+      Similarity.appendToIvfIndex(path, batch, cents)
+      val drift = Similarity.ivfOccupancyDrift(
+        baseCounts, Similarity.ivfCellCounts(s.read.parquet(path)))
+      (path, cents, drift)
+    }
+
   private def sharedIvfPqIndex(s: SparkSession, dir: String)
       : (String, Array[Array[Double]], Array[Array[Array[Double]]]) =
     memo(s, s"ivfpqidx:$dir") {
@@ -781,6 +805,20 @@ object SparkEntry {
       val (path, cents) = sharedIvfIndex(s, dir)
       Similarity.ivfTopKIndexed(s.read.parquet(path), cents,
         emb.orderBy(col("vec_id").desc).limit(1), 10, nprobe = 4)
+    }),
+
+    "q_ann_ivf_append" -> ((s, dir) => {
+      // incremental IVF maintenance end-to-end: probe the index whose last
+      // 10% arrived as a frozen-centroid partition APPEND, not a rebuild.
+      // The merged index is row-identical to a full rebuild
+      // (spec-asserted), so this probe doubles as the maintenance check;
+      // occupancy drift rides along as data — the driver sees the retrain
+      // signal, not just a green row count.
+      val emb = Tables.embeddings(s, dir)
+      val (path, cents, drift) = sharedIvfAppendIndex(s, dir)
+      Similarity.ivfTopKIndexed(s.read.parquet(path), cents,
+        emb.orderBy(col("vec_id").desc).limit(1), 10, nprobe = 4)
+        .withColumn("occupancy_drift", round(lit(drift), 6))
     }),
 
     "q_ann_ivfpq_indexed" -> ((s, dir) => {

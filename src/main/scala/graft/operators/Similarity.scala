@@ -283,6 +283,48 @@ object Similarity {
     embeddings.select(col(idCol), col(vecCol).as("v"), normExact(vecCol).as("nrm"),
       graft.plans.Exprs.nearestCentroid(col(vecCol), centroids).as("cent_idx"))
 
+  /** Incremental maintenance of a persisted cent_idx-partitioned IVF
+    * index: assign the new-vector batch with the EXISTING centroids (the
+    * codebook is the model — it changes only on retrain) and append into
+    * the touched cent_idx partitions. Because assignment is a
+    * deterministic per-vector function of the centroids, the merged index
+    * is ROW-IDENTICAL to a full rebuild over old ∪ batch (spec-asserted),
+    * so probes need no rebuild barrier; the write touches only the
+    * partitions the batch lands in, never rewrites history. At 100 TB
+    * this is the difference between a daily O(batch) append and a daily
+    * O(corpus) re-encode.
+    */
+  def appendToIvfIndex(indexPath: String, batch: DataFrame,
+                       centroids: Array[Array[Double]],
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    buildIvfIndex(batch, centroids, idCol, vecCol)
+      .write.mode("append").partitionBy("cent_idx").parquet(indexPath)
+
+  /** Per-cell occupancy snapshot of an IVF index — nlist-bounded
+    * (model-sized driver state), the thing to capture at train time and
+    * compare after appends.
+    */
+  def ivfCellCounts(index: DataFrame): Map[Int, Long] =
+    index.groupBy(col("cent_idx")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Retrain trigger for incrementally-maintained IVF: total-variation
+    * distance between the normalized cell-occupancy distributions at
+    * train time vs now, in [0, 1]. Appends assign against FROZEN
+    * centroids, so a drifting corpus degrades cell balance (hot cells
+    * grow, probes read more rows for the same recall) without any error —
+    * this statistic is the signal. Typical policy: retrain when drift
+    * exceeds ~0.15–0.3; both snapshots are nlist-sized, so the test is
+    * free.
+    */
+  def ivfOccupancyDrift(baseline: Map[Int, Long], current: Map[Int, Long]): Double = {
+    val nb = math.max(baseline.values.sum.toDouble, 1.0)
+    val nc = math.max(current.values.sum.toDouble, 1.0)
+    (baseline.keySet ++ current.keySet).toSeq
+      .map(k => math.abs(baseline.getOrElse(k, 0L) / nb - current.getOrElse(k, 0L) / nc))
+      .sum / 2.0
+  }
+
   /** Top-k against a prebuilt index: the `nprobe` probe cells are picked
     * driver-side against the codebook (O(nlist·dims), no job), the scan
     * touches only those cells (a partition filter when the index is

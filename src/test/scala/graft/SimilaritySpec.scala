@@ -114,6 +114,43 @@ class SimilaritySpec extends SparkSpec {
       inline.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("incremental IVF append: merged index ≡ full rebuild, drift signals skew") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val hist = emb.where($"vec_id" % 10 =!= 0)
+    val batch = emb.where($"vec_id" % 10 === 0)
+    val cents = Similarity.kmeansCentroids(hist, 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    Similarity.buildIvfIndex(hist, cents).write.mode("overwrite")
+      .partitionBy("cent_idx").parquet(dir)
+    val baseCounts = Similarity.ivfCellCounts(spark.read.parquet(dir))
+    Similarity.appendToIvfIndex(dir, batch, cents)
+    val merged = spark.read.parquet(dir)
+    // the merged index is ROW-identical to a full rebuild under the same
+    // frozen centroids (assignment is a deterministic per-vector function)
+    val full = Similarity.buildIvfIndex(emb, cents)
+    assert(merged.count() === full.count())
+    assert(merged.select("vec_id", "cent_idx").exceptAll(
+      full.select("vec_id", "cent_idx")).count() === 0L)
+    // …so probes against it match probes against the rebuild exactly
+    val q = emb.orderBy($"vec_id".desc).limit(1)
+    val mergedTop = Similarity.ivfTopKIndexed(merged, cents, q, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fullTop = Similarity.ivfTopKIndexed(full, cents, q, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mergedTop === fullTop)
+    // drift: a same-distribution batch barely moves occupancy; a batch
+    // slammed into ONE cell moves it far — the retrain trigger fires on
+    // the second, not the first
+    val uniformDrift = Similarity.ivfOccupancyDrift(
+      baseCounts, Similarity.ivfCellCounts(merged))
+    assert(uniformDrift < 0.15, s"uniform append drifted $uniformDrift")
+    val hot = baseCounts.keys.min
+    val skewCounts = baseCounts.map { case (c, n) =>
+      c -> (if (c == hot) n + baseCounts.values.sum else n) }
+    val skewDrift = Similarity.ivfOccupancyDrift(baseCounts, skewCounts)
+    assert(skewDrift > 0.3, s"skewed append must drift, got $skewDrift")
+  }
+
   test("topKBatch equals per-query brute-force topK for every query") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.orderBy($"vec_id").limit(3)
