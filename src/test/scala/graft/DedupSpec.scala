@@ -264,6 +264,30 @@ class DedupSpec extends SparkSpec {
     assert(ragged === 2)
   }
 
+  test("ngramJaccard with precomputed signatures never re-MinHashes the corpus") {
+    // the one-pass contract behind nearDedupIncremental: when (id, __sig)
+    // signatures are threaded in (here with lineage truncated, as the
+    // incremental path's store-screen survivors effectively are), the
+    // candidate+verify plan must contain ZERO MinHashSignature
+    // expressions — a regression that re-derived signatures from text
+    // would reintroduce the double corpus pass the verdict flagged
+    val docs = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs).localCheckpoint(true)
+    val j = Dedup.ngramJaccard(docs, 0.0, sigs = Some(sigs))
+    val nMinhash = j.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(e =>
+        e.collect { case m: graft.plans.MinHashSignature => m }.size).sum
+    }.sum
+    assert(nMinhash === 0, s"plan re-computes $nMinhash MinHash signatures")
+    // control: without threading, the plan DOES contain the signature pass
+    val jSelf = Dedup.ngramJaccard(docs, 0.0)
+    val nSelf = jSelf.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(e =>
+        e.collect { case m: graft.plans.MinHashSignature => m }.size).sum
+    }.sum
+    assert(nSelf > 0)
+  }
+
   test("deduplicateNear with precomputed signatures equals the self-computed path") {
     val docs = Seq(
       (1L, near1), (2L, near2), (3L, far),
