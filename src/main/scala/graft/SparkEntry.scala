@@ -845,8 +845,15 @@ object SparkEntry {
       val brute = Similarity.topK(emb, q, 10).select(col("vec_id"), lit(1).as("hit"))
       val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
       val encoded = Similarity.pqEncoded(emb, books)
+      // the incrementally-maintained index scores beside the one-shot
+      // methods: probing through a frozen-centroid APPEND must not cost
+      // recall vs a rebuild (it can't — merged ≡ rebuild — but the metric
+      // keeps that claim measured, not assumed, as the corpus drifts)
+      val (appendPath, appendCents, _) = sharedIvfAppendIndex(s, dir)
       val methods: Seq[(String, DataFrame)] = Seq(
         "ivf_trained" -> Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 4),
+        "ivf_append" -> Similarity.ivfTopKIndexed(
+          s.read.parquet(appendPath), appendCents, q, 10, nprobe = 4),
         "pq_adc" -> Similarity.pqTopK(encoded, books, q, 10),
         "pq_adc_rerank" -> Similarity.pqTopKReranked(encoded, books, emb, q, 10))
       methods

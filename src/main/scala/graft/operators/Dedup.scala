@@ -194,24 +194,42 @@ object Dedup {
   /** Distinct candidate pairs (id_a < id_b) from banded signatures. The
     * bucket stage carries only ids — the (heavy) signature stays out of the
     * band explosion/shuffle.
+    *
+    * Buckets over `maxBucketSize` (boilerplate/template buckets, where
+    * quadratic pairing would explode) are dropped by default — which
+    * silently UNDER-dedups a template-heavy corpus: the dropped docs are
+    * usually mutual near-dups en masse. `oversizedStar = true` instead
+    * STAR-pairs such buckets — every member pairs with the bucket minimum
+    * only, O(bucket) pairs instead of O(bucket²) — and downstream
+    * exact-verify + connected components restore the full transitive
+    * cluster (any two true dups of the hub land in one component). Recall
+    * inside a degenerate bucket goes from 0 to hub-complete at linear
+    * cost; candidate volume stays bounded by the corpus row count.
     */
   def lshCandidatePairs(
       sigs: DataFrame,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      oversizedStar: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     val banded = sigs
       .select(col("id"), explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
     val buckets = banded
       .groupBy(col("bb.band"), col("bb.bucket"))
       .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
-    buckets
+      .where(size(col("ids")) > 1)
+    val small = buckets.where(size(col("ids")) <= maxBucketSize)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
-      .distinct()
+    val pairs =
+      if (!oversizedStar) small
+      else small.unionByName(
+        buckets.where(size(col("ids")) > maxBucketSize)
+          .select(array_min(col("ids")).as("id_a"), explode(col("ids")).as("id_b"))
+          .where(col("id_a") < col("id_b")))
+    pairs.distinct()
   }
 
   def minhashCandidates(
@@ -249,12 +267,15 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       candidates: Option[DataFrame] = None,
-      sigs: Option[DataFrame] = None): DataFrame = {
+      sigs: Option[DataFrame] = None,
+      oversizedStar: Boolean = false,
+      maxBucketSize: Int = 10000): DataFrame = {
     val grams = docs
       .select(col(idCol).as("gid"), tokens(textCol).as("__toks"))
       .select(col("gid"), ngramsOfTokens("__toks", 3).as("grams"))
     val cands = candidates.getOrElse(
-      lshCandidatePairs(sigs.getOrElse(minhashSignatures(docs, textCol, idCol)))
+      lshCandidatePairs(sigs.getOrElse(minhashSignatures(docs, textCol, idCol)),
+        maxBucketSize = maxBucketSize, oversizedStar = oversizedStar)
         .select("id_a", "id_b"))
     cands
       .join(grams.withColumnRenamed("gid", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
@@ -484,8 +505,11 @@ object Dedup {
     */
   def deduplicateNear(docs: DataFrame, threshold: Double,
                       textCol: String = "text", idCol: String = "doc_id",
-                      sigs: Option[DataFrame] = None): DataFrame = {
-    val pairs = ngramJaccard(docs, threshold, textCol, idCol, sigs = sigs)
+                      sigs: Option[DataFrame] = None,
+                      oversizedStar: Boolean = false,
+                      maxBucketSize: Int = 10000): DataFrame = {
+    val pairs = ngramJaccard(docs, threshold, textCol, idCol, sigs = sigs,
+      oversizedStar = oversizedStar, maxBucketSize = maxBucketSize)
       .select("id_a", "id_b")
     val losers = connectedComponents(pairs)
       .where(col("id") =!= col("component"))

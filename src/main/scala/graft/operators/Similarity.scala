@@ -300,6 +300,24 @@ object Similarity {
     buildIvfIndex(batch, centroids, idCol, vecCol)
       .write.mode("append").partitionBy("cent_idx").parquet(indexPath)
 
+  /** The REPLAY-IDEMPOTENT form of [[appendToIvfIndex]] for streaming
+    * maintenance: the batch lands under (cent_idx, batch_id) with dynamic
+    * partition overwrite, so a foreachBatch replay after failure
+    * OVERWRITES its own (cell, batch) partitions instead of duplicating
+    * vectors — the exactly-once contract micro-batch sinks need. Write
+    * the base index into the same layout with `batchId = -1`; probes read
+    * the whole tree unchanged (cent_idx stays the leading partition
+    * level, so cell pruning still fires; the extra batch_id column is
+    * inert to the scorers).
+    */
+  def writeIvfBatch(indexPath: String, vectors: DataFrame,
+                    centroids: Array[Array[Double]], batchId: Long,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    buildIvfIndex(vectors, centroids, idCol, vecCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cent_idx", "batch_id").parquet(indexPath)
+
   /** Per-cell occupancy snapshot of an IVF index — nlist-bounded
     * (model-sized driver state), the thing to capture at train time and
     * compare after appends.

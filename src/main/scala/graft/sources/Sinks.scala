@@ -39,6 +39,23 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").parquet(path)
 
+  /** Streaming restatement into a quote-store catalog table
+    * ([[graft.sources.v2.QuoteStoreCatalog]]): each micro-batch's rows
+    * REPLACE the day partitions they touch (dynamic partition overwrite —
+    * `restateDays` semantics, continuously). The always-on shape of the
+    * reference's daily re-pull loop: a late correction feed lands and the
+    * served table converges to the corrected day instead of accumulating
+    * both versions. foreachBatch replays converge because dynamic
+    * overwrite of identical batch content is idempotent; two batches
+    * carrying the same day resolve to the LATEST batch (the restatement
+    * contract: the newest pull of a day wins whole).
+    */
+  def restateDaysStream(stream: DataFrame, table: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) batch.writeTo(table).overwritePartitions()
+    }
+
   /** Idempotent incremental append: filter the incoming frame to rows
     * strictly newer than the target's per-key max(ts) (the reference's
     * check_table_append_compatibility + to_sql append), then append. On an

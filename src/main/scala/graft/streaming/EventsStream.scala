@@ -188,6 +188,32 @@ object EventsStream {
       sink(graft.operators.Sampling.applyRates(batch, rates, stratumCol, idCol), batchId)
     }
 
+  /** Streaming IVF index maintenance — the continuous face of
+    * [[graft.operators.Similarity.appendToIvfIndex]]: every micro-batch of
+    * new vectors is assigned with the FROZEN centroids and landed into the
+    * persisted (cent_idx, batch_id) layout
+    * ([[graft.operators.Similarity.writeIvfBatch]]) — dynamic partition
+    * overwrite keyed by foreachBatch's stable batch id makes a replay
+    * after failure overwrite ITSELF instead of duplicating vectors, the
+    * micro-batch sink's exactly-once contract. After each batch the
+    * cell-occupancy drift vs the train-time `baseline` goes to
+    * `onBatch(batchId, drift)` — the retrain trigger: the caller schedules
+    * kmeansCentroids + a full re-encode when drift crosses its policy
+    * threshold; until then probes serve uninterrupted from the merged,
+    * still-cell-pruned index.
+    */
+  def ivfMaintenanceStream(vectors: DataFrame, indexPath: String,
+                           centroids: Array[Array[Double]],
+                           baseline: Map[Int, Long])(
+      onBatch: (Long, Double) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.operators.Similarity
+      Similarity.writeIvfBatch(indexPath, batch, centroids, batchId)
+      val drift = Similarity.ivfOccupancyDrift(baseline,
+        Similarity.ivfCellCounts(batch.sparkSession.read.parquet(indexPath)))
+      onBatch(batchId, drift)
+    }
+
   case class AsOfIn(user_id: Long, ts: Timestamp, is_dim: Boolean, value: Double)
   case class AsOfBuffers(facts: Seq[(Long, Double)], dims: Seq[(Long, Double)])
   case class AsOfOut(user_id: Long, ts: Timestamp, value: Double, dim_value: Option[Double])

@@ -248,6 +248,35 @@ class DedupSpec extends SparkSpec {
     assert(kept2 === Array(10L, 12L), kept2.mkString(","))
   }
 
+  test("oversizedStar recovers dedup inside buckets the cap would drop") {
+    // 20 identical template docs: every LSH bucket holds all 20 ids, so a
+    // cap of 5 drops every bucket and the default path finds NO pairs —
+    // the silent under-dedup of a template-heavy corpus
+    val docs = ((1L to 20L).map(i => (i, near1)) ++ Seq((50L, far)))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs)
+    val dropped = Dedup.lshCandidatePairs(sigs, maxBucketSize = 5)
+    assert(dropped.count() === 0L)
+    // star pairing: every member pairs with the bucket minimum — O(n)
+    // candidates, and all of them hub on id 1
+    val star = Dedup.lshCandidatePairs(sigs, maxBucketSize = 5, oversizedStar = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.nonEmpty)
+    assert(star.forall(_._1 === 1L))
+    assert(star.map(_._2).toSet === (2L to 20L).toSet)
+    // end-to-end: exact verify + components collapse the template cluster
+    // to one kept doc; the distinct doc survives untouched
+    val kept = Dedup.deduplicateNear(docs, 0.7,
+      oversizedStar = true, maxBucketSize = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 50L), kept.mkString(","))
+    // control: with the same cap but no star the cluster survives intact
+    // (the under-dedup this mode exists to fix)
+    val keptDefault = Dedup.deduplicateNear(docs, 0.7, maxBucketSize = 5)
+      .select("doc_id").as[Long].collect()
+    assert(keptDefault.length === 21)
+  }
+
   test("SigAgreement kernel matches the zip_with HOF differentially") {
     val df = spark.range(200).select(col("id"),
       expr("transform(sequence(0, 63), i -> xxhash64(id, i) % 4)").as("a"),

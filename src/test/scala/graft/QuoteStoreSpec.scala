@@ -101,6 +101,40 @@ class QuoteStoreSpec extends SparkSpec {
       one.queryExecution.executedPlan.toString())
   }
 
+  test("restateDaysStream: a correction stream restates landed days continuously") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = mkTable("t_stream_restate")
+    quotes(
+      ("aapl", "2024-01-02", 100.0, 1000L),
+      ("aapl", "2024-01-03", 999.0, 9990L), // wrong, to be restated
+      ("msft", "2024-01-04", 204.0, 2400L)).writeTo(t).append()
+    val input = MemoryStream[(String, String, Double, Long)]
+    val stream = input.toDS().toDF("ticker", "d", "px", "volume")
+      .select($"ticker", $"d".cast("date").as("day"),
+        $"px".as("open"), ($"px" + 1.0).as("high"), ($"px" - 1.0).as("low"),
+        ($"px" + 0.5).as("close"), $"volume")
+    val query = graft.sources.Sinks.restateDaysStream(stream, t).start()
+    try {
+      // micro-batch 1: the corrected day 03
+      input.addData(("aapl", "2024-01-03", 103.0, 1300L))
+      query.processAllAvailable()
+      val afterFix = spark.table(t)
+        .select($"ticker", $"day".cast("string"), $"open")
+        .as[(String, String, Double)].collect().sorted
+      assert(afterFix === Array(
+        ("aapl", "2024-01-02", 100.0),
+        ("aapl", "2024-01-03", 103.0),
+        ("msft", "2024-01-04", 204.0)))
+      // micro-batch 2: a NEW day lands; prior days untouched
+      input.addData(("aapl", "2024-01-05", 105.0, 1500L))
+      query.processAllAvailable()
+      assert(spark.table(t).count() === 4)
+      assert(spark.table(t).where($"day" === "2024-01-03")
+        .select($"open").as[Double].collect().toSeq === Seq(103.0))
+    } finally query.stop()
+  }
+
   test("quote store: feed-to-store pipeline lands the synthetic feed and restates a day") {
     val t = mkTable("t_pipeline")
     val feed = spark.read.format("graft-quotes")

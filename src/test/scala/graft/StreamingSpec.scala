@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 
 case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
 case class StreamLangDoc(doc_id: Long, ts: Timestamp, lang: String)
+case class StreamVec(vec_id: Long, embedding: Array[Float])
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -538,5 +539,54 @@ class StreamingSpec extends SparkSpec {
     val out = EventsStream.windowedAgg(ev).orderBy($"wstart", $"event_type").collect()
     assert(out.length === 2)
     assert(out(0).getLong(2) === 2L && out(0).getDouble(3) === 3.0)
+  }
+
+  test("ivfMaintenanceStream: streamed appends ≡ full rebuild, replay-idempotent, drift reported") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+    val hist = emb.where($"vec_id" % 10 =!= 0)
+    val cents = Similarity.kmeansCentroids(hist, 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString + "/idx"
+    Similarity.writeIvfBatch(path, hist, cents, batchId = -1)
+    val baseline = Similarity.ivfCellCounts(spark.read.parquet(path))
+    // the "daily" vectors arrive as two micro-batches
+    val newVecs = emb.where($"vec_id" % 10 === 0)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => StreamVec(r.getLong(0), r.getSeq[Float](1).toArray))
+    val (wave1, wave2) = newVecs.splitAt(newVecs.length / 2)
+    val drifts = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val input = MemoryStream[StreamVec]
+    val query = EventsStream.ivfMaintenanceStream(
+      input.toDS().toDF(), path, cents, baseline) {
+      (id, d) => drifts.synchronized { drifts += ((id, d)) }
+    }.start()
+    try {
+      input.addData(wave1.toSeq: _*)
+      query.processAllAvailable()
+      input.addData(wave2.toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(drifts.map(_._1).toSeq === Seq(0L, 1L))
+    drifts.foreach { case (_, d) => assert(d >= 0.0 && d <= 1.0) }
+    // merged index row-identical to a frozen-centroid full rebuild …
+    val merged = spark.read.parquet(path)
+    val full = Similarity.buildIvfIndex(emb, cents)
+    assert(merged.count() === full.count())
+    assert(merged.select("vec_id", "cent_idx")
+      .exceptAll(full.select("vec_id", "cent_idx")).count() === 0L)
+    // … so probes agree exactly
+    val q = emb.orderBy($"vec_id".desc).limit(1)
+    val mergedTop = Similarity.ivfTopKIndexed(merged, cents, q, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fullTop = Similarity.ivfTopKIndexed(full, cents, q, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mergedTop === fullTop)
+    // failure replay: re-landing batch 0 overwrites its own (cell, batch)
+    // partitions — row count unchanged, no duplicated vectors
+    val before = spark.read.parquet(path).count()
+    Similarity.writeIvfBatch(path,
+      wave1.toSeq.toDF("vec_id", "embedding"), cents, batchId = 0)
+    assert(spark.read.parquet(path).count() === before)
   }
 }
