@@ -241,6 +241,77 @@ object SparkEntry {
         round((col("close") / nullif(runMax, lit(0.0)) - 1) * 100, 6).as("drawdown_pct"))
     }),
 
+    "q_ewma" -> ((s, dir) => {
+      // EWMA(α = 1/2) over a 10-bar trailing window, α chosen so every
+      // weight is a power of two: scaled ×2⁹ the weights are INTEGERS,
+      // the weighted sum is decimal-exact, and the oracle matches
+      // bit-for-bit (no pow(), no float accumulation order). The window
+      // cap is the 100 TB form of pandas ewm(): weight 2⁻¹⁰ < 0.1% —
+      // unbounded-preceding recursion buys nothing but an unbounded frame.
+      // One window pass (all lags share entityDay); partial weights are
+      // renormalized by the sum of PRESENT weights, pandas adjust=true.
+      val n = 10
+      val terms = (0 until n).map { i =>
+        val lg = lag(col("close"), i).over(entityDay)
+        (coalesce(lg.cast("decimal(28,6)") * lit(1L << (n - 1 - i)),
+          lit(0).cast("decimal(28,6)")),
+          when(lg.isNotNull, lit(1L << (n - 1 - i))).otherwise(lit(0L)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      bars(s, dir).select(
+        col("user_id"), col("d"), col("close"),
+        round(num.cast("double") / den.cast("double"), 6).as("ewma_half"))
+    }),
+
+    "q_volatility" -> ((s, dir) => {
+      // 20-bar rolling annualized volatility of simple returns — the
+      // q_zscore recipe inside a window frame: returns are pure double
+      // arithmetic (identical in any engine), their window sums are
+      // decimal-exact, the final sqrt is IEEE — so a rolling stddev
+      // hash-matches the oracle without trusting anyone's float
+      // accumulation order. NULL until the frame holds 20 returns.
+      val r = col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1
+      val win = entityDay.rowsBetween(-19, Window.currentRow)
+      val full = row_number().over(entityDay) >= 21
+      val s1 = sum(r.cast("decimal(38,12)")).over(win).cast("double")
+      val s2 = sum((r * r).cast("decimal(38,12)")).over(win).cast("double")
+      val nn = lit(20.0)
+      bars(s, dir).select(
+        col("user_id"), col("d"),
+        round(when(full,
+          sqrt((s2 - s1 * s1 / nn) / (nn - 1)) * sqrt(lit(252.0))), 6).as("ann_vol"))
+    }),
+
+    "q_corr_pairs" -> ((s, dir) => {
+      // pairwise close-price correlation over the 10 most-active entities
+      // (the sector-correlation-matrix shape): restricting to a ranked
+      // top-N makes the pair space N², not corpus², and the per-pair
+      // stats come from decimal-exact sums of double products (the
+      // q_zscore recipe) so corr() hash-matches without the builtin's
+      // engine-specific float accumulation. The day-aligned self-join is
+      // broadcast — N series of daily bars is model-sized by design.
+      val b = bars(s, dir)
+      val top = b.groupBy(col("user_id")).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("user_id")).limit(10).select("user_id")
+      val tb = b.join(broadcast(top), Seq("user_id")).select("user_id", "d", "close")
+      val pairs = tb.select(col("user_id").as("u1"), col("d"), col("close").as("x"))
+        .join(broadcast(tb.select(col("user_id").as("u2"), col("d"), col("close").as("y"))),
+          Seq("d"))
+        .where(col("u1") < col("u2"))
+      pairs.groupBy(col("u1"), col("u2"))
+        .agg(exactSumD(col("x")).as("s1"), exactSumD(col("y")).as("s2"),
+          exactSumD(col("x") * col("x")).as("sxx"),
+          exactSumD(col("y") * col("y")).as("syy"),
+          exactSumD(col("x") * col("y")).as("sxy"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("u1"), col("u2"),
+          round((col("n") * col("sxy") - col("s1") * col("s2")) /
+            nullif(sqrt(col("n") * col("sxx") - col("s1") * col("s1")) *
+              sqrt(col("n") * col("syy") - col("s2") * col("s2")), lit(0.0)), 6)
+            .as("corr_close"))
+    }),
+
     "q_anti_join" -> ((s, dir) =>
       Tables.customer(s, dir)
         .join(ordersNtz(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
@@ -505,6 +576,16 @@ object SparkEntry {
       // SQL-expressible (rows check; BpeSpec verifies the trainer against
       // hand-worked merges and round-trip/monotonicity properties).
       Bpe.pieceStats(Tables.documents(s, dir), numMerges = 50)),
+
+    "q_unigram_lm" -> ((s, dir) =>
+      // Unigram-LM (SentencePiece-family) tokenizer beside BPE: same ONE
+      // distributed (word,count) aggregate, Viterbi-EM trained driver-side
+      // on the capped counts, applied by broadcast-joining the encoded
+      // vocabulary with the compiled graft_unigram_encode Viterbi covering
+      // OOV words exactly. Iterative EM is not SQL-expressible (rows
+      // check; UnigramSpec verifies round-trip, determinism, and the
+      // compiled-vs-driver differential).
+      Unigram.pieceStats(Tables.documents(s, dir), vocabSize = 200)),
 
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3)),
@@ -1175,6 +1256,70 @@ object SparkEntry {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - 1) * 100, 6)
         |    AS drawdown_pct
         |FROM bars""".stripMargin,
+
+    "q_ewma" -> {
+      // 2⁹⁻ⁱ integer weights, generated to mirror the Spark lag terms 1:1
+      val n = 10
+      val num = (0 until n).map(i =>
+        s"COALESCE(CAST(lag(close, $i) OVER w AS DECIMAL(28,6)) * ${1L << (n - 1 - i)}, 0)")
+        .mkString(" + ")
+      val den = (0 until n).map(i =>
+        s"CASE WHEN lag(close, $i) OVER w IS NOT NULL THEN ${1L << (n - 1 - i)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH bars AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+         |  FROM events GROUP BY 1, 2)
+         |SELECT user_id, d, close,
+         |  round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS ewma_half
+         |FROM bars
+         |WINDOW w AS (PARTITION BY user_id ORDER BY d)""".stripMargin
+    },
+
+    "q_volatility" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, d,
+        |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY d), 0) - 1 AS r,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        |  FROM bars),
+        |sums AS (
+        |  SELECT user_id, d, rn,
+        |    CAST(sum(CAST(r AS DECIMAL(38,12))) OVER fr AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(r * r AS DECIMAL(38,12))) OVER fr AS DOUBLE) AS s2
+        |  FROM r
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY d
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, d,
+        |  round(CASE WHEN rn >= 21
+        |    THEN sqrt((s2 - s1 * s1 / 20.0) / 19.0) * sqrt(252.0) END, 6) AS ann_vol
+        |FROM sums""".stripMargin,
+
+    "q_corr_pairs" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |top AS (
+        |  SELECT user_id FROM bars GROUP BY user_id
+        |  ORDER BY count(*) DESC, user_id LIMIT 10),
+        |tb AS (SELECT b.user_id, b.d, b.close FROM bars b JOIN top USING (user_id)),
+        |p AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2, a.close AS x, b.close AS y
+        |  FROM tb a JOIN tb b ON a.d = b.d AND a.user_id < b.user_id),
+        |st AS (
+        |  SELECT u1, u2,
+        |    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM p GROUP BY 1, 2)
+        |SELECT u1, u2,
+        |  round((n * sxy - s1 * s2) /
+        |    nullif(sqrt(n * sxx - s1 * s1) * sqrt(n * syy - s2 * s2), 0), 6) AS corr_close
+        |FROM st""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

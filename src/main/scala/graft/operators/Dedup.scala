@@ -76,27 +76,38 @@ object Dedup {
     * production shape for continuous crawl ingestion (a MinHash store is
     * how web-scale pipelines dedup each day's batch against ALL history
     * without re-reading historical text: numHashes longs/doc ≈ 512 bytes
-    * vs the document). Batch docs whose estimated Jaccard (fraction of
+    * vs the document). The batch first near-dedups WITHIN itself
+    * ([[deduplicateNear]]'s LSH → exact-Jaccard → components pipeline),
+    * REUSING the signatures computed here — the batch is shingled and
+    * MinHashed exactly once; the intra-batch SURVIVORS are then screened
+    * against the store: any survivor whose estimated Jaccard (fraction of
     * agreeing signature slots — the store holds signatures, not text)
-    * against ANY store doc reaches `threshold` are dropped; survivors then
-    * near-dedup WITHIN the batch exactly ([[deduplicateNear]]'s
-    * LSH → exact-Jaccard → components pipeline), REUSING the signatures
-    * computed here — the batch is shingled and MinHashed exactly once.
-    * Candidates come from a banded (band, bucket) equi-join carrying ids
-    * only; the compiled signature-agreement kernel
-    * ([[graft.plans.SigAgreement]]) runs per candidate, never per corpus
-    * row. Admit the survivors by appending the kept signatures (already
-    * computed) to the store.
+    * against ANY store doc reaches `threshold` is dropped, taking its
+    * whole intra-batch family with it (the family already collapsed into
+    * it — the transitive-drop semantics connected components give within
+    * a corpus, extended across the batch/history boundary). Collapsing
+    * first also shrinks the screen's batch side: a template family is one
+    * row by the time it meets the store's buckets. Candidates come from a
+    * banded (band, bucket) equi-join carrying ids only; the compiled
+    * signature-agreement kernel ([[graft.plans.SigAgreement]]) runs per
+    * candidate, never per corpus row. Admit the survivors by appending
+    * the kept signatures (already computed) to the store.
     */
   def nearDedupIncremental(batch: DataFrame, storeSigs: DataFrame,
                            threshold: Double = 0.7,
                            numHashes: Int = 64, bands: Int = 16,
                            maxBucketSize: Int = 10000,
+                           oversizedStar: Boolean = false,
                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // the batch signatures feed BOTH passes (store screen + intra-batch
-    // near-dedup) — computed once here, never re-derived from text
+    // the batch signatures feed BOTH passes (intra-batch near-dedup +
+    // store screen) — computed once here, never re-derived from text
     val batchSigs = minhashSignatures(batch, textCol, idCol, numHashes)
+    val intra = deduplicateNear(batch, threshold, textCol, idCol,
+      sigs = Some(batchSigs), oversizedStar = oversizedStar,
+      maxBucketSize = maxBucketSize)
+    val intraSigs = batchSigs
+      .join(intra.select(col(idCol).as("id")), Seq("id"), "left_semi")
     def banded(sigs: DataFrame, side: String) = sigs
       .select(col("id").as(side), explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
       .select(col(side), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -104,28 +115,46 @@ object Dedup {
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucketSize)
       .select(col("band"), col("bucket"))
+    // one representative (min id) per OVERSIZED bucket — the star-pairing
+    // counterpart of lshCandidatePairs' oversizedStar for the bipartite
+    // store join: a boilerplate bucket contributes its hub instead of
+    // disappearing, so its contribution to the candidate join is O(other
+    // side), never bucket².
+    def repr(bands: DataFrame, side: String): DataFrame = bands
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"), min(col(side)).as(side))
+      .where(col("__n") > maxBucketSize)
+      .select(col(side), col("band"), col("bucket"))
     // the maxBucketSize guard caps BOTH sides of the candidate join: a
     // boilerplate bucket shared by millions of historical docs — or by most
     // of a batch whose pages share a template — would turn it quadratic;
     // those docs belong to an exact-hash pass, not pairwise estimation
     // (the lshCandidatePairs convention). Capping each side bounds a
-    // bucket's contribution at maxBucketSize² candidates.
+    // bucket's contribution at maxBucketSize² candidates. With
+    // `oversizedStar`, an over-cap bucket keeps ONE representative row in
+    // the join instead of vanishing: every batch doc sharing a template
+    // bucket with millions of store docs is still screened against the
+    // store hub (and the store family's remaining members were themselves
+    // deduped when admitted), and an over-cap BATCH bucket screens its hub
+    // against history while the intra-batch pass — which sees the same
+    // oversizedStar flag — collapses the rest of the template family
+    // transitively. Bound unchanged: O(bucket), never bucket².
     val storeBands = banded(storeSigs, "sid")
-    val batchBands = banded(batchSigs, "bid")
-    val cands = batchBands
-      .join(capped(batchBands), Seq("band", "bucket"), "left_semi")
-      .join(storeBands.join(capped(storeBands), Seq("band", "bucket"), "left_semi"),
-        Seq("band", "bucket"))
+    val batchBands = banded(intraSigs, "bid")
+    def screened(bands: DataFrame, side: String): DataFrame = {
+      val small = bands.join(capped(bands), Seq("band", "bucket"), "left_semi")
+      if (oversizedStar) small.unionByName(repr(bands, side)) else small
+    }
+    val cands = screened(batchBands, "bid")
+      .join(screened(storeBands, "sid"), Seq("band", "bucket"))
       .select(col("bid"), col("sid")).distinct()
     val seen = cands
-      .join(batchSigs.select(col("id").as("bid"), col("__sig").as("__sig_a")), "bid")
+      .join(intraSigs.select(col("id").as("bid"), col("__sig").as("__sig_a")), "bid")
       .join(storeSigs.select(col("id").as("sid"), col("__sig").as("__sig_b")), "sid")
       .where(graft.plans.Exprs.sigAgreement(col("__sig_a"), col("__sig_b"))
         .cast("double") / lit(numHashes) >= threshold)
       .select(col("bid").as(idCol)).distinct()
-    val kept = batch.join(seen, Seq(idCol), "left_anti")
-    val keptSigs = batchSigs.join(seen.withColumnRenamed(idCol, "id"), Seq("id"), "left_anti")
-    deduplicateNear(kept, threshold, textCol, idCol, sigs = Some(keptSigs))
+    intra.join(seen, Seq(idCol), "left_anti")
   }
 
   /** Character k-shingle set of `textCol` (distinct). */

@@ -70,6 +70,25 @@ object Exprs {
     GraftBridge.column(BpeEncode(GraftBridge.expression(word), lit))
   }
 
+  /** Compiled per-row unigram-LM Viterbi segmentation with a trained
+    * (piece, log-prob) table (see [[UnigramEncode]]). The model ships as
+    * a foldable literal — model state inside the plan, like [[bpeEncode]].
+    */
+  def unigramEncode(word: Column, model: Seq[(String, Double)]): Column = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val value = new GenericArrayData(model.map { case (p, lp) =>
+      InternalRow(UTF8String.fromString(p), lp)
+    }.toArray[Any])
+    val litType = ArrayType(StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("logp", DoubleType, nullable = false))), containsNull = false)
+    GraftBridge.column(UnigramEncode(GraftBridge.expression(word), Literal(value, litType)))
+  }
+
   /** Compiled char n-gram stream (see [[CharNgrams]]). */
   def charNgrams(text: Column, n: Int): Column =
     GraftBridge.column(CharNgrams(GraftBridge.expression(text), n))

@@ -71,6 +71,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bpe_encode"),
       info("graft_bpe_encode", "graft_bpe_encode(word, merges) - BPE pieces of word under a trained array<array<string>> merge list"),
       (exprs: Seq[Expression]) => BpeEncode(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_unigram_encode"),
+      info("graft_unigram_encode", "graft_unigram_encode(word, model) - unigram-LM Viterbi pieces of word under a trained array<struct<piece,logp>> table"),
+      (exprs: Seq[Expression]) => UnigramEncode(exprs(0), exprs(1))),
     (FunctionIdentifier("graft_char_ngrams"),
       info("graft_char_ngrams", "graft_char_ngrams(text, n) - all character n-grams (multiset, in order)"),
       (exprs: Seq[Expression]) => exprs(1) match {

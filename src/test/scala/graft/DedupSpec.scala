@@ -330,17 +330,25 @@ class DedupSpec extends SparkSpec {
     assert(threaded === plain)
   }
 
-  test("nearDedupIncremental caps degenerate BATCH-side buckets too") {
+  test("nearDedupIncremental caps degenerate BATCH-side buckets; star restores the screen") {
     // five identical batch docs put 5 ids in every band bucket; with
-    // maxBucketSize = 3 those buckets are dropped on the BATCH side, so the
-    // store screen can't go quadratic against them — the docs fall through
-    // to the intra-batch pass (default caps), which collapses them to one.
+    // maxBucketSize = 3 those buckets exceed the cap in BOTH passes, so
+    // neither the intra-batch pairing nor the store screen can go
+    // quadratic against them — at the cost of admitting the family
+    // unscreened (the documented under-dedup the cap alone costs)
     val store = Dedup.minhashSignatures(Seq((100L, near1)).toDF("doc_id", "text"))
     val batch = (10L to 14L).map(i => (i, near1)).toDF("doc_id", "text")
     val kept = Dedup.nearDedupIncremental(batch, store, 0.7, maxBucketSize = 3)
       .select("doc_id").as[Long].collect().sorted
-    assert(kept === Array(10L), kept.mkString(","))
-    // with a roomy cap the store screen drops all five (they near-match 100)
+    assert(kept === Array(10L, 11L, 12L, 13L, 14L), kept.mkString(","))
+    // oversizedStar: the intra-batch pass collapses the family to its hub
+    // at O(n) candidates, and the hub — now a size-1 bucket — is screened
+    // against history, which knows the template: NOTHING is admitted
+    val keptStar = Dedup.nearDedupIncremental(batch, store, 0.7,
+      maxBucketSize = 3, oversizedStar = true)
+      .select("doc_id").as[Long].collect()
+    assert(keptStar.isEmpty, keptStar.mkString(","))
+    // with a roomy cap the plain screen drops all five (they near-match 100)
     val keptRoomy = Dedup.nearDedupIncremental(batch, store, 0.7)
       .select("doc_id").as[Long].collect().sorted
     assert(keptRoomy.isEmpty, keptRoomy.mkString(","))
