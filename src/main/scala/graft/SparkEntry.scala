@@ -548,6 +548,45 @@ object SparkEntry {
       // 30-min inactivity gap closes a session
       Sessionize.byGap(events(s, dir), gapSec = 1800)),
 
+    "q_funnel" -> ((s, dir) => {
+      // ordered funnel completion (view → click → purchase): each stage's
+      // first-hit timestamp is a conditional min over the ENTITY window,
+      // gated on the previous stage's hit being strictly earlier — the
+      // sequential dependency plans as three STACKED Window ops sharing
+      // one user_id exchange (no self-joins, no per-user event arrays),
+      // then a per-user rollup that reuses the same partitioning and a
+      // three-row stack. At 100 TB the only data-sized shuffle is the one
+      // entity exchange.
+      val w = Window.partitionBy(col("user_id"))
+      val per = events(s, dir)
+        .withColumn("a1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("a2", min(when(col("event_type") === "click" && col("ts") > col("a1"),
+          col("ts"))).over(w))
+        .withColumn("a3", min(when(col("event_type") === "purchase" && col("ts") > col("a2"),
+          col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("a1")).as("t1"), max(col("a2")).as("t2"), max(col("a3")).as("t3"))
+      per.agg(count(col("t1")).as("c1"), count(col("t2")).as("c2"), count(col("t3")).as("c3"))
+        .select(expr(
+          "stack(3, 'view', c1, 'view>click', c2, 'view>click>purchase', c3) AS (stage, users)"))
+    }),
+
+    "q_retention" -> ((s, dir) => {
+      // cohort retention: users grouped by first-activity day, counted on
+      // each later active day as a day offset — the classic triangle.
+      // Activity first collapses to DISTINCT (user, day) (partial-combined
+      // aggregate, ~days/user rows), cohorts are a second user-keyed
+      // aggregate over that, and the cohort join-back is co-partitioned on
+      // user_id — at scale nothing bigger than the deduped activity set
+      // ever shuffles.
+      val activity = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohorts = activity.groupBy(col("user_id")).agg(min(col("day")).as("cohort_d"))
+      activity.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_d"), datediff(col("day"), col("cohort_d")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).cast("long").as("users"))
+    }),
+
     "q_rollup" -> ((s, dir) => Analytics.rollupDaily(events(s, dir))),
 
     "q_histogram" -> ((s, dir) =>
@@ -1488,6 +1527,39 @@ object SparkEntry {
         |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
         |  CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_day
         |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""".stripMargin,
+
+    "q_funnel" ->
+      """WITH w1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS a1
+        |  FROM events),
+        |w2 AS (
+        |  SELECT user_id, ts, event_type, a1,
+        |    min(CASE WHEN event_type = 'click' AND ts > a1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS a2
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT user_id, a1, a2,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > a2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS a3
+        |  FROM w2),
+        |per AS (
+        |  SELECT user_id, max(a1) AS t1, max(a2) AS t2, max(a3) AS t3
+        |  FROM w3 GROUP BY 1)
+        |SELECT 'view' AS stage, count(t1) AS users FROM per
+        |UNION ALL SELECT 'view>click', count(t2) FROM per
+        |UNION ALL SELECT 'view>click>purchase', count(t3) FROM per""".stripMargin,
+
+    "q_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(day) AS cohort_d FROM activity GROUP BY 1)
+        |SELECT c.cohort_d, date_diff('day', c.cohort_d, a.day) AS day_offset,
+        |  count(*) AS users
+        |FROM activity a JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_histogram" ->
       """SELECT event_type, CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS bin_start,

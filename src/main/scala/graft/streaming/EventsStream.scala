@@ -359,6 +359,48 @@ object EventsStream {
         })
   }
 
+  case class FunnelState(t1: Long, t2: Long, t3: Long) // epoch ms, -1 = stage not reached
+  case class FunnelOut(user_id: Long, stage: Int, ts: Timestamp)
+
+  /** Streaming face of the batch ordered funnel (q_funnel): per-user O(1)
+    * state holds the first-hit time of each completed stage, and a row is
+    * emitted the moment a user ADVANCES a stage — stage n+1 fires only on
+    * an event strictly after stage n's hit, the batch query's gating.
+    * Events are processed in event-time order within each micro-batch;
+    * fed in event-time order (what the watermark bounds), the emitted
+    * stage counts equal the batch window query's exactly — the greedy
+    * first-view / first-click-after / first-purchase-after chain IS the
+    * batch conditional-min chain. An earlier-stage event that arrives
+    * AFTER a later batch already advanced past it is ignored (it cannot
+    * improve a min already committed downstream) — the standard streaming
+    * funnel contract. Works identically on a batch Dataset (spec-mirrored).
+    */
+  def funnelStream(events: Dataset[Ev],
+                   stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(stages.length == 3)
+    val src = if (events.isStreaming) events.withWatermark("ts", "10 seconds") else events
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) => {
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelOut]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            if (s.t1 < 0 && e.event_type == stages(0)) {
+              s = s.copy(t1 = t); out += FunnelOut(userId, 1, e.ts)
+            } else if (s.t1 >= 0 && s.t2 < 0 && e.event_type == stages(1) && t > s.t1) {
+              s = s.copy(t2 = t); out += FunnelOut(userId, 2, e.ts)
+            } else if (s.t2 >= 0 && s.t3 < 0 && e.event_type == stages(2) && t > s.t2) {
+              s = s.copy(t3 = t); out += FunnelOut(userId, 3, e.ts)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+        })
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class SessionState(nEvents: Long, total: Double, startMs: Long, lastMs: Long)
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double, duration_sec: Double)

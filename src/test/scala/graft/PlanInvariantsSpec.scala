@@ -191,4 +191,33 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(count(p, "partial_min_by") === 3, p)
     assert(count(p, "Exchange") === 2, p)
   }
+
+  test("round-5 analytics keep their scale shapes") {
+    // EWMA: all ten lag terms share ONE window pass over ONE bar exchange
+    // (bars aggregate + window = two exchanges total, like q_sma)
+    val ewma = plan("q_ewma")
+    assert(count(ewma, "Exchange") === 2, ewma)
+    assert(count(ewma, "Window ") === 1, ewma)
+    // rolling volatility: same two-exchange window family as q_sma — the
+    // bar aggregate's exchange plus ONE entity-window exchange that the
+    // stacked lag and frame-sum Window operators share
+    val vol = plan("q_volatility")
+    assert(count(vol, "Exchange hashpartitioning") === 2, vol)
+    assert(count(vol, "Window ") === 2, vol)
+    // corr matrix: the day-aligned self-join of the top-N series is
+    // broadcast — no sort-merge join, no cartesian
+    val corr = plan("q_corr_pairs")
+    assert(corr.contains("BroadcastHashJoin"), corr)
+    assert(!corr.contains("SortMergeJoin") && !corr.contains("CartesianProduct"), corr)
+    // funnel: the three stage-gated windows stack on ONE user exchange,
+    // and the per-user rollup reuses that partitioning — a single
+    // data-sized shuffle end to end
+    val funnel = plan("q_funnel")
+    assert(count(funnel, "Exchange hashpartitioning") === 1, funnel)
+    assert(count(funnel, "Window ") === 3, funnel)
+    // retention: joins stay hash/broadcast over deduped activity — never
+    // a nested loop over raw events
+    val ret = plan("q_retention")
+    assert(!ret.contains("BroadcastNestedLoopJoin") && !ret.contains("CartesianProduct"), ret)
+  }
 }

@@ -541,6 +541,54 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getLong(2) === 2L && out(0).getDouble(3) === 3.0)
   }
 
+  test("funnelStream advances per-user stages in order across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventsStream.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      // wave 1: user 1 views+clicks; user 2 clicks BEFORE viewing (the
+      // click must not count — stage 2 needs a click after the view);
+      // user 3 views
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+        Ev(1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+        Ev(2L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(2L, ts("2024-01-01 10:05:00"), "view", 1.0),
+        Ev(3L, ts("2024-01-01 10:00:00"), "view", 1.0))
+      query.processAllAvailable()
+      // wave 2: user 1 completes the funnel; user 2 purchases without a
+      // post-view click (still stage 1); user 3 clicks (stage 2)
+      input.addData(
+        Ev(1L, ts("2024-01-01 11:00:00"), "purchase", 9.0),
+        Ev(2L, ts("2024-01-01 11:00:00"), "purchase", 9.0),
+        Ev(3L, ts("2024-01-01 11:00:00"), "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("funnel")
+        .select($"user_id", $"stage").as[(Long, Int)].collect().sorted
+      assert(rows === Array((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1), (3L, 2)),
+        rows.mkString(","))
+      // stage counts match the batch window query's semantics: 3/2/1
+      val counts = spark.table("funnel").groupBy($"stage").count()
+        .as[(Int, Long)].collect().sortBy(_._1)
+      assert(counts === Array((1, 3L), (2, 2L), (3, 1L)))
+    } finally query.stop()
+    // batch mirror: the same operator over the same rows as a plain
+    // Dataset emits the same stage advances
+    val batch = Seq(
+      Ev(1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      Ev(1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+      Ev(2L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Ev(2L, ts("2024-01-01 10:05:00"), "view", 1.0),
+      Ev(3L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      Ev(1L, ts("2024-01-01 11:00:00"), "purchase", 9.0),
+      Ev(2L, ts("2024-01-01 11:00:00"), "purchase", 9.0),
+      Ev(3L, ts("2024-01-01 11:00:00"), "click", 1.0)).toDS()
+    val batchRows = EventsStream.funnelStream(batch)
+      .select($"user_id", $"stage").as[(Long, Int)].collect().sorted
+    assert(batchRows === Array((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1), (3L, 2)))
+  }
+
   test("ivfMaintenanceStream: streamed appends ≡ full rebuild, replay-idempotent, drift reported") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Similarity
