@@ -90,8 +90,11 @@ object Dedup {
     * row by the time it meets the store's buckets. Candidates come from a
     * banded (band, bucket) equi-join carrying ids only; the compiled
     * signature-agreement kernel ([[graft.plans.SigAgreement]]) runs per
-    * candidate, never per corpus row. Admit the survivors by appending
-    * the kept signatures (already computed) to the store.
+    * candidate, never per corpus row. A linear exact-signature screen
+    * (128-bit fingerprint equi-join) additionally drops survivors that
+    * are byte-identical to ANY store doc, independent of bucket caps.
+    * Admit the survivors by appending the kept signatures (already
+    * computed) to the store.
     */
   def nearDedupIncremental(batch: DataFrame, storeSigs: DataFrame,
                            threshold: Double = 0.7,
@@ -128,8 +131,9 @@ object Dedup {
     // the maxBucketSize guard caps BOTH sides of the candidate join: a
     // boilerplate bucket shared by millions of historical docs — or by most
     // of a batch whose pages share a template — would turn it quadratic;
-    // those docs belong to an exact-hash pass, not pairwise estimation
-    // (the lshCandidatePairs convention). Capping each side bounds a
+    // exact template copies are caught by the linear exact-hash screen
+    // below instead (the lshCandidatePairs convention). Capping each side
+    // bounds a
     // bucket's contribution at maxBucketSize² candidates. With
     // `oversizedStar`, an over-cap bucket keeps ONE representative row in
     // the join instead of vanishing: every batch doc sharing a template
@@ -154,7 +158,22 @@ object Dedup {
       .where(graft.plans.Exprs.sigAgreement(col("__sig_a"), col("__sig_b"))
         .cast("double") / lit(numHashes) >= threshold)
       .select(col("bid").as(idCol)).distinct()
-    intra.join(seen, Seq(idCol), "left_anti")
+    // exact-hash pass across the batch/history boundary: a survivor whose
+    // FULL signature is identical to any store doc's (estimated Jaccard
+    // 1.0 — a byte-identical template copy) is dropped by ONE linear
+    // equi-join on a 128-bit signature fingerprint (two independently
+    // seeded 64-bit hashes; no banding, no bucket cap), so exact copies of
+    // an over-cap historical template family can never slip past the
+    // banded screen. The shuffle carries 16 bytes/doc, never the 512-byte
+    // signature.
+    def sigFp(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+      xxhash64(col("__sig")).as("__f1"),
+      xxhash64(lit(17L), col("__sig")).as("__f2"))
+    val exactSeen = sigFp(intraSigs)
+      .join(sigFp(storeSigs).select(col("__f1"), col("__f2")),
+        Seq("__f1", "__f2"), "left_semi")
+      .select(col("id").as(idCol))
+    intra.join(seen.unionByName(exactSeen), Seq(idCol), "left_anti")
   }
 
   /** Character k-shingle set of `textCol` (distinct). */
@@ -189,10 +208,10 @@ object Dedup {
     * band-bucket → per-bucket pairing → distinct pairs with the estimated
     * Jaccard (fraction of agreeing signature slots).
     */
-  /** `maxBucketSize` drops degenerate buckets (e.g. a boilerplate string
-    * shared by millions of docs would otherwise cost O(bucket²)); dropped
-    * buckets mean those docs are mutual near-dups en masse and deserve a
-    * dedicated exact-hash pass, not pairwise comparison.
+  /** `maxBucketSize` exempts degenerate buckets from pairwise estimation
+    * (a boilerplate string shared by millions of docs would otherwise cost
+    * O(bucket²)); such buckets run the exact-hash collapse pass instead —
+    * see [[lshCandidatePairs]].
     */
   /** MinHash signatures (id, __sig) for every document — the shared input
     * of the LSH candidate and exact-verify stages. Callers composing several
@@ -221,19 +240,25 @@ object Dedup {
   }
 
   /** Distinct candidate pairs (id_a < id_b) from banded signatures. The
-    * bucket stage carries only ids — the (heavy) signature stays out of the
-    * band explosion/shuffle.
+    * bucket stage carries only ids plus one 64-bit full-signature hash —
+    * the (heavy) signature itself stays out of the band explosion/shuffle.
     *
     * Buckets over `maxBucketSize` (boilerplate/template buckets, where
-    * quadratic pairing would explode) are dropped by default — which
-    * silently UNDER-dedups a template-heavy corpus: the dropped docs are
-    * usually mutual near-dups en masse. `oversizedStar = true` instead
-    * STAR-pairs such buckets — every member pairs with the bucket minimum
-    * only, O(bucket) pairs instead of O(bucket²) — and downstream
-    * exact-verify + connected components restore the full transitive
-    * cluster (any two true dups of the hub land in one component). Recall
-    * inside a degenerate bucket goes from 0 to hub-complete at linear
-    * cost; candidate volume stays bounded by the corpus row count.
+    * quadratic pairing would explode) never pair all-vs-all. They get the
+    * EXACT-HASH COLLAPSE pass instead: members are grouped by their full
+    * 64-slot signature (identical signature ⇒ estimated Jaccard 1.0 —
+    * byte-identical template copies) and each exact family star-pairs to
+    * its minimum id at O(family) cost. This is the "dedicated exact-hash
+    * pass" a degenerate bucket deserves: template-scale exact duplicates
+    * collapse even when they differ from the bucket's overall hub, closing
+    * the path where two identical docs sharing ONLY an over-cap bucket
+    * could slip through. With `oversizedStar = true` the near-but-not-exact
+    * RESIDUE is additionally screened: the one representative per exact
+    * family star-pairs to the bucket hub (the minimum family rep), so
+    * downstream exact-verify + connected components can fold
+    * near-but-not-identical variants into the hub's transitive cluster.
+    * Candidate volume from an over-cap bucket is O(bucket) either way,
+    * never bucket².
     */
   def lshCandidatePairs(
       sigs: DataFrame,
@@ -243,21 +268,40 @@ object Dedup {
       oversizedStar: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     val banded = sigs
-      .select(col("id"), explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
+      .select(col("id"), xxhash64(col("__sig")).as("__fh"),
+        explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
     val buckets = banded
-      .groupBy(col("bb.band"), col("bb.bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
-    val small = buckets.where(size(col("ids")) <= maxBucketSize)
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(collect_list(struct(col("id"), col("__fh"))).as("ms"))
+      .where(size(col("ms")) > 1)
+    val small = buckets.where(size(col("ms")) <= maxBucketSize)
+      .select(transform(col("ms"), m => m.getField("id")).as("ids"))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
+    // over-cap buckets, re-exploded to (band, bucket, id, full-sig-hash)
+    // rows: the family aggregation below shuffles on (band, bucket, __fh)
+    // — a template family of a million identical copies is ONE group, and
+    // every emitted pair has the family minimum on the left
+    val over = buckets.where(size(col("ms")) > maxBucketSize)
+      .select(col("band"), col("bucket"), explode(col("ms")).as("m"))
+      .select(col("band"), col("bucket"),
+        col("m.id").as("id"), col("m.__fh").as("__fh"))
+    val fam = over.groupBy(col("band"), col("bucket"), col("__fh"))
+      .agg(min(col("id")).as("fmin"))
+    val famPairs = over.join(fam, Seq("band", "bucket", "__fh"))
+      .where(col("id") =!= col("fmin"))
+      .select(col("fmin").as("id_a"), col("id").as("id_b"))
     val pairs =
-      if (!oversizedStar) small
-      else small.unionByName(
-        buckets.where(size(col("ids")) > maxBucketSize)
-          .select(array_min(col("ids")).as("id_a"), explode(col("ids")).as("id_b"))
-          .where(col("id_a") < col("id_b")))
+      if (!oversizedStar) small.unionByName(famPairs)
+      else {
+        val hubs = fam.groupBy(col("band"), col("bucket"))
+          .agg(min(col("fmin")).as("hub"))
+        val residue = fam.join(hubs, Seq("band", "bucket"))
+          .where(col("fmin") =!= col("hub"))
+          .select(col("hub").as("id_a"), col("fmin").as("id_b"))
+        small.unionByName(famPairs).unionByName(residue)
+      }
     pairs.distinct()
   }
 

@@ -248,33 +248,66 @@ class DedupSpec extends SparkSpec {
     assert(kept2 === Array(10L, 12L), kept2.mkString(","))
   }
 
-  test("oversizedStar recovers dedup inside buckets the cap would drop") {
-    // 20 identical template docs: every LSH bucket holds all 20 ids, so a
-    // cap of 5 drops every bucket and the default path finds NO pairs —
-    // the silent under-dedup of a template-heavy corpus
+  test("over-cap buckets collapse exact-signature families even without star") {
+    // 20 identical template docs: every LSH bucket holds all 20 ids and a
+    // cap of 5 exempts every bucket from pairwise estimation. The
+    // exact-hash collapse pass still fires: all 20 share one full
+    // signature, so the family star-pairs to its minimum — O(n)
+    // candidates, no bucket², and the template corpus dedups anyway
     val docs = ((1L to 20L).map(i => (i, near1)) ++ Seq((50L, far)))
       .toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(docs)
-    val dropped = Dedup.lshCandidatePairs(sigs, maxBucketSize = 5)
-    assert(dropped.count() === 0L)
-    // star pairing: every member pairs with the bucket minimum — O(n)
-    // candidates, and all of them hub on id 1
+    val collapsed = Dedup.lshCandidatePairs(sigs, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(collapsed.forall(_._1 === 1L))
+    assert(collapsed.map(_._2).toSet === (2L to 20L).toSet)
+    // oversizedStar adds the near-but-not-exact residue screen; with a
+    // single exact family there is no residue — identical pair set
     val star = Dedup.lshCandidatePairs(sigs, maxBucketSize = 5, oversizedStar = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(star.nonEmpty)
-    assert(star.forall(_._1 === 1L))
-    assert(star.map(_._2).toSet === (2L to 20L).toSet)
+    assert(star.toSet === collapsed.toSet)
     // end-to-end: exact verify + components collapse the template cluster
-    // to one kept doc; the distinct doc survives untouched
+    // to one kept doc; the distinct doc survives untouched — capped+pass
+    // recall equals the uncapped run
     val kept = Dedup.deduplicateNear(docs, 0.7,
       oversizedStar = true, maxBucketSize = 5)
       .select("doc_id").as[Long].collect().sorted
     assert(kept === Array(1L, 50L), kept.mkString(","))
-    // control: with the same cap but no star the cluster survives intact
-    // (the under-dedup this mode exists to fix)
     val keptDefault = Dedup.deduplicateNear(docs, 0.7, maxBucketSize = 5)
-      .select("doc_id").as[Long].collect()
-    assert(keptDefault.length === 21)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptDefault === Array(1L, 50L), keptDefault.mkString(","))
+    val keptUncapped = Dedup.deduplicateNear(docs, 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptDefault === keptUncapped)
+  }
+
+  test("exact-hash collapse pairs identical docs that share ONLY an over-cap bucket") {
+    // handcrafted signatures (the bucket stage only sees (id, __sig)):
+    // family A = 20 copies of one signature; family B = 2 copies of a
+    // signature agreeing with A on band 0 ONLY (slots 0-3 of 64, with
+    // bands = 16 → rowsPerBand = 4). Band 0's bucket holds all 22 ids —
+    // over any small cap — and is the ONLY bucket B shares with anything.
+    // B differs from the bucket hub (family A's minimum), so the old
+    // hub-star alone could never pair the two B docs; the exact-hash
+    // collapse pass groups by full signature and pairs them at O(family).
+    val sigA = (0 until 64).map(i => 1000L + i).toArray
+    val sigB = sigA.take(4) ++ (4 until 64).map(i => 2000L + i)
+    val sigs = ((1L to 20L).map(i => (i, sigA)) ++ Seq((30L, sigB), (31L, sigB)))
+      .toDF("id", "__sig")
+    val pairs = Dedup.lshCandidatePairs(sigs, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((30L, 31L)), pairs.mkString(","))
+    // family A still collapses to its own hub
+    assert((2L to 20L).forall(i => pairs.contains((1L, i))))
+    // without star, no cross-family pair is fabricated (B is NOT a
+    // near-dup of A — est Jaccard 4/64)
+    assert(!pairs.exists(p => p._2 >= 30L && p._1 < 30L))
+    // with star, the B family's representative is screened against the
+    // hub so exact-verify can judge the near-but-not-exact residue
+    val star = Dedup.lshCandidatePairs(sigs, maxBucketSize = 5, oversizedStar = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star.contains((1L, 30L)), star.mkString(","))
+    assert(star.contains((30L, 31L)))
   }
 
   test("SigAgreement kernel matches the zip_with HOF differentially") {
@@ -330,20 +363,20 @@ class DedupSpec extends SparkSpec {
     assert(threaded === plain)
   }
 
-  test("nearDedupIncremental caps degenerate BATCH-side buckets; star restores the screen") {
+  test("nearDedupIncremental caps degenerate BATCH-side buckets; exact pass still screens") {
     // five identical batch docs put 5 ids in every band bucket; with
     // maxBucketSize = 3 those buckets exceed the cap in BOTH passes, so
     // neither the intra-batch pairing nor the store screen can go
-    // quadratic against them — at the cost of admitting the family
-    // unscreened (the documented under-dedup the cap alone costs)
+    // quadratic against them. The exact-hash collapse pass still
+    // collapses the intra-batch family to one survivor, and the linear
+    // exact-signature screen drops that survivor against history (which
+    // holds the identical template): NOTHING is admitted, even without
+    // oversizedStar
     val store = Dedup.minhashSignatures(Seq((100L, near1)).toDF("doc_id", "text"))
     val batch = (10L to 14L).map(i => (i, near1)).toDF("doc_id", "text")
     val kept = Dedup.nearDedupIncremental(batch, store, 0.7, maxBucketSize = 3)
-      .select("doc_id").as[Long].collect().sorted
-    assert(kept === Array(10L, 11L, 12L, 13L, 14L), kept.mkString(","))
-    // oversizedStar: the intra-batch pass collapses the family to its hub
-    // at O(n) candidates, and the hub — now a size-1 bucket — is screened
-    // against history, which knows the template: NOTHING is admitted
+      .select("doc_id").as[Long].collect()
+    assert(kept.isEmpty, kept.mkString(","))
     val keptStar = Dedup.nearDedupIncremental(batch, store, 0.7,
       maxBucketSize = 3, oversizedStar = true)
       .select("doc_id").as[Long].collect()
@@ -352,5 +385,15 @@ class DedupSpec extends SparkSpec {
     val keptRoomy = Dedup.nearDedupIncremental(batch, store, 0.7)
       .select("doc_id").as[Long].collect().sorted
     assert(keptRoomy.isEmpty, keptRoomy.mkString(","))
+    // the exact screen is what catches a template copy whose history-side
+    // family over-caps: 20 historical copies, cap 3 — the banded screen's
+    // store side is fully over cap, yet the batch's identical doc is
+    // still dropped by the signature-fingerprint equi-join
+    val bigStore = Dedup.minhashSignatures(
+      (100L to 119L).map(i => (i, near1)).toDF("doc_id", "text"))
+    val one = Seq((10L, near1)).toDF("doc_id", "text")
+    val keptBig = Dedup.nearDedupIncremental(one, bigStore, 0.7, maxBucketSize = 3)
+      .select("doc_id").as[Long].collect()
+    assert(keptBig.isEmpty, keptBig.mkString(","))
   }
 }
