@@ -626,6 +626,18 @@ object SparkEntry {
       // compiled-vs-driver differential).
       Unigram.pieceStats(Tables.documents(s, dir), vocabSize = 200)),
 
+    "q_tokenizer_quality" -> ((s, dir) =>
+      // tokenizer scorecard AS DATA (the family's q_ann_recall analogue):
+      // BPE + unigram trained on the same corpus, pieces/word compression,
+      // OOV coverage, round-trip exactness, and the compiled ≡ driver
+      // agreement measured corpus-wide. maxVocab is deliberately small so
+      // the tail of the corpus vocabulary exercises the compiled OOV
+      // encoders — the path a top-2²⁰ cap would hide at this sf. Training
+      // is iterative (not SQL-expressible) → rows check; the health
+      // invariants (roundtrip_exact = n_distinct_words, vocab_agree =
+      // vocab_size) are spec-asserted in BpeSpec.
+      TokenizerQuality.score(Tables.documents(s, dir), maxVocab = 512)),
+
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3)),
 

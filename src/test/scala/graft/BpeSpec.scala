@@ -118,4 +118,33 @@ class BpeSpec extends SparkSpec {
     assert(tiny.map(r => (r._1, r._2)) === expected.map(r => (r._1, r._2)))
     tiny.foreach { case (_, nWords, nPieces) => assert(nPieces >= nWords) }
   }
+
+  test("TokenizerQuality: compiled ≡ driver on the full vocab, exact round-trips") {
+    val docs = Seq(
+      (1L, "low low lower rareword newest"),
+      (2L, "newest widest anotherrare west"),
+      (3L, "low newest newest unseenish")).toDF("doc_id", "text")
+    // maxVocab = 4 forces the corpus tail through the compiled OOV
+    // encoders, so the scorecard measures BOTH apply paths
+    val rows = graft.operators.TokenizerQuality
+      .score(docs, numMerges = 8, vocabSize = 40, maxVocab = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("bpe", "unigram"))
+    val nTokens = 13L
+    val nDistinct = 8L
+    for ((name, r) <- rows) {
+      assert(r.getAs[Long]("n_words") === nTokens, name)
+      assert(r.getAs[Long]("n_distinct_words") === nDistinct, name)
+      assert(r.getAs[Long]("vocab_size") === 4L, name)
+      assert(r.getAs[Long]("oov_words") === nDistinct - 4L, name)
+      // the two health invariants the scorecard exists to surface:
+      // every distinct word round-trips through the compiled encoder,
+      // and the compiled encoder agrees with the driver encoder on
+      // EVERY training-vocab word
+      assert(r.getAs[Long]("roundtrip_exact") === nDistinct, name)
+      assert(r.getAs[Long]("vocab_agree") === 4L, name)
+      // compression: pieces never fewer than words
+      assert(r.getAs[Long]("n_pieces") >= nTokens, name)
+    }
+  }
 }
