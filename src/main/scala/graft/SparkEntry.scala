@@ -571,6 +571,22 @@ object SparkEntry {
           "stack(3, 'view', c1, 'view>click', c2, 'view>click>purchase', c3) AS (stage, users)"))
     }),
 
+    "q_funnel_stream" -> ((s, dir) => {
+      // the stateful streaming funnel, batch-mirrored (same
+      // flatMapGroupsWithState code path StreamingSpec drives with
+      // MemoryStreams): per-user stage-advance emissions. The greedy
+      // first-view / first-click-after / first-purchase-after chain must
+      // equal q_funnel's batch conditional-min chain — DuckDB-checked
+      // here, not just spec-mirrored.
+      import s.implicits._
+      val ev = events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[EventsStream.Ev]
+      EventsStream.funnelStream(ev).toDF()
+        .select(col("user_id"), col("stage"),
+          col("ts").cast("timestamp_ntz").as("ts"))
+    }),
+
     "q_retention" -> ((s, dir) => {
       // cohort retention: users grouped by first-activity day, counted on
       // each later active day as a day offset — the classic triangle.
@@ -1562,6 +1578,31 @@ object SparkEntry {
         |SELECT 'view' AS stage, count(t1) AS users FROM per
         |UNION ALL SELECT 'view>click', count(t2) FROM per
         |UNION ALL SELECT 'view>click>purchase', count(t3) FROM per""".stripMargin,
+
+    "q_funnel_stream" ->
+      """WITH w1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS a1
+        |  FROM events),
+        |w2 AS (
+        |  SELECT user_id, ts, event_type, a1,
+        |    min(CASE WHEN event_type = 'click' AND ts > a1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS a2
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT user_id, a1, a2,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > a2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS a3
+        |  FROM w2),
+        |per AS (
+        |  SELECT user_id, max(a1) AS t1, max(a2) AS t2, max(a3) AS t3
+        |  FROM w3 GROUP BY 1)
+        |SELECT user_id, 1 AS stage, t1 AS ts FROM per WHERE t1 IS NOT NULL
+        |UNION ALL
+        |SELECT user_id, 2, t2 FROM per WHERE t2 IS NOT NULL
+        |UNION ALL
+        |SELECT user_id, 3, t3 FROM per WHERE t3 IS NOT NULL""".stripMargin,
 
     "q_retention" ->
       """WITH activity AS (
