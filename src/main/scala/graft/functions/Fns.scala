@@ -131,27 +131,76 @@ object Fns {
   val marketCalendarEnd: String = "2026-12-31"
 
   /** Market-day test — functions.py:60-66 (get_market_day): weekdays that
-    * are not NYSE closures; NULL for dates outside the covered calendar
-    * range. The literal holiday set compiles to an InSet membership
-    * probe — still pure codegen, no join.
+    * are not exchange closures; NULL for dates outside the calendar's
+    * covered range. The calendar is an injectable DIMENSION
+    * ([[MarketCalendar]], default NYSE) whose closure set compiles to an
+    * InSet membership probe — still pure codegen, no join: a trading
+    * calendar is model-sized (tens of rows/year), so it rides the plan as
+    * a literal exactly like a broadcast dim, minus the join.
     */
-  def isMarketDay(d: Column): Column = {
+  def isMarketDay(d: Column, cal: MarketCalendar = MarketCalendar.nyse): Column = {
     val dd = d.cast("date")
     val inRange = dd.between(
-      lit(java.sql.Date.valueOf(marketCalendarStart)),
-      lit(java.sql.Date.valueOf(marketCalendarEnd)))
+      lit(java.sql.Date.valueOf(cal.start)),
+      lit(java.sql.Date.valueOf(cal.end)))
     val dow = dayofweek(d) // 1=Sun..7=Sat
-    when(inRange,
-      dow =!= 1 && dow =!= 7 && !dd.isin(marketHolidays.map(java.sql.Date.valueOf): _*))
+    val closed =
+      if (cal.holidays.isEmpty) lit(false)
+      else dd.isin(cal.holidays.map(java.sql.Date.valueOf): _*)
+    when(inRange, dow =!= 1 && dow =!= 7 && !closed)
       .otherwise(lit(null).cast("boolean"))
   }
 
   /** Most recent market day strictly before `d` — functions.py:103-115's
-    * step-back loop, unrolled: the longest possible NYSE closure run is a
-    * 3-day weekend plus special closures, so an 8-day lookback always
-    * contains a market day. The unrolled when-cascade stays codegen'd.
+    * step-back loop, unrolled: the longest NYSE closure run is a 3-day
+    * weekend plus special closures, so the default 8-day lookback always
+    * contains a market day; a calendar with longer closure runs passes a
+    * larger `lookback`. The unrolled when-cascade stays codegen'd.
     */
-  def prevMarketDay(d: Column): Column =
-    (1 to 8).map(i => date_sub(d, i))
-      .foldRight(lit(null).cast("date")) { (c, acc) => when(isMarketDay(c), c).otherwise(acc) }
+  def prevMarketDay(d: Column, cal: MarketCalendar = MarketCalendar.nyse,
+                    lookback: Int = 8): Column =
+    (1 to lookback).map(i => date_sub(d, i))
+      .foldRight(lit(null).cast("date")) { (c, acc) =>
+        when(isMarketDay(c, cal), c).otherwise(acc) }
+}
+
+/** A trading calendar as a data DIMENSION rather than code: the closure
+  * dates plus the covered range, with NULL-outside-range semantics
+  * preserved (an unlisted date beyond the range is UNKNOWN, not open —
+  * the guard a static list needs that a live
+  * `pandas_market_calendars`-style resolver doesn't). The reference keeps
+  * comparable config as a loaded table (config/spdr_sectors.txt read by
+  * sector.py:33-41); this is the same move for the calendar
+  * functions.py:60-66 resolves.
+  */
+final case class MarketCalendar(holidays: Seq[String], start: String, end: String) {
+  require(holidays.forall(h => h >= start && h <= end),
+    "calendar lists a closure outside its covered range")
+}
+
+object MarketCalendar {
+
+  /** The built-in NYSE closure calendar 2020–2026 ([[Fns.marketHolidays]]). */
+  val nyse: MarketCalendar =
+    MarketCalendar(Fns.marketHolidays, Fns.marketCalendarStart, Fns.marketCalendarEnd)
+
+  /** Load a calendar from an exchange-calendar dimension table with one
+    * row per covered day: (`dateCol` DATE, `openCol` BOOLEAN). Coverage is
+    * the table's [min, max] date; closures are the non-open rows (weekend
+    * rows are tolerated — the day-of-week test already excludes them).
+    * The collect is calendar-sized (hundreds of rows/decade) — driver
+    * model state like every codebook here, never data-sized.
+    */
+  def fromDF(cal: org.apache.spark.sql.DataFrame,
+             dateCol: String = "d", openCol: String = "is_open"): MarketCalendar = {
+    val rows = cal
+      .select(col(dateCol).cast("date").cast("string").as("d"),
+        col(openCol).cast("boolean").as("o"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    require(rows.nonEmpty, "empty market calendar table")
+    MarketCalendar(
+      holidays = rows.filter(!_._2).map(_._1).toSeq.sorted,
+      start = rows.map(_._1).min,
+      end = rows.map(_._1).max)
+  }
 }

@@ -103,6 +103,43 @@ class FnsSpec extends SparkSpec {
     assert(out(1) === "2023-11-22")
   }
 
+  test("market-day functions honor an INJECTED calendar dimension") {
+    // a toy exchange calendar loaded from a (d, is_open) dimension table
+    // covering one week of 2030: Wed 2030-01-09 is a made-up closure the
+    // NYSE table knows nothing about; weekend rows are tolerated
+    val calDf = Seq(
+      ("2030-01-07", true),  // Mon
+      ("2030-01-08", true),  // Tue
+      ("2030-01-09", false), // Wed — exchange-specific closure
+      ("2030-01-10", true),  // Thu
+      ("2030-01-11", true),  // Fri
+      ("2030-01-12", false), // Sat (redundant with the dow test)
+      ("2030-01-13", false)  // Sun
+    ).toDF("d", "is_open").select(to_date($"d").as("d"), $"is_open")
+    val cal = graft.functions.MarketCalendar.fromDF(calDf)
+    assert(cal.start === "2030-01-07" && cal.end === "2030-01-13")
+    val m = Seq("2030-01-08", "2030-01-09", "2030-01-10", "2030-01-06", "2030-02-01")
+      .toDF("d").select(Fns.isMarketDay(to_date($"d"), cal).as("m")).collect()
+    assert(m(0).getBoolean(0) === true)   // Tue open
+    assert(m(1).getBoolean(0) === false)  // the injected closure
+    assert(m(2).getBoolean(0) === true)   // Thu open
+    assert(m(3).isNullAt(0))              // before injected coverage → unknown
+    assert(m(4).isNullAt(0))              // after injected coverage → unknown
+    // prevMarketDay steps over the injected closure: Thu 10th → Tue 8th
+    val p = Seq("2030-01-10").toDF("d")
+      .select(Fns.prevMarketDay(to_date($"d"), cal).cast("string").as("p"))
+      .head().getString(0)
+    assert(p === "2030-01-08")
+    // the default calendar is unchanged: NYSE MLK Monday still closed
+    val nyse = Seq("2024-01-15").toDF("d")
+      .select(Fns.isMarketDay(to_date($"d")).as("m")).head().getBoolean(0)
+    assert(nyse === false)
+    // a calendar listing a closure outside its own coverage is rejected
+    intercept[IllegalArgumentException] {
+      graft.functions.MarketCalendar(Seq("2031-01-01"), "2030-01-01", "2030-12-31")
+    }
+  }
+
   test("exactSum over doubles equals decimal-exact result regardless of partitioning") {
     val vals = (1 to 10000).map(i => i * 0.01)
     val one = vals.toDF("v").repartition(1).agg(Fns.exactSum($"v")).head.getDouble(0)
