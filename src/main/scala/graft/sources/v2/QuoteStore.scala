@@ -144,8 +144,14 @@ class QuoteStoreTable(val path: String, ident: String)
 
 /** Read side: one input partition per day directory; day predicates prune
   * DIRECTORIES before any file opens (the restatement read path: "re-read
-  * the corrected day" costs one directory), and column pruning reaches the
-  * line parser.
+  * the corrected day" costs one directory), ticker equality/membership
+  * predicates are pushed INTO the line reader (rows for other tickers are
+  * skipped at parse time, before any numeric conversion or InternalRow
+  * allocation — the store's files are day-partitioned so ticker can't
+  * prune directories, but it can prune every row the engine never needs
+  * to see), and column pruning reaches the line parser. Mirrors the feed
+  * side's ticker pushdown (QuoteFeed.scala), where per-ticker partitioning
+  * makes the same predicate prune whole partitions.
   */
 class QuoteStoreScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
@@ -158,10 +164,24 @@ class QuoteStoreScanBuilder(path: String)
     val (supported, residual) = filters.partition {
       case EqualTo("day", _) | In("day", _) | GreaterThan("day", _) |
            GreaterThanOrEqual("day", _) | LessThan("day", _) | LessThanOrEqual("day", _) => true
+      case EqualTo("ticker", _: String) | In("ticker", _) => true
       case _ => false
     }
     pushed = supported
     residual
+  }
+
+  /** Conjunction of the pushed ticker predicates as an allow-set; None =
+    * unconstrained. An In with non-string members is conservative
+    * (unconstrained) — pushFilters never accepts one, belt and braces.
+    */
+  private def tickerAllow: Option[Set[String]] = {
+    val sets = pushed.collect {
+      case EqualTo("ticker", t: String) => Set(t)
+      case In("ticker", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -194,7 +214,7 @@ class QuoteStoreScanBuilder(path: String)
         .map { case (day, dir) =>
           QuoteStorePartition(day,
             dir.listFiles().filter(_.getName.endsWith(".csv")).map(_.getAbsolutePath),
-            required.fieldNames): InputPartition
+            required.fieldNames, tickerAllow): InputPartition
         }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {
@@ -204,7 +224,8 @@ class QuoteStoreScanBuilder(path: String)
   }
 }
 
-case class QuoteStorePartition(day: Int, files: Array[String], columns: Array[String])
+case class QuoteStorePartition(day: Int, files: Array[String], columns: Array[String],
+                               tickerAllow: Option[Set[String]])
     extends InputPartition
 
 class QuoteStoreReader(p: QuoteStorePartition) extends PartitionReader[InternalRow] {
@@ -214,8 +235,14 @@ class QuoteStoreReader(p: QuoteStorePartition) extends PartitionReader[InternalR
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    if (!lines.hasNext) return false
-    val parts = lines.next().split(',')
+    var parts: Array[String] = null
+    // pushed ticker predicate: skip foreign-ticker lines at parse time,
+    // before any numeric conversion or row allocation
+    while (parts == null && lines.hasNext) {
+      val cand = lines.next().split(',')
+      if (p.tickerAllow.forall(_.contains(cand(0)))) parts = cand
+    }
+    if (parts == null) return false
     val all = Map[String, Any](
       "ticker" -> UTF8String.fromString(parts(0)),
       "day" -> p.day,

@@ -101,6 +101,34 @@ class QuoteStoreSpec extends SparkSpec {
       one.queryExecution.executedPlan.toString())
   }
 
+  test("quote store read: ticker predicates push into the line reader") {
+    val t = mkTable("t_ticker_push")
+    quotes(
+      ("aapl", "2024-01-02", 100.0, 1000L),
+      ("msft", "2024-01-02", 200.0, 2000L),
+      ("xom", "2024-01-02", 50.0, 500L),
+      ("aapl", "2024-01-03", 101.0, 1100L),
+      ("msft", "2024-01-03", 201.0, 2100L)).writeTo(t).append()
+    // equality: the filter reaches the scan (plan-asserted, matching
+    // QuoteFeedSpec's pushdown assert) and results are correct
+    val eq = spark.table(t).where($"ticker" === "msft")
+    val eqScan = eq.queryExecution.executedPlan.toString()
+    assert(eqScan.contains("EqualTo(ticker,msft)"), eqScan)
+    assert(eq.select($"open").as[Double].collect().sorted.toSeq === Seq(200.0, 201.0))
+    // membership (IN) composes with day pruning: one day directory
+    // planned AND the ticker set pushed
+    val in = spark.table(t)
+      .where($"ticker".isin("aapl", "xom") && $"day" === "2024-01-02")
+    val inScan = in.queryExecution.executedPlan.toString()
+    assert(inScan.contains("In(ticker"), inScan)
+    assert(in.rdd.getNumPartitions === 1,
+      "day equality must still plan exactly one day-directory partition")
+    assert(in.select($"open").as[Double].collect().sorted.toSeq === Seq(50.0, 100.0))
+    // a non-pushable predicate stays a residual filter and still works
+    val res = spark.table(t).where($"open" > 150.0)
+    assert(res.count() === 2)
+  }
+
   test("restateDaysStream: a correction stream restates landed days continuously") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
