@@ -543,6 +543,21 @@ object SparkEntry {
 
     "q_window_agg" -> ((s, dir) => EventsStream.windowedAgg(events(s, dir))),
 
+    "q_running_sum" -> ((s, dir) =>
+      // per-entity running total through the SKEW FALLBACK plan: the
+      // two-stage bucketed window (in-bucket partial on (key, day) →
+      // bucket-count prefix offsets → merge join reusing stage 1's
+      // partitioning) must equal the plain single-window SQL — the
+      // skew-parallel plan's equivalence is DuckDB-checked, not just
+      // spec-mirrored. Decimal accumulation keeps the sum order-free.
+      Skew.runningSumBucketed(
+        events(s, dir).select(col("user_id"), col("ts"),
+          col("value").cast("decimal(28,6)").as("value")),
+        "user_id", "ts", "value")
+        .select(col("user_id"), col("ts"),
+          col("value").cast("double").as("value"),
+          round(col("running").cast("double"), 6).as("running"))),
+
     "q_sessionize" -> ((s, dir) =>
       // batch mirror of the streaming flatMapGroupsWithState sessionizer:
       // 30-min inactivity gap closes a session
@@ -1532,6 +1547,12 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT user_id, ts, value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,6)))
+        |    OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE), 6) AS running
+        |FROM events""".stripMargin,
 
     "q_sessionize" ->
       """WITH flagged AS (

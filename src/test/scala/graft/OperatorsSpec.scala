@@ -422,4 +422,54 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(vocab === Map("the" -> 2L, "cat" -> 2L))
   }
+
+  test("Skew.runningSumBucketed: identical to the plain window on a 30%-hot-key stream") {
+    // 1000 events over 10 days; key 1 is pathological (30% of all rows),
+    // the rest spread over 20 keys — the raw per-entity window shape
+    // where one key serializes one task
+    val rows = (0 until 1000).map { i =>
+      val key = if (i % 10 < 3) 1L else 2L + (i % 20)
+      val day = 1 + (i % 10)
+      val tsv = ts(f"2024-01-$day%02d ${8 + (i % 9)}%02d:${i % 60}%02d:00")
+      (key, tsv, (i % 7).toDouble + 0.5)
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .select($"user_id", $"ts", $"value", $"running")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val plain = Skew.runningSum(df, "user_id", "ts", "value")
+    val bucketed = Skew.runningSumBucketed(df, "user_id", "ts", "value")
+    assert(canon(bucketed) === canon(plain))
+    // equal-timestamp ties get the same cumulative value in both plans
+    val tied = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),
+      (1L, ts("2024-01-01 09:00:00"), 2.0),
+      (1L, ts("2024-01-02 09:00:00"), 4.0)).toDF("user_id", "ts", "value")
+    assert(canon(Skew.runningSumBucketed(tied, "user_id", "ts", "value"))
+      === canon(Skew.runningSum(tied, "user_id", "ts", "value")))
+    // the two-stage SHAPE: the data-sized window partitions on
+    // (key, bucket); only the bucket-count offset window partitions on
+    // the bare key — and the plain plan is a single bare-key window
+    val wins = bucketed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.references.map(_.name).mkString).toSet
+    }
+    assert(wins.size === 2, wins)
+    assert(wins.count(_.exists(_.contains("__b"))) === 1, wins)
+    val plainWins = plain.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(plainWins.size === 1)
+    // the auto switch: 30% hot share takes the bucketed plan at the 0.3
+    // default threshold; a uniform stream keeps the single-window plan
+    val autoHot = Skew.runningSumAuto(df, "user_id", "ts", "value")
+    assert(autoHot.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.size === 2)
+    val autoFlat = Skew.runningSumAuto(
+      (0 until 1000).map(i => (i.toLong % 50, ts("2024-01-01 09:00:00"), 1.0))
+        .toDF("user_id", "ts", "value"), "user_id", "ts", "value")
+    assert(autoFlat.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.size === 1)
+  }
 }
