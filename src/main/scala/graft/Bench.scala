@@ -54,8 +54,11 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The one-line stdout JSON overflows tail-capture harnesses at 91+
-    // queries — persist the full artifact (plus the per-pass samples behind
-    // the min) to a file so it is always complete and machine-readable.
+    // queries (a ~2 KB ring keeps only its suffix) — persist the full
+    // artifact (plus the per-pass samples behind the min) to a file, and
+    // END stdout with a compact summary that always fits inside any tail:
+    // total + query count + the path of the complete per-query map, so a
+    // truncated capture still parses and still says where the rest lives.
     val passes = samples.zipWithIndex.map { case (m, i) =>
       s""""pass_${i + 1}":""" + names.map(n => s"\"$n\":" + m(n)).mkString("{", ",", "}")
     }.mkString("{", ",", "}")
@@ -65,6 +68,8 @@ object Bench {
         (line + "\n" + s"""{"samples":$passes}""" + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"per_query":"$outPath"}""")
     spark.stop()
   }
 }
