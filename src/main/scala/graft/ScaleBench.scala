@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up evidence past the driver's sf0.1: generate a `mult`× (default
+  * 10×) document/embedding corpus and time the dedup/ANN family at 1× and
+  * at `mult`×, so the near-linear slope the §5 plans predict is MEASURED,
+  * not argued.
+  *
+  * The scaled corpus keeps duplicate DENSITY constant — the property that
+  * makes the slope meaningful:
+  *  - documents: copy k rewrites every token t → "t_k", so each copy
+  *    preserves its internal near-dup structure EXACTLY (same pairwise
+  *    shingle relations) while sharing no shingles with any other copy.
+  *    Ten identical copies would instead multiply every dup family by 10
+  *    and measure a different (denser) workload at the bigger size.
+  *  - embeddings: copy k cyclically rotates each vector's dimensions by k,
+  *    preserving norms and all intra-copy angles exactly while making
+  *    cross-copy cosines incoherent — cluster geometry scales, near-dup
+  *    pair density doesn't.
+  *
+  * Output: one line per corpus + a final JSON with per-query base/scaled
+  * seconds and the ratio; the full artifact lands in SCALE_out.json
+  * (repo-committed). A ratio ≤ mult is at-or-below linear; the ambient
+  * noise envelope on this host makes per-query ratios swing, so judge the
+  * family total first.
+  */
+object ScaleBench {
+
+  private def generate(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
+    val marker = new java.io.File(s"$out/_GENERATED")
+    if (marker.exists()) return
+    val docs = Tables.documents(spark, base)
+    val nDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    (0 until mult).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(
+          transform(split(col("text"), " "), t => concat(t, lit(s"_$k"))), " ")
+      docs.select(
+        (col("doc_id") + lit(k.toLong * nDoc)).as("doc_id"),
+        text.as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = Tables.embeddings(spark, base)
+    val nEmb = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    (0 until mult).map { k =>
+      val rotated =
+        if (k == 0) col("embedding")
+        else expr(s"transform(sequence(0, ${dim - 1}), i -> embedding[(i + $k) % $dim])")
+      emb.select(
+        (col("vec_id") + lit(k.toLong * nEmb)).as("vec_id"),
+        rotated.as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
+
+  /** The dedup/ANN family: every key that reads only documents/embeddings,
+    * including the quality diagnostics (recall must SURVIVE the scale-up,
+    * not just finish).
+    */
+  private val family = Seq(
+    "q_dedup_exact", "q_dedup_keep", "q_dedup_minhash", "q_ngram_jaccard",
+    "q_dedup_simhash", "q_dedup_cluster", "q_dedup_near_keep",
+    "q_dedup_incremental_near", "q_winnow_overlap", "q_semdedup",
+    "q_dedup_embedding", "q_dedup_embedding_keep",
+    "q_ann_topk", "q_ann_batch", "q_ann_lsh", "q_ann_ivf",
+    "q_ann_ivf_indexed", "q_ann_ivfpq_indexed", "q_ann_ivf_append",
+    "q_kmeans", "q_ann_recall")
+
+  private def runPass(spark: SparkSession, dir: String, pass: Int): Map[String, Double] =
+    family.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir).count()
+      catch { case e: Throwable => System.err.println(s"[scale] $name FAILED: $e") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale] pass $pass ${new java.io.File(dir).getName}%-16s $name%-26s $dt%8.2f s")
+      name -> dt
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"${Graft.localScratchDir}/graft-scale${mult}x")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Graft.localScratchDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, base, out, mult)
+    // warmup (JIT + codegen) on the smallest sf, then interleaved passes
+    // (min-of-N rejects this host's throttle windows, like Bench)
+    runPass(spark, "/root/testdata/sf0.001", 0)
+    val passes = (1 to iters).map(p => (runPass(spark, base, p), runPass(spark, out, p)))
+    val baseMin = family.map(n => n -> passes.map(_._1(n)).min).toMap
+    val bigMin = family.map(n => n -> passes.map(_._2(n)).min).toMap
+    val rows = family.map { n =>
+      val r = bigMin(n) / baseMin(n)
+      s""""$n":{"base":${baseMin(n)},"scaled":${bigMin(n)},"ratio":${math.round(r * 100) / 100.0}}"""
+    }.mkString("{", ",", "}")
+    val (bt, st) = (baseMin.values.sum, bigMin.values.sum)
+    val json =
+      s"""{"metric":"scale","mult":$mult,"base_sf":"$base","scaled_dir":"$out",
+         |"base_total_sec":$bt,"scaled_total_sec":$st,
+         |"total_ratio":${math.round(st / bt * 100) / 100.0},"queries":$rows}""".stripMargin
+        .replace("\n", "")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/SCALE_out.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[scale] write failed: $e") }
+    println(s"""{"metric":"scale","mult":$mult,"base_total_sec":$bt,""" +
+      s""""scaled_total_sec":$st,"total_ratio":${math.round(st / bt * 100) / 100.0},""" +
+      s""""per_query":"SCALE_out.json"}""")
+    spark.stop()
+  }
+}

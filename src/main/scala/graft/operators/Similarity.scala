@@ -687,34 +687,86 @@ object Similarity {
     * id and pay the compiled screen + decimal-exact verify (the two-phase
     * house rule). Each band draws its bits from a DISJOINT hyperplane
     * family (HyperplaneLSH's offset), so per-band bucket count 2^planes is
-    * NOT capped by a shared 63-bit signature — at corpus scale raise
-    * `planes` so buckets stay ≈ n/2^planes rows (the 4×8 default suits
-    * ~10³–10⁵ rows; a billion-row corpus wants ~24 planes per band, which
-    * single-signature bit-slicing could never hold).
+    * NOT capped by a shared 63-bit signature.
+    *
+    * AUTO GEOMETRY (`planes = 0`, the default): a fixed plane count makes
+    * bucket size grow ∝ n and per-bucket pairing quadratic — measured
+    * 55× wall at 10× data before this. Auto mode holds bucket occupancy
+    * ≈ `targetBucket` (planes = ⌈log2(n/targetBucket)⌉, clamped [4, 24])
+    * and COMPENSATES the band count so the design recall at `threshold`
+    * is preserved: per-bit agreement p₁ = 1 − arccos(threshold)/π, so
+    * matching the 4-plane budget of `bands` bands needs
+    * bands × (1/p₁)^(planes−4) bands, capped at `bandsMax` (the cap, when
+    * it binds, trades recall — which q_pair_quality measures AS DATA).
+    * This is the published LSH complexity n^(1+ρ), ρ =
+    * ln(1/p₁)/ln(1/p₂) with p₂ ≈ ½ for unrelated vectors — sub-quadratic,
+    * never linear; for loose thresholds (ρ → 1) prefer the cell-bucketed
+    * generators (semdedupPairs / cosinePairsExact's int8 grid), which
+    * scale with cluster occupancy instead.
+    *
+    * The candidate cross product never exists as rows: each bucket carries
+    * its members' int8 codes (collect_list of 4×-compressed
+    * [[graft.plans.Int8Quantize]] structs — the band shuffle pays ~100 B
+    * per member per band, not the float vectors) and the compiled
+    * [[graft.plans.BucketScreenPairs]] kernel runs the O(bucket²) screen
+    * IN PLACE, emitting only surviving id pairs. The previous shape —
+    * double-explode to candidate rows, then join vectors per candidate —
+    * measured 77 s on the 10× corpus for ~7.7×10⁷ candidates: all of it
+    * row-copy and join machinery on rows whose fate 64 byte-MACs decide.
+    * Survivors (conservative superset, same error bound as the int8 grid
+    * in cosinePairsExact) are distinct'd — a pair found by several bands
+    * verifies once — and only then pay the decimal-exact cosine via the
+    * id-keyed vector join-back, so every post-screen stage is
+    * output-sized.
+    *
+    * The verify joins carry an EXPLICIT broadcast hint on the vector side
+    * (`broadcastVecs`, default on): after explode+aggregate Catalyst has
+    * no usable size estimate for the survivor stream and was measured
+    * picking the survivors as the broadcast build. The hint pins the
+    * corpus relation as the build side. Set `broadcastVecs = false` when
+    * the vector table itself exceeds broadcast scale (≳10⁷ rows); the
+    * join-back then shuffles output-sized streams, which is the best any
+    * plan can do at that size.
     */
-  def cosinePairsBucketed(embeddings: DataFrame, threshold: Double, planes: Int = 4,
+  def cosinePairsBucketed(embeddings: DataFrame, threshold: Double, planes: Int = 0,
                           bands: Int = 8, maxBucketSize: Int = 10000,
+                          targetBucket: Int = 128, bandsMax: Int = 256,
+                          broadcastVecs: Boolean = true,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(planes > 0 && planes <= 63 && bands > 0,
-      "planes must be in [1, 63]; bands unbounded")
-    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
-      graft.plans.Exprs.hyperplaneLsh(col(vecCol), planes, b * planes).as("bits")))
-    val pairs = embeddings
-      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
+    require(planes >= 0 && planes <= 63 && bands > 0,
+      "planes must be in [0, 63] (0 = auto); bands > 0")
+    val (planesEff, bandsEff) =
+      if (planes > 0) (planes, bands)
+      else {
+        val n = embeddings.count().max(1L)
+        val pl = math.max(4, math.min(24,
+          math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
+        val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+        val b = math.ceil(bands * math.pow(1.0 / p1, math.max(0, pl - 4))).toInt
+        (pl, math.min(bandsMax, math.max(bands, b)))
+      }
+    val bandCols = (0 until bandsEff).map(b => struct(lit(b).as("band"),
+      graft.plans.Exprs.hyperplaneLsh(col("v"), planesEff, b * planesEff).as("bits")))
+    val member = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm"),
+        graft.plans.Exprs.quantizeInt8(col(vecCol)).as("q"))
+      .select(struct(col("id"), col("nrm"), col("q.qscale").as("qscale"),
+        col("q.codes").as("codes"), col("q.s1").as("s1")).as("m"),
+        explode(array(bandCols: _*)).as("bb"))
+    val survivors = member
       .groupBy(col("bb.band").as("band"), col("bb.bits").as("bits"))
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
+      .agg(collect_list(col("m")).as("ms"))
+      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucketSize)
+      .select(explode(graft.plans.Exprs.bucketScreen(col("ms"), threshold)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val vecs0 = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
       normExact(vecCol).as("nrm"))
-    pairs
+    val vecs = if (broadcastVecs) broadcast(vecs0) else vecs0
+    survivors
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .where(graft.plans.Exprs.dot(col("va"), col("vb"))
-        / nullif(col("na") * col("nb"), lit(0.0)) > threshold - 1e-6)
       .select(col("id_a"), col("id_b"),
         round(dotExact("va", "vb") / nullif(col("na") * col("nb"), lit(0.0)), 6)
           .as("cosine"))

@@ -24,6 +24,10 @@ object Exprs {
   def sigAgreement(a: Column, b: Column): Column =
     GraftBridge.column(SigAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Per-bucket int8 cosine pair screen (see [[BucketScreenPairs]]). */
+  def bucketScreen(members: Column, threshold: Double): Column =
+    GraftBridge.column(BucketScreenPairs(GraftBridge.expression(members), threshold))
+
   /** Compiled 64-bit SimHash fingerprint (see [[SimHash64]]). */
   def simhash(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))

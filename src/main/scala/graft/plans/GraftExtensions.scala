@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
 /** SQL-surface registration of graft's custom expressions, so
   * `spark.sql("SELECT graft_dot(a, b) ...")` works anywhere the library is
@@ -53,6 +53,15 @@ object GraftFunctions {
         case Literal(n: Int, IntegerType) => HyperplaneLSH(exprs(0), n)
         case other => throw new IllegalArgumentException(
           s"graft_hyperplane_lsh: second argument must be an integer literal, got $other")
+      }),
+    (FunctionIdentifier("graft_bucket_screen"),
+      info("graft_bucket_screen", "graft_bucket_screen(members, t) - surviving (id_a, id_b) pairs of an in-bucket int8 cosine screen at threshold t"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(t: Double, DoubleType) => BucketScreenPairs(exprs(0), t)
+        case Literal(t: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+          BucketScreenPairs(exprs(0), t.toDouble)
+        case other => throw new IllegalArgumentException(
+          s"graft_bucket_screen: second argument must be a numeric literal, got $other")
       }),
     (FunctionIdentifier("graft_winnow"),
       info("graft_winnow", "graft_winnow(text, k, w) - winnowing rolling-hash fingerprint set"),

@@ -85,6 +85,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](11) === Seq("low", "e", "s", "t", "</w>"))
   }
 
+  test("graft_bucket_screen: conservative superset of true pairs, zero vectors never pair") {
+    graft.plans.GraftFunctions.register(spark)
+    // 6 members: two near-identical (0,5), one orthogonal-ish (1), a
+    // negative twin of 0 (2), a zero vector (3), and a moderate match (4)
+    val vecs: Map[Long, Array[Float]] = Map(
+      0L -> Array(1f, 0f, 0.1f, 0f), 5L -> Array(0.99f, 0.01f, 0.1f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f), 2L -> Array(-1f, 0f, -0.1f, 0f),
+      3L -> Array(0f, 0f, 0f, 0f), 4L -> Array(0.7f, 0.7f, 0f, 0f))
+    vecs.toSeq.map { case (id, v) => (id, v) }.toDF("id", "v")
+      .createOrReplaceTempView("bs")
+    val thr = 0.5
+    val got = spark.sql(
+      s"""SELECT explode(graft_bucket_screen(collect_list(
+         |  struct(id, sqrt(graft_dot(v, v)) AS nrm,
+         |         graft_quantize_int8(v).qscale AS qscale,
+         |         graft_quantize_int8(v).codes AS codes,
+         |         graft_quantize_int8(v).s1 AS s1)), $thr)) AS p
+         |FROM bs""".stripMargin)
+      .select("p.id_a", "p.id_b").as[(Long, Long)].collect().toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na * nb == 0) 0.0 else d / (na * nb)
+    }
+    val truth = (for {
+      a <- vecs.keys; b <- vecs.keys if a < b
+      if cos(vecs(a), vecs(b)) > thr
+    } yield (a, b)).toSet
+    assert(truth.subsetOf(got), s"screen dropped true pairs: ${truth -- got}")
+    assert(got.forall { case (a, b) => a < b })
+    assert(got.forall { case (a, b) => a != 3L && b != 3L }, "zero vector paired")
+    // the screen is a SCREEN: admitted false positives must still be near
+    // the threshold (within the int8 error bound), not arbitrary
+    assert(got.forall { case (a, b) => cos(vecs(a), vecs(b)) > thr - 0.05 }, got)
+  }
+
   test("saltedJoin equals the plain join result") {
     val fact = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
     val dim = Tables.part(spark, sfDir).withColumnRenamed("p_partkey", "l_partkey")

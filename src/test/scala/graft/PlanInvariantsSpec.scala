@@ -146,9 +146,10 @@ class PlanInvariantsSpec extends SparkSpec {
     // the nprobe cells — the probe never touches unprobed cells' files
     val ivfIdx = plan("q_ann_ivf_indexed")
     assert(ivfIdx.contains("PartitionFilters: [cent_idx"), ivfIdx)
-    // banded LSH: id-only band shuffle — no nested loop, no vector payload
-    // in the explosion (asserted via: the only joins are the id-keyed
-    // vector join-backs, hash joins all)
+    // banded LSH: int8-code band shuffle (4× under float vectors), the
+    // candidate cross product screened INSIDE the bucket by the compiled
+    // kernel — no nested loop, and the only joins are the output-sized
+    // id-keyed vector join-backs, hash joins all
     val lsh = plan("q_ann_lsh")
     assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"), lsh)
     // persisted residual IVF-PQ probe: same pruning invariant on the
