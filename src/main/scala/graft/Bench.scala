@@ -12,6 +12,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Graft.localScratchDir)
+      // Local-bench input-split sizing: the corpora here are MBs, so the
+      // 128 MB default folds every text file into one split and per-row
+      // CPU (regex scoring, kernels) serializes on one core. 1 MB splits
+      // restore scan parallelism at this SF; a real cluster keeps the
+      // default (100 TB / 128 MB is ~10^6 tasks of parallelism already).
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "256k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated filter for local triage, e.g.

@@ -65,11 +65,11 @@ object ScaleBench {
     ()
   }
 
-  /** The dedup/ANN family: every key that reads only documents/embeddings,
-    * including the quality diagnostics (recall must SURVIVE the scale-up,
-    * not just finish).
+  /** Every key that reads only documents/embeddings — the full LLM-data
+    * surface, including the quality diagnostics (recall must SURVIVE the
+    * scale-up, not just finish). Grouped for the report; timed flat.
     */
-  private val family = Seq(
+  private val dedupAnn = Seq(
     "q_dedup_exact", "q_dedup_keep", "q_dedup_minhash", "q_ngram_jaccard",
     "q_dedup_simhash", "q_dedup_cluster", "q_dedup_near_keep",
     "q_dedup_incremental_near", "q_winnow_overlap", "q_semdedup",
@@ -77,6 +77,18 @@ object ScaleBench {
     "q_ann_topk", "q_ann_batch", "q_ann_lsh", "q_ann_ivf",
     "q_ann_ivf_indexed", "q_ann_ivfpq_indexed", "q_ann_ivf_append",
     "q_kmeans", "q_ann_recall")
+  private val text = Seq(
+    "q_lang_id", "q_quality_score", "q_quality_gate", "q_token_count",
+    "q_type_token", "q_vocab", "q_char_diversity", "q_bigram_frac",
+    "q_repetition", "q_compress_ratio", "q_c4_rules", "q_charlm",
+    "q_wordlm", "q_bpe", "q_unigram_lm", "q_tokenizer_quality", "q_tfidf",
+    "q_fingerprint", "q_winnow_fingerprint", "q_simhash_pairs",
+    "q_boilerplate", "q_decontaminate", "q_decontaminate_bloom",
+    "q_chunk_split", "q_pack_sequences", "q_url_normalize",
+    "q_domain_stats", "q_scrub_pii", "q_profile", "q_sample_hash",
+    "q_split_assign", "q_stratified_sample", "q_corpus_mix",
+    "q_mix_temperature", "q_frame_sample", "q_multimodal_features")
+  private val family = dedupAnn ++ text
 
   private def runPass(spark: SparkSession, dir: String, pass: Int): Map[String, Double] =
     family.map { name =>
@@ -103,6 +115,13 @@ object ScaleBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", Graft.localScratchDir)
+      // Local-bench input-split sizing: the corpora here are MBs, so the
+      // 128 MB default folds every text file into one split and per-row
+      // CPU (regex scoring, kernels) serializes on one core. 1 MB splits
+      // restore scan parallelism at this SF; a real cluster keeps the
+      // default (100 TB / 128 MB is ~10^6 tasks of parallelism already).
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "256k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, base, out, mult)

@@ -49,12 +49,20 @@ object TextAnalysis {
     * the standard cheap pre-filter for web-scale corpora.
     */
   def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = tokenCount(textCol).cast("double")
-    val punct = size(expr(s"regexp_extract_all($textCol, '[^a-zA-Z0-9\\\\s]', 0)")).cast("double")
-    val stops = size(expr(
-      s"regexp_extract_all(lower($textCol), '\\\\b(the|and|of|to|in|is|a)\\\\b', 0)")).cast("double")
-    val chars = length(col(textCol)).cast("double")
-    docs.select(
+    // ONE compiled pass computes all four statistics (graft.plans.TextStats,
+    // field-for-field identical to the regex formulation the oracle still
+    // runs) — three regexp_extract_all sweeps cost ~60 µs/row, the scan
+    // ~1 µs, and this projection is the first thing every raw-corpus row
+    // pays at 100 TB. The two-level select keeps the kernel evaluated once:
+    // CollapseProject declines to inline a non-trivial alias referenced by
+    // several downstream expressions.
+    val stats = docs.select(col(idCol),
+      graft.plans.Exprs.textStats(col(textCol)).as("__st"))
+    val toks = col("__st.toks").cast("double")
+    val punct = col("__st.punct").cast("double")
+    val stops = col("__st.stops").cast("double")
+    val chars = col("__st.chars").cast("double")
+    stats.select(
       col(idCol),
       toks.cast("long").as("n_tokens"),
       round(punct / nullif(chars, lit(0.0)), 6).as("punct_ratio"),

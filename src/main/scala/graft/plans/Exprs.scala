@@ -42,6 +42,10 @@ object Exprs {
   def quantizeInt8(vec: Column): Column =
     GraftBridge.column(Int8Quantize(GraftBridge.expression(vec)))
 
+  /** One-pass quality-score text statistics (see [[TextStats]]). */
+  def textStats(text: Column): Column =
+    GraftBridge.column(TextStats(GraftBridge.expression(text)))
+
   /** Compiled map-side IVF centroid assignment (see [[NearestCentroid]]). */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), centroids))

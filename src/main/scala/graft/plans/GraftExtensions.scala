@@ -54,6 +54,9 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"graft_hyperplane_lsh: second argument must be an integer literal, got $other")
       }),
+    (FunctionIdentifier("graft_text_stats"),
+      info("graft_text_stats", "graft_text_stats(text) - struct(toks, punct, stops, chars) one-pass quality statistics"),
+      (exprs: Seq[Expression]) => TextStats(exprs(0))),
     (FunctionIdentifier("graft_bucket_screen"),
       info("graft_bucket_screen", "graft_bucket_screen(members, t) - surviving (id_a, id_b) pairs of an in-bucket int8 cosine screen at threshold t"),
       (exprs: Seq[Expression]) => exprs(1) match {

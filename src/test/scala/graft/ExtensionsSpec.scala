@@ -122,6 +122,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.forall { case (a, b) => cos(vecs(a), vecs(b)) > thr - 0.05 }, got)
   }
 
+  test("graft_text_stats equals the regex formulation, edge cases and real corpus") {
+    graft.plans.GraftFunctions.register(spark)
+    val edges = Seq(
+      "", " ", "   ", "\t", " \tleading tab", "trailing tab\t ",
+      "the and of to in is a", "The AND Of tO iN Is A",
+      "the_1 and2 a_ _a thethe a a a", "a", "x",
+      "the,and.of;to", "no stops here whatsoever",
+      "multi\n\nline\r\n textwith\fodd ws",
+      "punct!@#$%^&*()_+ only", "héllo wörld — em-dash… ünïcode",
+      "日本語のテキスト the test", "emoji 😀 pair 𝕏 astral",
+      "  double  spaced  ", "tab\tsep\tvals", "a  a  a")
+    val docs = Tables.documents(spark, sfDir).select(col("text")).as[String].collect().toSeq
+    (edges ++ docs).zipWithIndex.toDF("text", "i").createOrReplaceTempView("ts")
+    val diff = spark.sql(
+      """SELECT i, text, graft_text_stats(text) AS k,
+        |  size(split(trim(text), '\\s+')) AS toks,
+        |  size(regexp_extract_all(text, '[^a-zA-Z0-9\\s]', 0)) AS punct,
+        |  size(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b', 0)) AS stops,
+        |  length(text) AS chars
+        |FROM ts""".stripMargin)
+      .where(col("k.toks") =!= col("toks") || col("k.punct") =!= col("punct") ||
+        col("k.stops") =!= col("stops") || col("k.chars") =!= col("chars"))
+      .select("i", "text", "k.toks", "toks", "k.punct", "punct",
+        "k.stops", "stops", "k.chars", "chars")
+      .collect()
+    assert(diff.isEmpty, diff.take(5).mkString("\n"))
+  }
+
   test("saltedJoin equals the plain join result") {
     val fact = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
     val dim = Tables.part(spark, sfDir).withColumnRenamed("p_partkey", "l_partkey")
