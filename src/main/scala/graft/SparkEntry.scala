@@ -847,6 +847,29 @@ object SparkEntry {
       // chunks, 16-token overlap, codegen'd scan-speed projection
       TextAnalysis.chunkDocs(Tables.documents(s, dir), size = 64, overlap = 16)),
 
+    "q_pipeline_e2e" -> ((s, dir) => {
+      // The curation path END TO END as ONE declarative plan — corpus/
+      // benchmark split → corpus-quantile quality gate → exact dedup
+      // (keep first) → benchmark decontamination → curated manifest —
+      // exactly how the operators compose in production: each stage's
+      // output frame feeds the next, Catalyst fuses the whole thing, and
+      // the DuckDB oracle replays the composition as chained CTEs. Scale
+      // shape is the union of the stages': one percentile aggregate +
+      // broadcast-back, hash-partitioned md5 dedup, gram-bucketed
+      // decontamination join — no stage materializes, no driver loop.
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val corpus = docs.where(col("doc_id") % 50 =!= 0)
+      val gated = corpus.join(
+        TextAnalysis.qualityGate(corpus)
+          .select(col("doc_id"), col("n_tokens"), col("quality")),
+        Seq("doc_id"))
+      val deduped = Dedup.deduplicate(gated)
+      Dedup.decontaminate(deduped, bench)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("quality"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir)).select("id", "simhash")),
 
@@ -1720,6 +1743,45 @@ object SparkEntry {
         |  FROM documents)),
         |t AS (SELECT quantile_cont(quality, 0.25) AS thr FROM s)
         |SELECT s.* FROM s, t WHERE s.quality >= t.thr""".stripMargin,
+
+    // the composed curation pipeline: chained CTEs mirroring gate →
+    // dedup-keep → decontaminate stage for stage (each fragment reused
+    // verbatim from its standalone oracle)
+    "q_pipeline_e2e" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |   CAST(toks AS BIGINT) AS n_tokens,
+        |   CAST(round(CAST(least(chars / 500.0, 1.0) AS DECIMAL(18,12)) * 0.5
+        |       + CAST(least(stops / nullif(toks, 0) * 5.0, 1.0) AS DECIMAL(18,12)) * 0.3
+        |       + CAST(1.0 - least(punct / nullif(chars, 0) * 10.0, 1.0) AS DECIMAL(18,12)) * 0.2, 6)
+        |     AS DOUBLE) AS quality
+        |  FROM (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS stops,
+        |    CAST(length(text) AS DOUBLE) AS chars
+        |  FROM documents WHERE doc_id % 50 <> 0)),
+        |t AS (SELECT quantile_cont(quality, 0.25) AS thr FROM s),
+        |gated AS (SELECT s.doc_id, s.n_tokens, s.quality FROM s, t WHERE s.quality >= t.thr),
+        |dedup AS (
+        |  SELECT min(g.doc_id) AS doc_id
+        |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id
+        |  GROUP BY md5(d.text)),
+        |toks2 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 6, 2)),
+        |                        i -> array_to_string(t[i:i+7], ' '))) AS g
+        |  FROM toks2),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |dirty AS (SELECT DISTINCT doc_id FROM grams
+        |          WHERE doc_id IN (SELECT doc_id FROM dedup)
+        |            AND g IN (SELECT g FROM bench))
+        |SELECT d.doc_id, d.lang, d.source, g.n_tokens, g.quality
+        |FROM documents d
+        |JOIN gated g ON d.doc_id = g.doc_id
+        |JOIN dedup k ON d.doc_id = k.doc_id
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
 
     "q_wordlm" ->
       """WITH t AS (

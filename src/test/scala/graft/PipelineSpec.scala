@@ -57,4 +57,35 @@ class PipelineSpec extends SparkSpec {
     assert(again.select("doc_id").as[Long].collect().sorted.toSeq ===
       mixed.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("q_pipeline_e2e: gate, dedup and decontamination invariants all hold on the output") {
+    val out = SparkEntry.queries("q_pipeline_e2e")(spark, sfDir)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // every survivor is a non-benchmark doc at or above the gated corpus'
+    // 25th quality percentile (threshold recomputed brute-force)
+    val corpusQ = TextAnalysis.qualityScore(
+      docs.filter(_._1 % 50 != 0).toSeq.toDF("doc_id", "text"))
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val sorted = corpusQ.values.toArray.sorted
+    val rank = 0.25 * (sorted.length - 1)
+    val thr = sorted(rank.toInt) +
+      (rank - rank.toInt) * (sorted(math.min(rank.toInt + 1, sorted.length - 1)) - sorted(rank.toInt))
+    assert(out.keys.forall(id => id % 50 != 0 && corpusQ(id) >= thr - 1e-9))
+    // no two survivors share a text, and each survivor is the SMALLEST
+    // gated id for its text (keep-first)
+    val gatedIds = corpusQ.filter { case (_, q) => q >= thr - 1e-9 }.keySet
+    val byText = gatedIds.groupBy(docs(_))
+    assert(out.keySet.forall(id => byText(docs(id)).min == id))
+    // no survivor shares a word 8-gram with the benchmark slice
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      (if (toks.length <= 8) Seq(toks.mkString(" "))
+       else toks.sliding(8).map(_.mkString(" ")).toSeq).toSet
+    }
+    val benchGrams = docs.filter(_._1 % 50 == 0).values.flatMap(grams).toSet
+    assert(out.keys.forall(id => grams(docs(id)).intersect(benchGrams).isEmpty))
+  }
 }
