@@ -860,12 +860,19 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val bench = docs.where(col("doc_id") % 50 === 0)
       val corpus = docs.where(col("doc_id") % 50 =!= 0)
-      val gated = corpus.join(
-        TextAnalysis.qualityGate(corpus)
-          .select(col("doc_id"), col("n_tokens"), col("quality")),
-        Seq("doc_id"))
-      val deduped = Dedup.deduplicate(gated)
-      Dedup.decontaminate(deduped, bench)
+      // gate with pass-through columns — no join-back scan of the corpus;
+      // keep-first dedup is the single-pass GroupTopK heap (k=1 per text
+      // hash), not a groupBy + self-semi-join that would replicate the
+      // whole upstream subtree a second time
+      val gated = TextAnalysis.qualityGate(corpus,
+        keep = Seq("text", "lang", "source"))
+      val deduped = graft.plans.GroupTopK.topKPerKey(
+        gated.withColumn("__h", md5(col("text"))),
+        Seq("__h"), Seq(col("doc_id").asc), 1).drop("__h")
+      // dirty ids derive from the RAW corpus scan (cheap subtree), so the
+      // gate+dedup stage is referenced exactly once — the anti-join
+      // intersects, making the wider dirty set equivalent
+      deduped.join(Dedup.contaminatedIds(corpus, bench), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_tokens"), col("quality"))
     }),

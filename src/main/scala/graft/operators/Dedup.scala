@@ -630,15 +630,25 @@ object Dedup {
     * Returns the KEPT (clean) corpus rows.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    corpus.join(contaminatedIds(corpus, benchmark, n, textCol, idCol),
+      Seq(idCol), "left_anti")
+
+  /** The contaminated-id side of [[decontaminate]], exposed so a composed
+    * pipeline can derive the dirty set from the CHEAP raw scan and
+    * anti-join it against an expensive downstream stage — referencing that
+    * stage once instead of twice (the anti-join intersects, so extra dirty
+    * ids for rows the stage already dropped are harmless).
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     def grams(df: DataFrame) = df
       .select(col(idCol).as("__gid"), tokens(textCol).as("__toks"))
       .select(col("__gid"), explode(ngramsOfTokens("__toks", n)).as("g"))
     val benchGrams = grams(benchmark).select(col("g")).distinct()
-    val contaminated = grams(corpus)
+    grams(corpus)
       .join(broadcast(benchGrams), "g")
       .select(col("__gid").as(idCol)).distinct()
-    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Decontamination past broadcast scale: [[decontaminate]] broadcasts the

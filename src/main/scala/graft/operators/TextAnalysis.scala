@@ -48,7 +48,8 @@ object TextAnalysis {
   /** Quality score from length / punctuation ratio / stopword ratio —
     * the standard cheap pre-filter for web-scale corpora.
     */
-  def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def qualityScore(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                   keep: Seq[String] = Nil): DataFrame = {
     // ONE compiled pass computes all four statistics (graft.plans.TextStats,
     // field-for-field identical to the regex formulation the oracle still
     // runs) — three regexp_extract_all sweeps cost ~60 µs/row, the scan
@@ -56,17 +57,18 @@ object TextAnalysis {
     // pays at 100 TB. The two-level select keeps the kernel evaluated once:
     // CollapseProject declines to inline a non-trivial alias referenced by
     // several downstream expressions.
-    val stats = docs.select(col(idCol),
-      graft.plans.Exprs.textStats(col(textCol)).as("__st"))
+    // `keep` threads pass-through columns (text, lang, …) so a composed
+    // pipeline can gate WITHOUT a join-back scan of the corpus
+    val stats = docs.select(col(idCol) +: keep.map(col) :+
+      graft.plans.Exprs.textStats(col(textCol)).as("__st"): _*)
     val toks = col("__st.toks").cast("double")
     val punct = col("__st.punct").cast("double")
     val stops = col("__st.stops").cast("double")
     val chars = col("__st.chars").cast("double")
-    stats.select(
-      col(idCol),
-      toks.cast("long").as("n_tokens"),
-      round(punct / nullif(chars, lit(0.0)), 6).as("punct_ratio"),
-      round(stops / nullif(toks, lit(0.0)), 6).as("stopword_ratio"),
+    stats.select(col(idCol) +: keep.map(col) :+
+      toks.cast("long").as("n_tokens") :+
+      round(punct / nullif(chars, lit(0.0)), 6).as("punct_ratio") :+
+      round(stops / nullif(toks, lit(0.0)), 6).as("stopword_ratio") :+
       // each term is cast to decimal(18,12) BEFORE weighting: 1-ulp double
       // divergence between engines vanishes at 12 digits, decimal × decimal
       // and decimal + decimal are exact, and round(decimal, 6) half-up is
@@ -79,7 +81,7 @@ object TextAnalysis {
             * lit(BigDecimal("0.3"))
           + (lit(1.0) - least(punct / nullif(chars, lit(0.0)) * lit(10.0), lit(1.0)))
             .cast("decimal(18,12)") * lit(BigDecimal("0.2")),
-        6).cast("double").as("quality"))
+        6).cast("double").as("quality"): _*)
   }
 
   /** Quantile-threshold quality gate — the FineWeb-style "keep everything
@@ -91,8 +93,9 @@ object TextAnalysis {
     * is scan → one-row cross join → filter: no data-sized shuffle at all.
     */
   def qualityGate(docs: DataFrame, quantile: Double = 0.25,
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val scored = qualityScore(docs, textCol, idCol)
+                  textCol: String = "text", idCol: String = "doc_id",
+                  keep: Seq[String] = Nil): DataFrame = {
+    val scored = qualityScore(docs, textCol, idCol, keep)
     val thr = scored.agg(expr(s"percentile(quality, $quantile)").as("__thr"))
     scored.crossJoin(broadcast(thr))
       .where(col("quality") >= col("__thr"))

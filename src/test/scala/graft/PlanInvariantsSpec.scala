@@ -221,4 +221,24 @@ class PlanInvariantsSpec extends SparkSpec {
     val ret = plan("q_retention")
     assert(!ret.contains("BroadcastNestedLoopJoin") && !ret.contains("CartesianProduct"), ret)
   }
+
+  test("round-6 operators keep their scale shapes") {
+    // composed curation pipeline: the ONLY nested-loop join is the
+    // one-row percentile-threshold broadcast-back; every data-sized join
+    // (gate join-back, dedup semi, decontamination) is a hash join, and
+    // the whole chain fuses without a cartesian anywhere
+    val e2e = plan("q_pipeline_e2e")
+    assert(count(e2e, "BroadcastNestedLoopJoin") === 1, e2e)
+    assert(!e2e.contains("CartesianProduct") && !e2e.contains("SortMergeJoin"), e2e)
+    // banded LSH pairs: candidates are screened INSIDE buckets by the
+    // compiled kernel — the only joins are the output-sized id-keyed
+    // vector join-backs, and the corpus side is the broadcast build
+    val lsh2 = plan("q_ann_lsh")
+    assert(lsh2.contains("graft_bucket_screen"), lsh2)
+    assert(count(lsh2, "BroadcastHashJoin") === 2, lsh2)
+    // quality scoring runs the fused one-pass kernel, not regex sweeps
+    val qs = plan("q_quality_score")
+    assert(qs.contains("graft_text_stats"), qs)
+    assert(!qs.contains("regexp_extract_all"), qs)
+  }
 }
