@@ -84,7 +84,8 @@ object ScaleBench {
     "q_wordlm", "q_bpe", "q_unigram_lm", "q_tokenizer_quality", "q_tfidf",
     "q_fingerprint", "q_winnow_fingerprint", "q_simhash_pairs",
     "q_boilerplate", "q_decontaminate", "q_decontaminate_bloom",
-    "q_chunk_split", "q_pack_sequences", "q_pipeline_e2e", "q_url_normalize",
+    "q_chunk_split", "q_pack_sequences", "q_pipeline_e2e",
+    "q_curation_stream", "q_url_normalize",
     "q_domain_stats", "q_scrub_pii", "q_profile", "q_sample_hash",
     "q_split_assign", "q_stratified_sample", "q_corpus_mix",
     "q_mix_temperature", "q_frame_sample", "q_multimodal_features")

@@ -877,6 +877,24 @@ object SparkEntry {
           col("n_tokens"), col("quality"))
     }),
 
+    "q_curation_stream" -> ((s, dir) => {
+      // DuckDB-checked batch mirror for the streaming curation pipeline
+      // (the q_funnel_stream pattern): the SAME curationStream entry point
+      // on a batch frame — gate via one-row threshold broadcast,
+      // first-arrival dedup (batch mirror: keep-min GroupTopK), per-row
+      // gram-overlap decontamination — so the continuous face's admission
+      // semantics are oracle-verified, not just spec-asserted
+      val docs = Tables.documents(s, dir)
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val corpus = docs.where(col("doc_id") % 50 =!= 0)
+      val thr = TextAnalysis.qualityThreshold(corpus, 0.25)
+      val store = Dedup.fingerprintStore(corpus.limit(0))
+      val bg = streaming.EventsStream.benchmarkGrams(bench)
+      streaming.EventsStream.curationStream(corpus, thr, store, bg)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashFingerprints(Tables.documents(s, dir)).select("id", "simhash")),
 
@@ -1750,6 +1768,43 @@ object SparkEntry {
         |  FROM documents)),
         |t AS (SELECT quantile_cont(quality, 0.25) AS thr FROM s)
         |SELECT s.* FROM s, t WHERE s.quality >= t.thr""".stripMargin,
+
+    // the streaming curation pipeline's batch mirror shares the composed
+    // pipeline's oracle logic (empty store ⇒ the store stage is identity;
+    // per-row gram overlap ≡ the dirty-id anti-join)
+    "q_curation_stream" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |   CAST(toks AS BIGINT) AS n_tokens,
+        |   CAST(round(CAST(least(chars / 500.0, 1.0) AS DECIMAL(18,12)) * 0.5
+        |       + CAST(least(stops / nullif(toks, 0) * 5.0, 1.0) AS DECIMAL(18,12)) * 0.3
+        |       + CAST(1.0 - least(punct / nullif(chars, 0) * 10.0, 1.0) AS DECIMAL(18,12)) * 0.2, 6)
+        |     AS DOUBLE) AS quality
+        |  FROM (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS stops,
+        |    CAST(length(text) AS DOUBLE) AS chars
+        |  FROM documents WHERE doc_id % 50 <> 0)),
+        |t AS (SELECT quantile_cont(quality, 0.25) AS thr FROM s),
+        |gated AS (SELECT s.doc_id, s.n_tokens, s.quality FROM s, t WHERE s.quality >= t.thr),
+        |dedup AS (
+        |  SELECT min(g.doc_id) AS doc_id
+        |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id
+        |  GROUP BY md5(d.text)),
+        |toks2 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 6, 2)),
+        |                        i -> array_to_string(t[i:i+7], ' '))) AS g
+        |  FROM toks2),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |dirty AS (SELECT DISTINCT doc_id FROM grams
+        |          WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench))
+        |SELECT g.doc_id, g.n_tokens, g.quality
+        |FROM gated g
+        |JOIN dedup k ON g.doc_id = k.doc_id
+        |WHERE g.doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
 
     // the composed curation pipeline: chained CTEs mirroring gate →
     // dedup-keep → decontaminate stage for stage (each fragment reused

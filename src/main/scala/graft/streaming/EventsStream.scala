@@ -114,13 +114,18 @@ object EventsStream {
     */
   def incrementalDedupStream(docs: DataFrame, store: DataFrame,
                              textCol: String = "text",
-                             delay: String = "1 hour"): DataFrame = {
+                             delay: String = "1 hour",
+                             idCol: String = "doc_id"): DataFrame = {
     val hashed = docs.withColumn("__h", md5(col(textCol)))
     val unseen = hashed.join(store, hashed("__h") === store("text_hash"), "left_anti")
     val out =
       if (docs.isStreaming)
         unseen.withWatermark("ts", delay).dropDuplicatesWithinWatermark("__h")
-      else unseen.dropDuplicates("__h")
+      else
+        // batch mirror of first-arrival: keep-MIN-id via the GroupTopK
+        // heap — dropDuplicates keeps an arbitrary partition-order row,
+        // which no oracle can reproduce
+        graft.plans.GroupTopK.topKPerKey(unseen, Seq("__h"), Seq(col(idCol).asc), 1)
     out.drop("__h")
   }
 
@@ -136,12 +141,69 @@ object EventsStream {
     * micro-batch (the temperatureMixStreamRefreshing pattern).
     */
   def qualityGateStream(docs: DataFrame, threshold: DataFrame,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    graft.operators.TextAnalysis.qualityScore(docs, textCol, idCol)
+                        textCol: String = "text", idCol: String = "doc_id",
+                        keep: Seq[String] = Nil): DataFrame =
+    graft.operators.TextAnalysis.qualityScore(docs, textCol, idCol, keep)
       .withColumn("__k", lit(1))
       .join(broadcast(threshold.withColumn("__k", lit(1))), "__k")
       .where(col("quality") >= col("__thr"))
       .drop("__k", "__thr")
+
+  /** Streaming benchmark decontamination — the continuous face of
+    * `Dedup.decontaminate`. The batch shape (explode grams → semi-join →
+    * doc-level anti-join) needs a stream-derived dirty-id set joined back
+    * against its own stream, which structured streaming cannot express
+    * statelessly; instead the decision is made PER ROW: the benchmark's
+    * distinct gram set collapses to a ONE-ROW static frame (the same
+    * landed-data contract as the gate threshold), broadcast-joins on a
+    * constant key, and `arrays_overlap` answers "shares any 8-gram" at
+    * scan speed with zero state. Identical admission semantics to the
+    * batch anti-join — both test gram-set intersection with the suite.
+    * Past broadcastable suite scale, screen with the bloom literal
+    * (`Dedup.decontaminateBloom`'s sketch) before this exact check.
+    */
+  def decontaminateStream(docs: DataFrame, benchGrams: DataFrame, n: Int = 8,
+                          textCol: String = "text"): DataFrame = {
+    import graft.operators.Dedup
+    docs
+      .withColumn("__toks", Dedup.tokens(textCol))
+      .withColumn("__grams", Dedup.ngramsOfTokens("__toks", n))
+      .withColumn("__k", lit(1))
+      .join(broadcast(benchGrams.withColumn("__k", lit(1))), "__k")
+      .where(!arrays_overlap(col("__grams"), col("__bg")))
+      .drop("__toks", "__grams", "__k", "__bg")
+  }
+
+  /** The benchmark gram set for [[decontaminateStream]] as a one-row
+    * static frame (column `__bg`).
+    */
+  def benchmarkGrams(benchmark: DataFrame, n: Int = 8,
+                     textCol: String = "text"): DataFrame =
+    benchmark
+      .select(graft.operators.Dedup.tokens(textCol).as("__toks"))
+      .select(explode(graft.operators.Dedup.ngramsOfTokens("__toks", n)).as("g"))
+      .distinct()
+      .agg(collect_list(col("g")).as("__bg"))
+
+  /** The curation pipeline's CONTINUOUS face — q_pipeline_e2e stage for
+    * stage: quantile quality gate (threshold from the landed corpus) →
+    * incremental exact dedup (persisted fingerprint store + in-stream
+    * watermark state) → benchmark decontamination (one-row gram-set
+    * broadcast). Every per-stage contract carries over: the static frames
+    * re-resolve per micro-batch, state is bounded by the watermark, and a
+    * replayed batch makes identical decisions end to end. Emits the
+    * curated manifest (id, ts, n_tokens, quality).
+    */
+  def curationStream(docs: DataFrame, threshold: DataFrame, store: DataFrame,
+                     benchGrams: DataFrame, n: Int = 8,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     delay: String = "1 hour"): DataFrame = {
+    val gated = qualityGateStream(docs, threshold, textCol, idCol,
+      keep = Seq(textCol, "ts"))
+    val deduped = incrementalDedupStream(gated, store, textCol, delay)
+    decontaminateStream(deduped, benchGrams, n, textCol)
+      .select(col(idCol), col("ts"), col("n_tokens"), col("quality"))
+  }
 
   /** Streaming temperature-scaled mixture — the continuous face of
     * Sampling.temperatureMix, closing the batch/streaming asymmetry in the

@@ -637,4 +637,53 @@ class StreamingSpec extends SparkSpec {
       wave1.toSeq.toDF("vec_id", "embedding"), cents, batchId = 0)
     assert(spark.read.parquet(path).count() === before)
   }
+
+  test("curationStream ≡ the batch pipeline stage for stage, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, TextAnalysis}
+    val all = Tables.documents(spark, sfDir).limit(120)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val benchDF = all.filter(_._1 % 10 == 0).toSeq.toDF("doc_id", "text")
+    val corpus = all.filter(_._1 % 10 != 0)
+    val corpusDF = corpus.toSeq.toDF("doc_id", "text")
+    val thr = TextAnalysis.qualityThreshold(corpusDF, 0.25)
+    val store = Dedup.fingerprintStore(
+      Seq((9000L, corpus.head._2)).toDF("doc_id", "text")) // head text pre-seen
+    val benchGrams = EventsStream.benchmarkGrams(benchDF)
+
+    val input = MemoryStream[StreamDoc]
+    val out = EventsStream.curationStream(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      thr, store, benchGrams)
+    val query = out.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      // feed in doc_id order so stream first-arrival == batch keep-first
+      input.addData(corpus.sortBy(_._1).map { case (id, t) =>
+        StreamDoc(id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("curation_stream")
+        .select("doc_id").as[Long].collect().toSet
+
+      // batch mirror through the SAME stage operators q_pipeline_e2e uses
+      val gated = TextAnalysis.qualityGate(corpusDF, 0.25, keep = Seq("text"))
+        .withColumn("__h", md5($"text"))
+      val unseen = gated.join(store, gated("__h") === store("text_hash"), "left_anti")
+      val deduped = graft.plans.GroupTopK.topKPerKey(
+        unseen, Seq("__h"), Seq($"doc_id".asc), 1)
+      val batch = deduped
+        .join(Dedup.contaminatedIds(corpusDF, benchDF), Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.size < corpus.length)
+
+      // replaying the same wave admits nothing new (dedup state) and the
+      // sink keeps exactly one row per admitted doc
+      input.addData(corpus.sortBy(_._1).map { case (id, t) =>
+        StreamDoc(id, ts("2024-01-01 10:30:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      val replayed = spark.table("curation_stream").select("doc_id").as[Long].collect()
+      assert(replayed.toSet === batch && replayed.length === replayed.toSet.size)
+    } finally query.stop()
+  }
 }
