@@ -78,14 +78,15 @@ object ScaleBench {
     "q_ann_ivf_indexed", "q_ann_ivfpq_indexed", "q_ann_ivf_append",
     "q_kmeans", "q_ann_recall")
   private val text = Seq(
-    "q_lang_id", "q_quality_score", "q_quality_gate", "q_token_count",
+    "q_lang_id", "q_quality_score", "q_quality_gate", "q_classifier", "q_token_count",
     "q_type_token", "q_vocab", "q_char_diversity", "q_bigram_frac",
     "q_repetition", "q_compress_ratio", "q_c4_rules", "q_charlm",
     "q_wordlm", "q_bpe", "q_unigram_lm", "q_tokenizer_quality", "q_tfidf",
     "q_fingerprint", "q_winnow_fingerprint", "q_simhash_pairs",
     "q_boilerplate", "q_decontaminate", "q_decontaminate_bloom",
-    "q_chunk_split", "q_pack_sequences", "q_pipeline_e2e",
-    "q_curation_stream", "q_url_normalize",
+    "q_chunk_split", "q_pack_sequences", "q_shard_assign", "q_pipeline_e2e",
+    "q_curation_stream", "q_url_normalize", "q_bm25_topk", "q_domain_cap",
+    "q_span_dedup",
     "q_domain_stats", "q_scrub_pii", "q_profile", "q_sample_hash",
     "q_split_assign", "q_stratified_sample", "q_corpus_mix",
     "q_mix_temperature", "q_frame_sample", "q_multimodal_features")

@@ -1227,9 +1227,72 @@ object SparkEntry {
       // exercises the multi-chunk path)
       Packing.packSequences(Tables.documents(s, dir), budget = 2048, chunkSize = 64)),
 
+    "q_shard_assign" -> ((s, dir) =>
+      // deterministic global shuffle + 4096-token training shards: md5(id)
+      // order, two-level prefix sum chunked on the hash's high bits
+      Packing.shardAssign(Tables.documents(s, dir), budget = 4096)),
+
+    "q_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      // seed queries over the corpus vocabulary; BM25 top-10 per query
+      val qs = Seq(
+        (1L, "table scan filter"), (2L, "merge join batch"),
+        (3L, "stream window agg"), (4L, "customer order group")
+      ).toDF("q_id", "q_text")
+      graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir), qs, k = 10)
+    }),
+
+    "q_domain_cap" -> ((s, dir) => {
+      // per-domain quota: keep the 20 best-quality docs per canonical host
+      // (synthetic URLs by the q_url_normalize convention)
+      val url = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM:443/docs/"), (col("doc_id") % 5).cast("string"),
+        lit("/?utm_source=feed&id="), (col("doc_id") % 3).cast("string"),
+        when(col("doc_id") % 2 === 0, "#top").otherwise(""))
+      TextAnalysis.domainCap(
+        Tables.documents(s, dir).withColumn("url", url), cap = 20)
+    }),
+
+    "q_span_dedup" -> ((s, dir) =>
+      // substring-level dedup: strip every non-first occurrence of a
+      // repeated 8-token span, keep documents (possibly emptied) in order
+      graft.operators.SpanDedup.dedupSpans(Tables.documents(s, dir), k = 8)),
+
+    "q_interval_join" -> ((s, dir) => {
+      // errors landing inside same-user browse sessions: time-bucketed
+      // interval containment (equi-join on (user, hour-bucket) + residual
+      // range test — no per-user cross product)
+      // 12 h gap → multi-event activity episodes whose spans cover most of
+      // the timeline, so the containment test has real hits AND misses at
+      // test SF (a 30-min gap leaves every episode a point)
+      val ev = events(s, dir)
+      val sess = Sessionize.byGap(
+        ev.where(col("event_type").isin("click", "view")), 43200)
+        .select(col("user_id"), col("session_start"),
+          col("session_start").cast("timestamp").cast("double").as("start_sec"),
+          (col("session_start").cast("timestamp").cast("double")
+            + col("duration_sec")).as("end_sec"))
+      val errs = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").cast("double").as("ts_sec"))
+      graft.operators.IntervalJoin.pointInInterval(errs, sess,
+          Seq("user_id"), "ts_sec", "start_sec", "end_sec", bucketSec = 86400L)
+        .select(col("user_id"), col("event_id"), col("session_start"))
+    }),
+
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
 
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+
+    "q_classifier" -> ((s, dir) =>
+      // learned quality filter, scorecard AS DATA (the FineWeb-Edu/DCLM
+      // distillation loop): heuristic-gate labels → hash 80/20 split →
+      // hashed-BOW logistic regression trained train-side only →
+      // held-out confusion emitted as one metrics row. Training is
+      // iterative full-batch GD (not SQL-expressible) → rows check;
+      // ClassifierSpec asserts the separable-corpus accuracy floor,
+      // partitioning invariance, and hand-checked gradient steps.
+      graft.operators.Classifier.scorecard(Tables.documents(s, dir))),
 
     "q_type_token" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -2264,6 +2327,144 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, n_tokens, prefix // 2048 AS seq_id, prefix % 2048 AS seq_offset
         |FROM pre""".stripMargin,
+
+    // same prefix-sum contract as q_pack_sequences, but laid out along the
+    // md5(id) pseudo-random order (ties break on the id)
+    "q_shard_assign" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS h
+        |  FROM documents),
+        |pre AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, prefix // 4096 AS shard_id, prefix % 4096 AS shard_offset
+        |FROM pre""".stripMargin,
+
+    // per-term BM25 contributions rounded to 12 decimals and summed in
+    // decimal, exactly as the Spark side does — double casts force every
+    // intermediate through the same IEEE ops in both engines
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q(q_id, q_text) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'table scan filter'), (CAST(2 AS BIGINT), 'merge join batch'),
+        |  (CAST(3 AS BIGINT), 'stream window agg'), (CAST(4 AS BIGINT), 'customer order group')),
+        |qt AS (SELECT q_id, unnest(list_distinct(regexp_split_to_array(trim(lower(q_text)), '\s+'))) AS token
+        |       FROM q),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |        WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
+        |sc AS (
+        |  SELECT qt.q_id, tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+        |      ((tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |       (tf + CAST(1.2 AS DOUBLE) *
+        |        (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 12)
+        |      AS DECIMAL(28,12)) AS term
+        |  FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+        |agg AS (SELECT q_id, doc_id,
+        |          CAST(round(CAST(sum(term) AS DOUBLE), 6) AS DOUBLE) AS score
+        |        FROM sc GROUP BY 1, 2)
+        |SELECT q_id, doc_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+        |  FROM agg) WHERE rn <= 10""".stripMargin,
+
+    // quality CTE verbatim from q_quality_score; the synthetic URL's
+    // canonical host reduces to lower(source).example.com
+    "q_domain_cap" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS stops,
+        |    CAST(length(text) AS DOUBLE) AS chars
+        |  FROM documents),
+        |q AS (SELECT doc_id, source,
+        |  CAST(round(CAST(least(chars / 500.0, 1.0) AS DECIMAL(18,12)) * 0.5
+        |      + CAST(least(stops / nullif(toks, 0) * 5.0, 1.0) AS DECIMAL(18,12)) * 0.3
+        |      + CAST(1.0 - least(punct / nullif(chars, 0) * 10.0, 1.0) AS DECIMAL(18,12)) * 0.2, 6)
+        |    AS DOUBLE) AS quality
+        |  FROM s)
+        |SELECT doc_id, host, quality FROM (
+        |  SELECT doc_id, lower(source) || '.example.com' AS host, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+        |  FROM q) WHERE rn <= 20""".stripMargin,
+
+    // stride-1 8-gram occurrences -> non-first occurrences of repeated
+    // grams -> merged [s, e) islands per doc -> surviving tokens rebuild
+    // the text (the Spark side groups by xxhash64(gram), the oracle by the
+    // gram itself — identical families absent 64-bit collisions)
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |tp AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |                          i -> {'pos': i, 'tok': t[i]})) AS u
+        |    FROM toks)),
+        |occ AS (
+        |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+        |                          i -> {'pos': i, 'g': array_to_string(t[i:i+7], ' ')})) AS u
+        |    FROM toks WHERE len(t) >= 8)),
+        |mark AS (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt,
+        |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM occ),
+        |spans AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM mark WHERE cnt >= 2 AND rn > 1),
+        |isl0 AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM spans),
+        |isl1 AS (SELECT doc_id, s, e,
+        |           CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS brk FROM isl0),
+        |isl2 AS (SELECT doc_id, s, e,
+        |           sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |         FROM isl1),
+        |isl AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl2 GROUP BY doc_id, isl),
+        |rem AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM isl),
+        |kept AS (SELECT tp.* FROM tp WHERE NOT EXISTS (
+        |           SELECT 1 FROM rem WHERE rem.doc_id = tp.doc_id AND rem.pos = tp.pos)),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(reb.text_clean, '') AS text_clean
+        |FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id""".stripMargin,
+
+    // sessionize CTE verbatim from q_sessionize (click/view events only),
+    // then plain interval containment — the oracle for the time-bucketed
+    // equi-join
+    "q_interval_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 43200
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |s2 AS (
+        |  SELECT user_id, min(ts) AS session_start, epoch(min(ts)) AS start_sec,
+        |    epoch(min(ts)) + round(epoch(max(ts)) - epoch(min(ts)), 6) AS end_sec
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT e.user_id, e.event_id, s2.session_start
+        |FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |WHERE e.event_type = 'error'
+        |  AND epoch(e.ts) >= s2.start_sec AND epoch(e.ts) <= s2.end_sec""".stripMargin,
 
     "q_lang_id" ->
       """SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,

@@ -27,7 +27,7 @@ object Packing {
     * per the two-level scan above.
     */
   def prefixSum(df: DataFrame, ordCol: String, valueCol: String,
-                chunkSize: Long = 1L << 20): DataFrame = {
+                chunkSize: Long = 1L << 20, tieCol: Option[String] = None): DataFrame = {
     // integral `div`, not `/`: float division of longs loses exactness
     // past 2^53 (and Spark's `/` on longs is a double divide)
     val chunked = df.withColumn("__chunk", expr(s"cast($ordCol as long) div ${chunkSize}L"))
@@ -40,7 +40,8 @@ object Packing {
         coalesce(sum(col("__chunk_sum")).over(
           Window.orderBy(col("__chunk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__chunk"), col("__chunk_offset"))
-    val inChunk = Window.partitionBy(col("__chunk")).orderBy(col(ordCol))
+    val inChunk = Window.partitionBy(col("__chunk"))
+      .orderBy(col(ordCol) +: tieCol.map(col).toSeq: _*)
     chunked
       .join(broadcast(chunkOffsets), "__chunk")
       .withColumn("prefix",
@@ -66,5 +67,34 @@ object Packing {
       .select(col(ordCol), col("n_tokens"),
         expr(s"prefix div ${budget}L").as("seq_id"),
         pmod(col("prefix"), lit(budget)).cast("long").as("seq_offset"))
+  }
+
+  /** Deterministic GLOBAL SHUFFLE + fixed-budget shard assignment — the
+    * "shuffle the curated corpus, cut it into training shards" pass. The
+    * order is md5 of the id: uniform, reproducible in any engine (no RNG
+    * state), and stable across runs and cluster sizes — re-running the
+    * job, or running it on 10× the executors, assigns every document the
+    * same (shard, offset). The leading 60 bits of the hash give the
+    * integral order key; ties (≈ n²/2⁶⁰) break on the id itself, so the
+    * layout is total-ordered even under collisions.
+    *
+    * The prefix sum is the same two-level scan as [[packSequences]], but
+    * chunked on the hash's HIGH bits: hash values are uniform over
+    * [0, 2⁶⁰), so value-range chunks are balanced by construction —
+    * `2⁶⁰ / chunkSpan` chunks regardless of corpus size (raise the bit
+    * count for more parallel chunks at larger corpora; nothing else
+    * changes).
+    */
+  def shardAssign(docs: DataFrame, budget: Long,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  chunkSpan: Long = 1L << 52): DataFrame = {
+    val withOrd = docs.select(col(idCol),
+      TextAnalysis.tokenCount(textCol).as("n_tokens"),
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long").as("__ord"))
+    prefixSum(withOrd, "__ord", "n_tokens", chunkSpan, tieCol = Some(idCol))
+      .select(col(idCol), col("n_tokens"),
+        expr(s"prefix div ${budget}L").as("shard_id"),
+        pmod(col("prefix"), lit(budget)).cast("long").as("shard_offset"))
   }
 }

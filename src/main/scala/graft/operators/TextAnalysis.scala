@@ -221,6 +221,25 @@ object TextAnalysis {
         nLangs.as("n_langs"))
   }
 
+  /** Per-domain quota cap — keep at most `cap` documents per canonical host,
+    * chosen by quality rank (the C4/RefinedWeb counter to a single domain
+    * flooding the corpus; the mirror of up-weighting in
+    * [[graft.operators.Sampling.corpusMix]]). Rank ties resolve on the
+    * rounded quality then id, so the kept set is deterministic in any
+    * engine. The ranking runs on the bounded-heap GroupTopK operator: the
+    * rank stage shuffles `cap` rows per host, not every document — at
+    * 100 TB the exchange carries |hosts|·cap rows, a fraction of the
+    * corpus, and a boilerplate mega-host costs O(its rows) in the partial
+    * stage instead of serializing a window sort.
+    */
+  def domainCap(docs: DataFrame, cap: Int = 20, urlCol: String = "url",
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val scored = qualityScore(docs, textCol, idCol, keep = Seq(urlCol))
+      .select(col(idCol), urlHost(col(urlCol)).as("host"), col("quality"))
+    graft.plans.GroupTopK.topKPerKey(
+      scored, Seq("host"), Seq(col("quality").desc, col(idCol).asc), cap)
+  }
+
   /** TF-IDF top-`k` terms per document: token counts per doc (tf), document
     * frequency per token (df), score = tf × ln(N/df), rounded BEFORE the
     * per-doc top-k so rank ties resolve on the rounded value + token in any
