@@ -43,6 +43,12 @@ object SparkEntry {
 
   private val entityDay = Window.partitionBy(col("user_id")).orderBy(col("d"))
 
+  // q_macd truncation depths: 60 lags leave < 1% tail weight on the
+  // 26-span EMA ((25/27)^60 ≈ 0.0098), 15 on the 9-span signal. Shared
+  // with the oracle generator so the lag terms mirror 1:1.
+  private val macdLags = 60
+  private val signalLags = 15
+
   private def exactSumD(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
 
   // ---- per-process shared artifacts ------------------------------------
@@ -310,6 +316,78 @@ object SparkEntry {
             nullif(sqrt(col("n") * col("sxx") - col("s1") * col("s1")) *
               sqrt(col("n") * col("syy") - col("s2") * col("s2")), lit(0.0)), 6)
             .as("corr_close"))
+    }),
+
+    "q_bollinger" -> ((s, dir) => {
+      // 20-bar Bollinger bands (SMA ± 2σ): the q_volatility recipe on the
+      // price itself — decimal-exact window sums, IEEE sqrt, NULL until
+      // the frame holds 20 bars. One window pass, one exchange.
+      val win = entityDay.rowsBetween(-19, Window.currentRow)
+      val full = row_number().over(entityDay) >= 20
+      val s1 = sum(col("close").cast("decimal(38,12)")).over(win).cast("double")
+      val s2 = sum((col("close") * col("close")).cast("decimal(38,12)")).over(win).cast("double")
+      val nn = lit(20.0)
+      val mid = s1 / nn
+      val sd = sqrt((s2 - s1 * s1 / nn) / (nn - lit(1.0)))
+      bars(s, dir).select(
+        col("user_id"), col("d"), col("close"),
+        round(when(full, mid), 6).as("bb_mid"),
+        round(when(full, mid + lit(2.0) * sd), 6).as("bb_up"),
+        round(when(full, mid - lit(2.0) * sd), 6).as("bb_dn"))
+    }),
+
+    "q_rsi" -> ((s, dir) => {
+      // 14-bar RSI on simple (Cutler) averages: Wilder's recursive smooth
+      // is an infinite-lookback EWMA — the SMA form is the standard
+      // bounded-frame equivalent, and the one whose window sums are
+      // decimal-exact. All-gain frames pin to 100 (the division convention
+      // both engines state explicitly). NULL until 14 diffs exist.
+      val diff = col("close") - lag(col("close"), 1).over(entityDay)
+      val gain = when(diff > 0, diff).otherwise(lit(0.0))
+      val loss = when(diff < 0, -diff).otherwise(lit(0.0))
+      val win = entityDay.rowsBetween(-13, Window.currentRow)
+      val full = row_number().over(entityDay) >= 15
+      val ag = sum(gain.cast("decimal(38,12)")).over(win).cast("double")
+      val al = sum(loss.cast("decimal(38,12)")).over(win).cast("double")
+      bars(s, dir).select(
+        col("user_id"), col("d"), col("close"),
+        round(when(full,
+          when(al === 0.0, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al))), 6).as("rsi14"))
+    }),
+
+    "q_macd" -> ((s, dir) => {
+      // MACD(12, 26) + signal(9): each EMA is the q_ewma truncated form —
+      // span-convention weights (1−α)^i over `macdLags` lag terms,
+      // renormalized by the PRESENT weight sum (pandas ewm adjust=true; the
+      // 60-lag cap leaves < 1% tail weight on the slow EMA). Weights ride
+      // as ×10¹² INTEGER literals against scale-6 decimal prices — exact,
+      // associative sums whose scale survives Spark's precision-clamp on
+      // chained decimal adds (a scale-12 term chain would clamp back to 6
+      // and drift vs the oracle); the 10¹² cancels in the num/den ratio.
+      // The signal EMA runs over the computed MACD column in a second
+      // window pass on the SAME partitioning — two window operators, ONE
+      // exchange.
+      def trunc(c: Column, span: Int, lags: Int): Column = {
+        val a = 2.0 / (span + 1.0)
+        val terms = (0 until lags).map { i =>
+          val w12 = math.round(math.pow(1.0 - a, i) * 1e12)
+          val lg = lag(c, i).over(entityDay)
+          (coalesce(lg.cast("decimal(28,6)") * lit(w12),
+            lit(0).cast("decimal(28,6)")),
+            when(lg.isNotNull, lit(w12)).otherwise(lit(0L)))
+        }
+        terms.map(_._1).reduce(_ + _).cast("double") /
+          terms.map(_._2).reduce(_ + _).cast("double")
+      }
+      val withMacd = bars(s, dir).select(
+        col("user_id"), col("d"), col("close"),
+        round(trunc(col("close"), 12, macdLags) - trunc(col("close"), 26, macdLags), 6)
+          .as("macd"))
+      withMacd.select(
+        col("user_id"), col("d"), col("close"), col("macd"),
+        round(trunc(col("macd"), 9, signalLags), 6).as("signal"))
+        .withColumn("histogram", round(col("macd") - col("signal"), 6))
     }),
 
     "q_anti_join" -> ((s, dir) =>
@@ -958,6 +1036,14 @@ object SparkEntry {
       Similarity.topKBatch(emb, emb.orderBy(col("vec_id")).limit(2), 10)
     }),
 
+    "q_hard_negatives" -> ((s, dir) => {
+      // contrastive hard negatives: nearest different-label vectors per
+      // anchor — one batched brute-force pass with the label test riding
+      // the screen projection (q_ann_batch's plan + one predicate)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.orderBy(col("vec_id")).limit(3), 10)
+    }),
+
     // threshold 0.4 = q_pair_quality's measured operating point. 0.2 is
     // outside any pair-generator's regime on this corpus: 5.5% of ALL
     // pairs clear it, so the RESULT is Θ(n²) and no algorithm returns it
@@ -1517,6 +1603,80 @@ object SparkEntry {
         |  round((n * sxy - s1 * s2) /
         |    nullif(sqrt(n * sxx - s1 * s1) * sqrt(n * syy - s2 * s2), 0), 6) AS corr_close
         |FROM st""".stripMargin,
+
+    "q_bollinger" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT user_id, d, close,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+        |    CAST(sum(CAST(close AS DECIMAL(38,12))) OVER fr AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(close * close AS DECIMAL(38,12))) OVER fr AS DOUBLE) AS s2
+        |  FROM bars
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY d
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, d, close,
+        |  round(CASE WHEN rn >= 20 THEN s1 / 20.0 END, 6) AS bb_mid,
+        |  round(CASE WHEN rn >= 20
+        |    THEN s1 / 20.0 + 2.0 * sqrt((s2 - s1 * s1 / 20.0) / (20.0 - 1.0)) END, 6) AS bb_up,
+        |  round(CASE WHEN rn >= 20
+        |    THEN s1 / 20.0 - 2.0 * sqrt((s2 - s1 * s1 / 20.0) / (20.0 - 1.0)) END, 6) AS bb_dn
+        |FROM sums""".stripMargin,
+
+    "q_rsi" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |diffs AS (
+        |  SELECT user_id, d, close,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+        |    close - lag(close) OVER (PARTITION BY user_id ORDER BY d) AS diff
+        |  FROM bars),
+        |sums AS (
+        |  SELECT user_id, d, close, rn,
+        |    CAST(sum(CAST(CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS DECIMAL(38,12)))
+        |      OVER fr AS DOUBLE) AS ag,
+        |    CAST(sum(CAST(CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS DECIMAL(38,12)))
+        |      OVER fr AS DOUBLE) AS al
+        |  FROM diffs
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY d
+        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, d, close,
+        |  round(CASE WHEN rn >= 15 THEN
+        |    CASE WHEN al = 0.0 THEN 100.0
+        |         ELSE 100.0 - 100.0 / (1.0 + ag / al) END END, 6) AS rsi14
+        |FROM sums""".stripMargin,
+
+    "q_macd" -> {
+      // ×10¹² integer weights generated to mirror the Spark lag terms 1:1
+      // (the q_ewma convention at a non-dyadic α)
+      def trunc(c: String, span: Int, lags: Int): String = {
+        val a = 2.0 / (span + 1.0)
+        val num = (0 until lags).map { i =>
+          val w12 = math.round(math.pow(1.0 - a, i) * 1e12)
+          s"COALESCE(CAST(lag($c, $i) OVER w AS DECIMAL(28,6)) * $w12, 0)"
+        }.mkString(" + ")
+        val den = (0 until lags).map { i =>
+          val w12 = math.round(math.pow(1.0 - a, i) * 1e12)
+          s"CASE WHEN lag($c, $i) OVER w IS NOT NULL THEN $w12 ELSE 0 END"
+        }.mkString(" + ")
+        s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE)"
+      }
+      s"""WITH bars AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT user_id, d, close,
+         |    round(${trunc("close", 12, macdLags)} - ${trunc("close", 26, macdLags)}, 6) AS macd
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY d))
+         |SELECT user_id, d, close, macd,
+         |  round(${trunc("macd", 9, signalLags)}, 6) AS signal,
+         |  round(macd - round(${trunc("macd", 9, signalLags)}, 6), 6) AS histogram
+         |FROM m
+         |WINDOW w AS (PARTITION BY user_id ORDER BY d)""".stripMargin
+    },
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -2206,6 +2366,23 @@ object SparkEntry {
          |    round((SELECT CAST(sum(CAST(CAST(n.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i))
          |      / nullif(n.nrm * q.qn, 0), 6) AS cosine
          |  FROM n, q WHERE n.vec_id <> q.qid)
+         |SELECT qid, vec_id, cosine FROM (
+         |  SELECT qid, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= 10""".stripMargin,
+
+    // q_ann_batch's oracle + the different-label predicate (self-pairs
+    // fall out with it)
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql, $normSql AS qn
+         |           FROM embeddings ORDER BY vec_id LIMIT 3),
+         |n AS (SELECT vec_id, embedding, label, $normSql AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.qid, n.vec_id,
+         |    round((SELECT CAST(sum(CAST(CAST(n.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i))
+         |      / nullif(n.nrm * q.qn, 0), 6) AS cosine
+         |  FROM n, q WHERE n.label <> q.ql)
          |SELECT qid, vec_id, cosine FROM (
          |  SELECT qid, vec_id, cosine,
          |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn

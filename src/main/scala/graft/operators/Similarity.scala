@@ -202,6 +202,42 @@ object Similarity {
       refined, Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k)
   }
 
+  /** Hard-negative mining for contrastive training data: for each query
+    * vector, the `k` most-similar corpus vectors whose `labelCol` DIFFERS
+    * from the query's — the "closest wrong answers" an embedding-model
+    * trainer pairs against each anchor. Same one-scan two-phase shape as
+    * [[topKBatch]] (codegen'd double screen over the broadcast query
+    * batch, bounded-heap candidates, decimal-exact cosine on survivors);
+    * the label-mismatch test rides the same screen projection, so
+    * mining negatives costs exactly one batched top-k pass. Self-pairs
+    * fall out with the label filter.
+    */
+  def hardNegatives(embeddings: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"),
+      sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("qn")))
+    val screened = embeddings
+      .select(col(idCol), col(labelCol), col(vecCol).as("v"),
+        sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm"))
+      .crossJoin(q)
+      .where(col(labelCol) =!= col("__ql"))
+      .select(col("qid"), col(idCol), col("v"), col("qv"),
+        (graft.plans.Exprs.dot(col("v"), col("qv"))
+          / nullif(col("nrm") * col("qn"), lit(0.0))).as("__dcos"))
+    // candidate margin + consistent (rounded, id) ordering: the topKBatch
+    // tie-band rationale, unchanged by the label predicate
+    val candidates = graft.plans.GroupTopK.topKPerKey(
+      screened, Seq("qid"), Seq(round(col("__dcos"), 6).desc, col(idCol).asc), 4 * k + 16)
+    val refined = candidates.select(col("qid"), col(idCol),
+      round(dotExact("v", "qv")
+        / nullif(sqrt(dotExact("v", "v")) * sqrt(dotExact("qv", "qv")), lit(0.0)), 6)
+        .as("cosine"))
+    graft.plans.GroupTopK.topKPerKey(
+      refined, Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k)
+  }
+
   /** Random-hyperplane LSH signature: sign bits of dot products against
     * `planes` pseudo-random hyperplanes derived from xxhash64(dim, plane) —
     * deterministic, no driver-side randomness, one compiled pass per row
