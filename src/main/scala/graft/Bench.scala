@@ -45,20 +45,36 @@ object Bench {
     // query's samples, so one spike can only touch one of them.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val names = selected.keys.toSeq
+    // A failed query must NOT masquerade as a fast one: record the error,
+    // keep it out of every total, and make the process exit nonzero. A
+    // bench that can't fail is not a bench.
+    val errors = scala.collection.mutable.Map[String, String]()
     val samples = (1 to iters).map { pass =>
       names.map { name =>
         val t0 = System.nanoTime()
-        try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { selected(name)(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              errors(name) = (e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(300)
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] pass $pass $name%-24s $dt%8.2f s")
-        name -> dt
+        System.err.println(f"[bench] pass $pass $name%-24s $dt%8.2f s" +
+          (if (ok) "" else "  FAILED"))
+        name -> (if (ok) dt else Double.NaN)
       }.toMap
     }
-    val results = names.map(n => n -> samples.map(_(n)).min).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val okNames = names.filterNot(errors.contains)
+    val results = okNames.map(n => n -> samples.map(_(n)).min).toMap
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = okNames.map(k => jstr(k) + ":" + results(k)).mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"failed":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // The one-line stdout JSON overflows tail-capture harnesses at 91+
     // queries (a ~2 KB ring keeps only its suffix) — persist the full
@@ -67,7 +83,7 @@ object Bench {
     // total + query count + the path of the complete per-query map, so a
     // truncated capture still parses and still says where the rest lives.
     val passes = samples.zipWithIndex.map { case (m, i) =>
-      s""""pass_${i + 1}":""" + names.map(n => s"\"$n\":" + m(n)).mkString("{", ",", "}")
+      s""""pass_${i + 1}":""" + okNames.map(n => s"\"$n\":" + m(n)).mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try {
@@ -76,7 +92,12 @@ object Bench {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s""""n_queries":${results.size},"per_query":"$outPath"}""")
+      s""""n_queries":${results.size},"n_failed":${errors.size},"per_query":"$outPath"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

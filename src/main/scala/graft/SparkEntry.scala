@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Events with `ts` (raw nanos long, see Tables.events) converted to
-    * TIMESTAMP_NTZ — the type DuckDB calls TIMESTAMP, so parquet output
-    * round-trips agree with the oracle.
+  /** Events with `ts` normalized to TIMESTAMP_NTZ — the type DuckDB calls
+    * TIMESTAMP, so parquet output round-trips agree with the oracle. The
+    * physical encoding of `ts` has changed between testdata generations
+    * (nanos-as-long vs TIMESTAMP(MICROS)), so branch on what actually
+    * loaded rather than assuming one encoding.
     */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.events(s, dir)
+    Fns.normalizeTsNtz(df, "ts")
+  }
 
   private def ordersNtz(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))

@@ -18,10 +18,13 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read it as a raw nanos long (legacy conf) — callers convert to
-    * timestamp via [[graft.SparkEntry]]'s events helper. The testdata has no
-    * sub-microsecond values, so the µs conversion is lossless.
+  /** `events.ts` has shipped in three physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's reader rejects unless
+    * `nanosAsLong` maps it to a raw long), TIMESTAMP(MICROS), and a plain
+    * int64 of epoch-nanos. Setting the legacy conf is harmless for the
+    * non-nanos encodings (it only affects NANOS columns), so it stays on
+    * unconditionally; [[graft.SparkEntry]]'s events helper then normalizes
+    * whatever dtype actually loaded to TIMESTAMP_NTZ.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

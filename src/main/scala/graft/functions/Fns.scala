@@ -14,6 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object Fns {
 
+  /** Normalize a timestamp column to TIMESTAMP_NTZ regardless of the
+    * physical parquet encoding it loaded as:
+    *   - LongType        → epoch-nanos long (TIMESTAMP(NANOS) read via
+    *                       `spark.sql.legacy.parquet.nanosAsLong`, or a raw
+    *                       int64 column) — convert at µs precision;
+    *   - TimestampNTZType → already the target type, pass through;
+    *   - TimestampType    → session-local instant; reinterpret as NTZ (the
+    *                       session timezone is pinned to UTC everywhere in
+    *                       this repo, so the wall-clock fields are stable).
+    * The testdata has no sub-microsecond values, so the ÷1000 is lossless.
+    */
+  def normalizeTsNtz(df: org.apache.spark.sql.DataFrame, colName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")).cast("timestamp_ntz"))
+      case _: TimestampNTZType => df
+      case _: TimestampType =>
+        df.withColumn(colName, col(colName).cast("timestamp_ntz"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported physical type for timestamp column '$colName': $other")
+    }
+  }
+
   /** Per-entity time-ordered window: partition once on the entity key; all
     * downstream per-entity ops (SMA, gaps, pct-change) reuse the same
     * shuffle — one exchange for the whole time-series stage.

@@ -8,22 +8,22 @@ import org.apache.spark.sql.functions._
   * (LLM judgments, heuristic gates, curated seed sets) into a cheap model
   * and score the whole corpus with it. Features are hashed bag-of-words
   * (token → bucket via xxhash64 mod `dim` — no vocabulary to build or
-  * ship); training is full-batch gradient descent where EACH ITERATION IS
-  * ONE PAIR OF AGGREGATIONS over the feature table (margins per doc, then
+  * ship); training is full-batch gradient descent over a BOUNDED,
+  * deterministically hash-sampled training set, where each iteration is
+  * ONE job over a cached per-doc feature-array table (margin fold inline,
   * gradient per bucket), so the only driver state is the weight vector
   * itself — model-sized, like the k-means centroids in [[Similarity]].
   *
-  * Determinism: every distributed sum (margins, gradients) accumulates in
-  * decimal after a round-to-12, so training is bit-identical under any
-  * partitioning or cluster size — the property that makes a trained
-  * filter auditable (re-run the job, get the same kept corpus).
+  * Determinism: per-doc feature arrays are sort-canonicalized (fixed fold
+  * order) and the gradient accumulates in decimal after a round-to-12, so
+  * training is bit-identical under any partitioning or cluster size — the
+  * property that makes a trained filter auditable (re-run the job, get
+  * the same kept corpus).
   *
-  * Scale: an iteration shuffles the feature stream twice (doc-keyed
-  * margin sum, bucket-keyed gradient sum, both partial-aggregated; the
-  * gradient collect is `dim + 1` rows). The caller should persist the
-  * feature table across iterations at real scale — [[trainLogReg]] does
-  * it when asked. Scoring is one broadcast join + one doc-keyed
-  * aggregate: the same cost as one quality-score pass.
+  * Scale: training cost is O(iters × capped-label-set) regardless of
+  * corpus size — see [[trainLogReg]]. Scoring is one broadcast join + one
+  * doc-keyed aggregate: the same cost as one quality-score pass, and the
+  * ONLY corpus-scale stage in the recipe.
   */
 object Classifier {
 
@@ -54,47 +54,63 @@ object Classifier {
     broadcast(w.indices.map(b => (b.toLong, w(b))).toDF("bucket", "w"))
   }
 
-  /** Per-doc margin w·x + intercept for the current weights — one
-    * broadcast join + one doc-keyed decimal sum. Returns (id, margin).
-    */
-  private def margins(feats: DataFrame, w: Array[Double], idCol: String): DataFrame =
-    feats
-      .join(weightsDf(feats, w.dropRight(1)), "bucket")
-      .groupBy(col(idCol))
-      .agg((decSum(col("x") * col("w")) + lit(w.last)).as("margin"))
-
   /** Full-batch logistic regression on `feats` (id, bucket, x) against
     * `labels` (id, y ∈ {0,1}). Returns the trained weight vector
-    * (index = bucket; slot `dim` is the intercept). `persist` caches the
-    * joined feature/label table across iterations (unpersisted on exit).
+    * (index = bucket; slot `dim` is the intercept).
+    *
+    * Cost shape, by design:
+    *   - training is bounded: if more than `maxTrain` labeled docs arrive,
+    *     a deterministic id-hash sample caps the training set (the
+    *     distillation recipes this models train on 10⁵–10⁶ labels, never
+    *     the corpus — at 100 TB the corpus pass belongs to SCORING only);
+    *   - setup is ONE shuffle: features join labels, the intercept enters
+    *     as a pseudo-feature (bucket = dim, x = 1), and each doc collapses
+    *     to a sorted (bucket, x) array, cached when `persist`;
+    *   - each iteration is then ONE job with NO join: margin + residual
+    *     fold inline over the per-doc array (weights ride along as an
+    *     array literal), gradient = explode → partial-aggregated bucket
+    *     sum → one model-sized collect (dim+1 rows).
+    *
+    * Determinism: the per-doc arrays are array_sort-canonicalized so the
+    * margin fold order is fixed, and the gradient accumulates in decimal
+    * (decSum) — training is bit-identical under any input partitioning.
     */
   def trainLogReg(feats: DataFrame, labels: DataFrame, dim: Int,
                   iters: Int = 20, lr: Double = 4.0,
-                  idCol: String = "doc_id", persist: Boolean = true): Array[Double] = {
-    val joined0 = feats.join(labels, idCol)
-    val joined = if (persist) joined0.persist() else joined0
+                  idCol: String = "doc_id", persist: Boolean = true,
+                  maxTrain: Int = 50000): Array[Double] = {
+    val nAll = labels.count()
+    require(nAll > 0, "empty training set")
+    val labelsS =
+      if (nAll <= maxTrain) labels
+      else {
+        val mod = 1L << 20
+        val keep = ((maxTrain.toDouble / nAll) * mod).toLong.max(1L)
+        labels.where(pmod(xxhash64(col(idCol), lit("train_cap")), lit(mod)) < lit(keep))
+      }
+    val docFeats = feats.join(labelsS, idCol)
+      .select(col(idCol), col("y"), col("bucket").cast("long").as("bucket"), col("x"))
+      .union(labelsS.select(col(idCol), col("y"), lit(dim.toLong), lit(1.0)))
+      .groupBy(col(idCol), col("y"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("x")))).as("f"))
+    val cached = if (persist) docFeats.persist() else docFeats
     try {
-      val n = labels.count().toDouble
-      require(n > 0, "empty training set")
+      val n = cached.count().toDouble
       val w = Array.fill(dim + 1)(0.0)
       for (_ <- 0 until iters) {
-        // residual r = sigmoid(margin) - y per doc, joined back to the
-        // features by id; gradient per bucket = Σ r·x (decimal-exact)
-        val res = margins(joined, w, idCol)
-          .withColumn("__r", lit(1.0) / (lit(1.0) + exp(-col("margin"))) - lit(0.0))
-        val resWithY = res.join(labels, idCol)
-          .select(col(idCol), (col("__r") - col("y")).as("r"))
-        val grad = joined
-          .join(resWithY, idCol)
-          .groupBy(col("bucket"))
-          .agg(decSum(col("r") * col("x")).as("g"))
+        val wLit = typedLit(w.toSeq)
+        val margin = aggregate(col("f"), lit(0.0), (acc, s) =>
+          acc + element_at(wLit, (s.getField("bucket") + 1).cast("int")) * s.getField("x"))
+        val grad = cached
+          .select((lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")).as("__r"),
+            explode(col("f")).as("s"))
+          .groupBy(col("s.bucket").as("bucket"))
+          .agg(decSum(col("__r") * col("s.x")).as("g"))
           .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-        val gInt = resWithY.agg(decSum(col("r")).as("g")).head().getDouble(0)
-        for (b <- 0 until dim) w(b) -= lr * grad.getOrElse(b, 0.0) / n
-        w(dim) -= lr * gInt / n
+        for (b <- 0 to dim) w(b) -= lr * grad.getOrElse(b, 0.0) / n
       }
       w
-    } finally if (persist) { joined.unpersist(); () }
+    } finally if (persist) { cached.unpersist(); () }
   }
 
   /** Score documents under a trained weight vector: (id, prob) with prob
@@ -134,13 +150,18 @@ object Classifier {
                 lr: Double = 4.0, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
+    // labels (id, y) and hashed features are each consumed by several
+    // actions (median, train join, train count, held-out scoring) —
+    // persist both so the regex quality pass and the tokenize/hash pass
+    // run ONCE over the corpus, not once per consumer.
     val quality = TextAnalysis.qualityScore(docs, textCol, idCol)
-      .select(col(idCol), col("quality"))
+      .select(col(idCol), col("quality")).persist()
+    val feats = hashedFeatures(docs, dim, textCol, idCol).persist()
+    try {
     val med = quality.agg(expr("percentile(quality, 0.5)")).head().getDouble(0)
     val labels = quality.select(col(idCol),
       when(col("quality") >= lit(med), 1.0).otherwise(0.0).as("y"))
     val isTest = pmod(xxhash64(col(idCol)), lit(5L)) === 0
-    val feats = hashedFeatures(docs, dim, textCol, idCol)
     val w = trainLogReg(feats.where(!isTest), labels.where(!isTest), dim,
       iters = iters, lr = lr, idCol = idCol)
     val scored = scoreLogReg(feats.where(isTest), w, idCol)
@@ -161,5 +182,6 @@ object Classifier {
       r6(if (predPos == 0) 0.0 else tp.toDouble / predPos),
       r6(if (pos == 0) 0.0 else tp / pos)))
       .toDF("n_train", "n_test", "base_rate", "accuracy", "precision", "recall")
+    } finally { quality.unpersist(); feats.unpersist(); () }
   }
 }

@@ -77,9 +77,17 @@ object Sources {
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
     // watermarks require TIMESTAMP (LTZ), so unlike the batch/oracle path
-    // the stream keeps the session-zone type (UTC session ⇒ same instants)
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // the stream keeps the session-zone type (UTC session ⇒ same instants).
+    // The physical encoding of ts varies across testdata generations —
+    // branch on what actually loaded, as in Fns.normalizeTsNtz.
+    import org.apache.spark.sql.types._
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

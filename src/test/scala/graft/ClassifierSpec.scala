@@ -62,6 +62,26 @@ class ClassifierSpec extends SparkSpec {
     assert(w.toSeq === w2.toSeq)
   }
 
+  test("maxTrain caps the training set deterministically without killing accuracy") {
+    // same separable corpus, but the trainer is only allowed ~half the
+    // labels: the hash-cap must (a) actually bind, (b) stay deterministic,
+    // (c) still learn the separation
+    val docs = (1L to 200L).map { i =>
+      val good = i % 2 == 0
+      val text = if (good) s"alpha beta gamma alpha doc$i" else s"zulu yankee xray zulu doc$i"
+      (i, text, good)
+    }.toDF("doc_id", "text", "good")
+    val labels = docs.select($"doc_id", when($"good", 1.0).otherwise(0.0).as("y"))
+    val feats = Classifier.hashedFeatures(docs.drop("good"), dim = 64)
+    val w1 = Classifier.trainLogReg(feats, labels, dim = 64, maxTrain = 100)
+    val w2 = Classifier.trainLogReg(feats.repartition(5), labels, dim = 64, maxTrain = 100)
+    assert(w1.toSeq === w2.toSeq)
+    val acc = Classifier.scoreLogReg(feats, w1).join(labels, "doc_id")
+      .agg(avg(when(($"prob" >= 0.5) === ($"y" === 1.0), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc >= 0.95, s"capped-training accuracy $acc")
+  }
+
   test("scoreLogReg keeps docs whose features all miss the weight table") {
     val feats = Seq((1L, 0L, 1.0), (2L, 3L, 1.0)).toDF("doc_id", "bucket", "x")
     // weights cover buckets 0..1 only; doc 2's bucket 3 is out of range →

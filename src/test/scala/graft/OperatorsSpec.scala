@@ -116,8 +116,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("asOfBroadcast equals the union+window as-of with zero fact-side shuffle") {
-    val ev = Tables.events(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
     val clicks = ev.where($"event_type" === "click").select("event_id", "user_id", "ts")
     val purchases = ev.where($"event_type" === "purchase")
       .select($"user_id", $"ts", $"value")
@@ -143,8 +142,7 @@ class OperatorsSpec extends SparkSpec {
   test("asOfAuto: broadcast path below the dim gate, union+window above, same results") {
     // a skewed window partition can't be split by AQE, so the switch to the
     // fact-shuffle-free broadcast path is the skew bound for dim-sized rights
-    val ev = Tables.events(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
     val clicks = ev.where($"event_type" === "click").select("event_id", "user_id", "ts")
     val purchases = ev.where($"event_type" === "purchase")
       .select($"user_id", $"ts", $"value")
@@ -254,8 +252,8 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("Ohlc.bars buckets at arbitrary resolution with the daily aggregate's shape") {
-    val ev = Tables.events(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
     val hourly = Ohlc.bars(ev, "1 hour")
     val total = hourly.agg(sum($"volume")).head.getLong(0)
     assert(total === ev.count()) // every tick lands in exactly one bucket
@@ -283,8 +281,8 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("mergeable bars: any split of the tick stream merges to the full recompute") {
-    val ev = Tables.events(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
     val full = Ohlc.dailyBars(ev)
       .select("user_id", "d", "open", "high", "low", "close", "volume")
       .collect().map(_.toSeq).toSet
@@ -319,8 +317,8 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("HLL sketch per-day union estimates within 5% of exact distinct") {
-    val ev = Tables.events(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
     val est = ev.groupBy($"event_type", to_date($"ts").as("d"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
       .groupBy($"event_type")
@@ -351,8 +349,8 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("Sessionize.byGap agrees with Spark's built-in session_window aggregate") {
-    val ev = Tables.events(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
     val builtin = ev
       .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),

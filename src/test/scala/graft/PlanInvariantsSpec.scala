@@ -167,8 +167,8 @@ class PlanInvariantsSpec extends SparkSpec {
     // subquery filter into the scan rather than reading every day
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
-    val events = Tables.events(spark, sfDir)
-      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+    val events = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      .withColumn("day", to_date(col("ts")))
     events.write.mode("overwrite").partitionBy("day").parquet(dir)
     val fact = spark.read.parquet(dir)
     val dim = events.select(col("day")).distinct()
