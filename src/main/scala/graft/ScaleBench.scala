@@ -65,6 +65,35 @@ object ScaleBench {
     ()
   }
 
+  /** Scaled events corpus: copy k shifts user_id/event_id into fresh id
+    * ranges while keeping each entity's series EXACTLY as at 1× — the
+    * 100 TB shape is MORE entities, not longer per-entity histories, so
+    * window/as-of/funnel state stays per-entity bounded and what scales
+    * is partition count. `ts` is written normalized (TIMESTAMP_NTZ
+    * micros), one of the encodings the adaptive loader accepts.
+    * Separate marker so corpora generated before this existed get events
+    * added without a docs/embeddings rebuild.
+    */
+  private def generateEvents(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
+    val marker = new java.io.File(s"$out/_GENERATED_EVENTS")
+    if (marker.exists()) return
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, base), "ts")
+    val nUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val nEvt = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    (0 until mult).map { k =>
+      ev.select(
+        (col("event_id") + lit(k.toLong * nEvt)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k.toLong * nUser)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
+
   /** Every key that reads only documents/embeddings — the full LLM-data
     * surface, including the quality diagnostics (recall must SURVIVE the
     * scale-up, not just finish). Grouped for the report; timed flat.
@@ -90,7 +119,27 @@ object ScaleBench {
     "q_domain_stats", "q_scrub_pii", "q_profile", "q_sample_hash",
     "q_split_assign", "q_stratified_sample", "q_corpus_mix",
     "q_mix_temperature", "q_frame_sample", "q_multimodal_features")
-  private val family = dedupAnn ++ text
+  /** Every key that reads events — the reference stock surface plus the
+    * analytics/streaming-mirror families. Included so the time-series
+    * windows (SMA/EWMA/drawdown), as-of joins, funnel/retention and the
+    * runningSumAuto skew switch carry MEASURED scale evidence, not just
+    * plan-level arguments.
+    */
+  private val events = Seq(
+    "q_ohlc_daily", "q_ohlc_15min", "q_fill_forward", "q_incremental_append",
+    "q_incremental_shuffled", "q_latest_date", "q_sma", "q_dollar_volume",
+    "q_gap_off_peak", "q_gap_on_peak", "q_pct_change_ndays", "q_drawdown",
+    "q_ewma", "q_volatility", "q_corr_pairs", "q_bollinger", "q_rsi",
+    "q_macd", "q_pivot_wide", "q_asof_join", "q_asof_ttl", "q_asof_forward",
+    "q_asof_nearest", "q_asof_broadcast", "q_sector_price", "q_asof_state",
+    "q_stream_join", "q_incremental_bars", "q_stream_topk", "q_hll_merge",
+    "q_theta_sets", "q_market_day", "q_schema_evolution", "q_window_agg",
+    "q_running_sum", "q_sessionize", "q_funnel", "q_funnel_stream",
+    "q_retention", "q_rollup", "q_histogram", "q_json_props",
+    "q_quantiles_approx", "q_quantiles", "q_zscore", "q_distinct_users",
+    "q_approx_distinct", "q_interval_join")
+
+  private val family = dedupAnn ++ text ++ events
 
   private def runPass(spark: SparkSession, dir: String, pass: Int): Map[String, Double] =
     family.map { name =>
@@ -127,6 +176,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, base, out, mult)
+    generateEvents(spark, base, out, mult)
     // warmup (JIT + codegen) on the smallest sf, then interleaved passes
     // (min-of-N rejects this host's throttle windows, like Bench)
     runPass(spark, "/root/testdata/sf0.001", 0)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -159,18 +159,33 @@ object EventsStream {
     * constant key, and `arrays_overlap` answers "shares any 8-gram" at
     * scan speed with zero state. Identical admission semantics to the
     * batch anti-join — both test gram-set intersection with the suite.
-    * Past broadcastable suite scale, screen with the bloom literal
-    * (`Dedup.decontaminateBloom`'s sketch) before this exact check.
+    * Scale shape: `arrays_overlap` alone walks the FULL benchmark gram
+    * array per row (it hash-sets the smaller side, then scans the bigger
+    * — O(|bg|) per doc), which is the one per-row term that grows with
+    * the eval suite. A bloom literal over the same static gram set —
+    * built ONCE at query-build time, model-sized like every codebook —
+    * screens first: `exists` probes each DOC gram (O(doc grams) per row),
+    * and only rows the bloom flags (true contaminants + ~1% false
+    * positives) pay the exact overlap confirm. Blooms have no false
+    * negatives ⇒ admission semantics unchanged.
     */
   def decontaminateStream(docs: DataFrame, benchGrams: DataFrame, n: Int = 8,
                           textCol: String = "text"): DataFrame = {
     import graft.operators.Dedup
+    import graft.plans.Exprs
+    val bgGrams = benchGrams.select(explode(col("__bg")).as("g"))
+    val nGrams = bgGrams.count().max(1L)
+    val bloomBytes = bgGrams
+      .agg(Exprs.bloomAgg(xxhash64(col("g")), nGrams, (nGrams * 10L).max(64L)).as("b"))
+      .head().getAs[Array[Byte]](0)
+    val mightHit = (g: Column) => Exprs.bloomMightContain(lit(bloomBytes), xxhash64(g))
     docs
       .withColumn("__toks", Dedup.tokens(textCol))
       .withColumn("__grams", Dedup.ngramsOfTokens("__toks", n))
       .withColumn("__k", lit(1))
       .join(broadcast(benchGrams.withColumn("__k", lit(1))), "__k")
-      .where(!arrays_overlap(col("__grams"), col("__bg")))
+      .where(!exists(col("__grams"), mightHit) ||
+        !arrays_overlap(col("__grams"), col("__bg")))
       .drop("__toks", "__grams", "__k", "__bg")
   }
 
