@@ -1,6 +1,70 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** One bench run's artifact: per-query min-of-passes seconds for the
+    * queries that SUCCEEDED in every pass, per-query error text for the
+    * ones that didn't, and the raw per-pass samples behind the min. A
+    * failed query appears ONLY under `errors` — never in `results`, never
+    * in any total — so a time-to-throw can't masquerade as a query time.
+    */
+  final case class Outcome(names: Seq[String],
+                           results: Map[String, Double],
+                           errors: Map[String, String],
+                           samples: Seq[Map[String, Double]]) {
+    def okNames: Seq[String] = names.filterNot(errors.contains)
+    def total: Double = if (results.nonEmpty) results.values.sum else 0.0
+    private def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def headline(sfDir: String): String = {
+      val qs = okNames.map(k => jstr(k) + ":" + results(k)).mkString("{", ",", "}")
+      val errJson = errors.toSeq.sortBy(_._1)
+        .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":$qs,"failed":$errJson,"n_failed":${errors.size},"sf":"${sfDir}"}"""
+    }
+    def samplesJson: String = {
+      val passes = samples.zipWithIndex.map { case (m, i) =>
+        s""""pass_${i + 1}":""" + okNames.map(n => s"\"$n\":" + m(n)).mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+      s"""{"samples":$passes}"""
+    }
+  }
+
+  /** Interleaved min-of-`iters` full-suite passes. Per-query time = min
+    * over passes, not back-to-back repeats of each query: on a shared host
+    * a load spike lasting tens of seconds inflates a CONTIGUOUS run of
+    * queries, and back-to-back repeats hand that spike to both samples of
+    * each query it covers — the min can't reject it. Interleaved passes
+    * put ~a full suite between a query's samples, so one spike can only
+    * touch one of them.
+    */
+  def run(spark: SparkSession, selected: Map[String, (SparkSession, String) => DataFrame],
+          sfDir: String, iters: Int): Outcome = {
+    val names = selected.keys.toSeq
+    val errors = scala.collection.mutable.Map[String, String]()
+    val samples = (1 to iters).map { pass =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { selected(name)(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              errors(name) = (e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(300)
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] pass $pass $name%-24s $dt%8.2f s" +
+          (if (ok) "" else "  FAILED"))
+        name -> (if (ok) dt else Double.NaN)
+      }.toMap
+    }
+    val okNames = names.filterNot(errors.contains)
+    Outcome(names, okNames.map(n => n -> samples.map(_(n)).min).toMap,
+      errors.toMap, samples)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,44 +101,9 @@ object Bench {
     }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // Per-query time = min over `iters` FULL-SUITE passes, not back-to-back
-    // repeats of each query: on a shared host a load spike lasting tens of
-    // seconds inflates a CONTIGUOUS run of queries, and back-to-back repeats
-    // hand that spike to both samples of each query it covers — the min
-    // can't reject it. Interleaved passes put ~a full suite between a
-    // query's samples, so one spike can only touch one of them.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
-    val names = selected.keys.toSeq
-    // A failed query must NOT masquerade as a fast one: record the error,
-    // keep it out of every total, and make the process exit nonzero. A
-    // bench that can't fail is not a bench.
-    val errors = scala.collection.mutable.Map[String, String]()
-    val samples = (1 to iters).map { pass =>
-      names.map { name =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { selected(name)(spark, sfDir).count(); true }
-          catch {
-            case e: Throwable =>
-              errors(name) = (e.getClass.getSimpleName + ": " +
-                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(300)
-              false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] pass $pass $name%-24s $dt%8.2f s" +
-          (if (ok) "" else "  FAILED"))
-        name -> (if (ok) dt else Double.NaN)
-      }.toMap
-    }
-    val okNames = names.filterNot(errors.contains)
-    val results = okNames.map(n => n -> samples.map(_(n)).min).toMap
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = okNames.map(k => jstr(k) + ":" + results(k)).mkString("{", ",", "}")
-    val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"failed":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    val out = run(spark, selected, sfDir, iters)
+    val line = out.headline(sfDir)
     println(line)
     // The one-line stdout JSON overflows tail-capture harnesses at 91+
     // queries (a ~2 KB ring keeps only its suffix) — persist the full
@@ -82,21 +111,18 @@ object Bench {
     // END stdout with a compact summary that always fits inside any tail:
     // total + query count + the path of the complete per-query map, so a
     // truncated capture still parses and still says where the rest lives.
-    val passes = samples.zipWithIndex.map { case (m, i) =>
-      s""""pass_${i + 1}":""" + okNames.map(n => s"\"$n\":" + m(n)).mkString("{", ",", "}")
-    }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n" + s"""{"samples":$passes}""" + "\n")
+        (line + "\n" + out.samplesJson + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s""""n_queries":${results.size},"n_failed":${errors.size},"per_query":"$outPath"}""")
+    println(s"""{"metric":"total","value":${out.total},"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${out.results.size},"n_failed":${out.errors.size},"per_query":"$outPath"}""")
     spark.stop()
-    if (errors.nonEmpty) {
-      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
-        errors.keys.toSeq.sorted.mkString(", "))
+    if (out.errors.nonEmpty) {
+      System.err.println(s"[bench] ${out.errors.size} queries FAILED: " +
+        out.errors.keys.toSeq.sorted.mkString(", "))
       sys.exit(1)
     }
   }

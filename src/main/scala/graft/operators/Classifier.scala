@@ -95,13 +95,19 @@ object Classifier {
       .agg(array_sort(collect_list(struct(col("bucket"), col("x")))).as("f"))
     val cached = if (persist) docFeats.persist() else docFeats
     try {
+      val spark = feats.sparkSession
+      import spark.implicits._
       val n = cached.count().toDouble
       val w = Array.fill(dim + 1)(0.0)
+      // weights ride as a broadcast ONE-ROW frame, not a literal: the
+      // generated code is then identical across iterations (only the
+      // broadcast data changes), so whole-stage codegen compiles once for
+      // the whole training loop instead of once per iteration
+      val margin = aggregate(col("f"), lit(0.0), (acc, s) =>
+        acc + element_at(col("__w"), (s.getField("bucket") + 1).cast("int")) * s.getField("x"))
       for (_ <- 0 until iters) {
-        val wLit = typedLit(w.toSeq)
-        val margin = aggregate(col("f"), lit(0.0), (acc, s) =>
-          acc + element_at(wLit, (s.getField("bucket") + 1).cast("int")) * s.getField("x"))
-        val grad = cached
+        val wDf = Seq(Tuple1(w.toSeq)).toDF("__w")
+        val grad = cached.crossJoin(broadcast(wDf))
           .select((lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")).as("__r"),
             explode(col("f")).as("s"))
           .groupBy(col("s.bucket").as("bucket"))
