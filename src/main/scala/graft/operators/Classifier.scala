@@ -66,14 +66,15 @@ object Classifier {
     *   - setup is ONE shuffle: features join labels, the intercept enters
     *     as a pseudo-feature (bucket = dim, x = 1), and each doc collapses
     *     to a sorted (bucket, x) array, cached when `persist`;
-    *   - each iteration is then ONE job with NO join: margin + residual
-    *     fold inline over the per-doc array (weights ride along as an
-    *     array literal), gradient = explode → partial-aggregated bucket
-    *     sum → one model-sized collect (dim+1 rows).
+    *   - each iteration is then ONE single-stage treeAggregate over the
+    *     cache (the MLlib GD shape — weights broadcast, dim+1 partial
+    *     gradient arrays combined driver-ward): no join, no exchange, no
+    *     per-iteration query planning.
     *
     * Determinism: the per-doc arrays are array_sort-canonicalized so the
-    * margin fold order is fixed, and the gradient accumulates in decimal
-    * (decSum) — training is bit-identical under any input partitioning.
+    * margin fold order is fixed, and the gradient accumulates as
+    * fixed-point longs (round-to-12 × 10¹²) — exact commutative addition,
+    * so training is bit-identical under any input partitioning.
     */
   def trainLogReg(feats: DataFrame, labels: DataFrame, dim: Int,
                   iters: Int = 20, lr: Double = 4.0,
@@ -88,36 +89,59 @@ object Classifier {
         val keep = ((maxTrain.toDouble / nAll) * mod).toLong.max(1L)
         labels.where(pmod(xxhash64(col(idCol), lit("train_cap")), lit(mod)) < lit(keep))
       }
-    val docFeats = feats.join(labelsS, idCol)
-      .select(col(idCol), col("y"), col("bucket").cast("long").as("bucket"), col("x"))
-      .union(labelsS.select(col(idCol), col("y"), lit(dim.toLong), lit(1.0)))
-      .groupBy(col(idCol), col("y"))
-      .agg(array_sort(collect_list(struct(col("bucket"), col("x")))).as("f"))
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val docFeats = docFeatureArrays(feats, labelsS, dim, idCol)
+      .select(col("y"), expr("transform(f, s -> struct(s.bucket AS _1, s.x AS _2))").as("f"))
+      .as[(Double, Array[(Long, Double)])]
     val cached = if (persist) docFeats.persist() else docFeats
     try {
-      val spark = feats.sparkSession
-      import spark.implicits._
       val n = cached.count().toDouble
       val w = Array.fill(dim + 1)(0.0)
-      // weights ride as a broadcast ONE-ROW frame, not a literal: the
-      // generated code is then identical across iterations (only the
-      // broadcast data changes), so whole-stage codegen compiles once for
-      // the whole training loop instead of once per iteration
-      val margin = aggregate(col("f"), lit(0.0), (acc, s) =>
-        acc + element_at(col("__w"), (s.getField("bucket") + 1).cast("int")) * s.getField("x"))
+      // Each iteration is ONE single-stage treeAggregate over the cached
+      // table (the MLlib GD shape): margin folded over the sorted per-doc
+      // array, residual·x accumulated per bucket as FIXED-POINT longs
+      // (×10¹² after a round-to-12) — exact, commutative addition, so the
+      // gradient is bit-identical under any partitioning, like decSum but
+      // without a shuffle, a broadcast join, or per-iteration planning.
+      // Overflow headroom: |r·x| ≤ 1 ⇒ ≤ 10¹² per term; the cap bounds
+      // terms per bucket ≪ 9.2 × 10¹⁸ / 10¹².
+      val rdd = cached.rdd
       for (_ <- 0 until iters) {
-        val wDf = Seq(Tuple1(w.toSeq)).toDF("__w")
-        val grad = cached.crossJoin(broadcast(wDf))
-          .select((lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")).as("__r"),
-            explode(col("f")).as("s"))
-          .groupBy(col("s.bucket").as("bucket"))
-          .agg(decSum(col("__r") * col("s.x")).as("g"))
-          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-        for (b <- 0 to dim) w(b) -= lr * grad.getOrElse(b, 0.0) / n
+        val wb = spark.sparkContext.broadcast(w.clone())
+        val gradFixed = rdd.treeAggregate(new Array[Long](dim + 1))(
+          seqOp = { (acc, row) =>
+            val (y, f) = row
+            val wv = wb.value
+            var m = 0.0
+            var i = 0
+            while (i < f.length) { m += wv(f(i)._1.toInt) * f(i)._2; i += 1 }
+            val r = 1.0 / (1.0 + math.exp(-m)) - y
+            i = 0
+            while (i < f.length) {
+              acc(f(i)._1.toInt) += math.rint(r * f(i)._2 * 1e12).toLong
+              i += 1
+            }
+            acc
+          },
+          combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+        wb.destroy()
+        for (b <- 0 to dim) w(b) -= lr * (gradFixed(b) / 1e12) / n
       }
       w
     } finally if (persist) { cached.unpersist(); () }
   }
+
+  /** Per-doc sort-canonicalized (bucket, x) arrays with the intercept as
+    * pseudo-bucket `dim` — the one shuffle of training setup.
+    */
+  private[graft] def docFeatureArrays(feats: DataFrame, labels: DataFrame, dim: Int,
+                                      idCol: String = "doc_id"): DataFrame =
+    feats.join(labels, idCol)
+      .select(col(idCol), col("y"), col("bucket").cast("long").as("bucket"), col("x"))
+      .union(labels.select(col(idCol), col("y"), lit(dim.toLong), lit(1.0)))
+      .groupBy(col(idCol), col("y"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("x")))).as("f"))
 
   /** Score documents under a trained weight vector: (id, prob) with prob
     * rounded to 6 decimals — one broadcast join + one doc-keyed sum.

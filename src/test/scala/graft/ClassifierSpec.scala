@@ -82,6 +82,23 @@ class ClassifierSpec extends SparkSpec {
     assert(acc >= 0.95, s"capped-training accuracy $acc")
   }
 
+  test("docFeatureArrays: one exchange, sorted per-doc arrays, intercept as pseudo-bucket") {
+    val feats = Seq((1L, 2L, 0.5), (1L, 0L, 1.0), (2L, 1L, 1.0)).toDF("doc_id", "bucket", "x")
+    val labels = Seq((1L, 1.0), (2L, 0.0)).toDF("doc_id", "y")
+    val df = Classifier.docFeatureArrays(feats, labels, dim = 3)
+    // the training-setup plan shuffles ONCE (the per-doc collect_list);
+    // the label join is broadcast, never sort-merge
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
+    val rows = df.collect().map(r => r.getDouble(1) ->
+      r.getSeq[org.apache.spark.sql.Row](2).map(s => (s.getLong(0), s.getDouble(1)))).toMap
+    // arrays arrive bucket-sorted (the fixed margin-fold order) with the
+    // intercept pseudo-feature (bucket = dim, x = 1) appended
+    assert(rows(1.0) === Seq((0L, 1.0), (2L, 0.5), (3L, 1.0)))
+    assert(rows(0.0) === Seq((1L, 1.0), (3L, 1.0)))
+  }
+
   test("scoreLogReg keeps docs whose features all miss the weight table") {
     val feats = Seq((1L, 0L, 1.0), (2L, 3L, 1.0)).toDF("doc_id", "bucket", "x")
     // weights cover buckets 0..1 only; doc 2's bucket 3 is out of range →
