@@ -31,5 +31,24 @@ object Tables {
     load(spark, dir, "events")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `embeddings.embedding` is contractually `array<float>` — the compiled
+    * kernels (graft_dot, HyperplaneLSH, Int8Quantize, NearestCentroid)
+    * type-check on FloatType elements. Defend against the round-6 failure
+    * mode (a testdata regeneration changing the physical element type) by
+    * branching on the loaded dtype: float passes through untouched, any
+    * other numeric element casts per-element at scan speed.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val df = load(spark, dir, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(_: NumericType, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported embedding type: $other")
+    }
+  }
 }

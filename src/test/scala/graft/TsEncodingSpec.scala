@@ -101,6 +101,19 @@ class TsEncodingSpec extends SparkSpec {
     assert(run("ltz", c => timestamp_micros(c)) === expected)
   }
 
+  test("embeddings loader normalizes double-element vectors to the array<float> contract") {
+    val dir = Files.createTempDirectory("graft_embenc").toString
+    Seq((1L, Seq(1.25, -2.5), 0), (2L, Seq(0.5, 3.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val df = Tables.embeddings(spark, dir)
+    assert(df.schema("embedding").dataType === ArrayType(FloatType, true))
+    // the compiled float kernel accepts the normalized column
+    val dot = df.where($"vec_id" === 1L)
+      .select(graft.plans.Exprs.dot($"embedding", $"embedding")).head.getDouble(0)
+    assert(math.abs(dot - (1.25 * 1.25 + 2.5 * 2.5)) < 1e-6)
+  }
+
   test("an unsupported ts dtype fails loudly, not silently") {
     val df = Seq(("u1", "not-a-ts")).toDF("user_id", "ts")
     intercept[IllegalArgumentException] { Fns.normalizeTsNtz(df, "ts") }
