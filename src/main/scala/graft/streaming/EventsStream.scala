@@ -129,6 +129,55 @@ object EventsStream {
     out.drop("__h")
   }
 
+  /** Micro-batch exact dedup against a LARGE fingerprint store with no
+    * store-side shuffle — the 100 TB form of [[incrementalDedupStream]]'s
+    * store join. A stream-static left_anti shuffles (or re-broadcasts) the
+    * ENTIRE store every micro-batch: at fingerprint-store scale that
+    * shuffle IS the pipeline's cost. Here the batch's distinct hashes
+    * (micro-batch-sized by construction) broadcast INTO a store semi-join
+    * — the store is only ever SCANNED, column-pruned to its hash — and the
+    * surviving duplicate hashes (≤ batch size) broadcast back for the
+    * anti-join. Admission semantics are identical to the stream-static
+    * left_anti; in-batch duplicates collapse keep-min-id as in the batch
+    * mirror. Streaming cannot express this flip in-plan (the stream side
+    * may not sit right of a semi-join), which is exactly what foreachBatch
+    * is for — see [[curationForeachBatch]].
+    */
+  def dedupAgainstStoreBatch(batch: DataFrame, store: DataFrame,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    val hashed = batch.withColumn("__h", md5(col(textCol)))
+    val batchHashes = hashed.select(col("__h")).distinct()
+    val dups = store
+      .join(broadcast(batchHashes), store("text_hash") === col("__h"), "left_semi")
+      .select(col("text_hash").as("__dup_h"))
+    val unseen = hashed.join(broadcast(dups), hashed("__h") === col("__dup_h"), "left_anti")
+    graft.plans.GroupTopK.topKPerKey(unseen, Seq("__h"), Seq(col(idCol).asc), 1)
+      .drop("__h")
+  }
+
+  /** The curation pipeline via foreachBatch — the form that scales the
+    * store join (see [[dedupAgainstStoreBatch]]) and re-reads the static
+    * frames every micro-batch (fresh file listing, so store appends and
+    * threshold refreshes take effect without a query restart, the
+    * [[temperatureMixStreamRefreshing]] contract). `sink` receives each
+    * batch's curated manifest plus the batch id.
+    */
+  def curationForeachBatch(docs: DataFrame,
+                           threshold: () => DataFrame,
+                           store: () => DataFrame,
+                           benchGrams: DataFrame, n: Int = 8,
+                           textCol: String = "text", idCol: String = "doc_id")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val gated = qualityGateStream(batch.toDF(), threshold(), textCol, idCol,
+        keep = Seq(textCol, "ts"))
+      val deduped = dedupAgainstStoreBatch(gated, store(), textCol, idCol)
+      val curated = decontaminateStream(deduped, benchGrams, n, textCol)
+        .select(col(idCol), col("ts"), col("n_tokens"), col("quality"))
+      sink(curated, batchId)
+    }
+
   /** Streaming quality gate — the continuous face of
     * `TextAnalysis.qualityGate`: each arriving document is scored at scan
     * speed and kept iff its quality clears the threshold frame

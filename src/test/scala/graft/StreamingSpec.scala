@@ -686,4 +686,49 @@ class StreamingSpec extends SparkSpec {
       assert(replayed.toSet === batch && replayed.length === replayed.toSet.size)
     } finally query.stop()
   }
+
+  test("curationForeachBatch admits the same set; the store join never shuffles the store") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, TextAnalysis}
+    val all = Tables.documents(spark, sfDir).limit(120)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val benchDF = all.filter(_._1 % 10 == 0).toSeq.toDF("doc_id", "text")
+    val corpus = all.filter(_._1 % 10 != 0)
+    val corpusDF = corpus.toSeq.toDF("doc_id", "text")
+    val thr = TextAnalysis.qualityThreshold(corpusDF, 0.25)
+    val store = Dedup.fingerprintStore(
+      Seq((9000L, corpus.head._2)).toDF("doc_id", "text"))
+    val benchGrams = EventsStream.benchmarkGrams(benchDF)
+
+    // oracle: the stream-static curationStream admission on the same wave
+    val expected = EventsStream.curationStream(
+      corpusDF.withColumn("ts", lit("2024-01-01 10:00:00").cast("timestamp")),
+      thr, store, benchGrams).select("doc_id").as[Long].collect().toSet
+
+    val input = MemoryStream[StreamDoc]
+    val admitted = scala.collection.mutable.Set[Long]()
+    val query = EventsStream.curationForeachBatch(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      () => thr, () => store, benchGrams) { (batch, _) =>
+      admitted ++= batch.select("doc_id").as[Long](implicitly).collect()
+      ()
+    }.start()
+    try {
+      input.addData(corpus.sortBy(_._1).map { case (id, t) =>
+        StreamDoc(id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+      query.processAllAvailable()
+      assert(admitted.toSet === expected)
+    } finally query.stop()
+
+    // plan shape: the store side of dedupAgainstStoreBatch only SCANS —
+    // both joins are broadcast with batch-derived build sides (no
+    // SortMergeJoin anywhere, so nothing store-sized can shuffle). The
+    // only hash exchanges are batch-sized: the keep-first GroupTopK and
+    // the distinct feeding the hash broadcast.
+    val p = EventsStream.dedupAgainstStoreBatch(corpusDF, store)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+  }
 }
