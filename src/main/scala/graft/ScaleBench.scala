@@ -141,14 +141,26 @@ object ScaleBench {
 
   private val family = dedupAnn ++ text ++ events
 
+  // Same failure contract as Bench: a failed query is recorded, kept out
+  // of every total/ratio, and fails the process — time-to-throw is not a
+  // measurement.
+  private val errors = scala.collection.mutable.Map[String, String]()
+
   private def runPass(spark: SparkSession, dir: String, pass: Int): Map[String, Double] =
     family.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir).count()
-      catch { case e: Throwable => System.err.println(s"[scale] $name FAILED: $e") }
+      val ok =
+        try { SparkEntry.queries(name)(spark, dir).count(); true }
+        catch {
+          case e: Throwable =>
+            errors(name) = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(300)
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scale] pass $pass ${new java.io.File(dir).getName}%-16s $name%-26s $dt%8.2f s")
-      name -> dt
+      System.err.println(f"[scale] pass $pass ${new java.io.File(dir).getName}%-16s $name%-26s $dt%8.2f s" +
+        (if (ok) "" else "  FAILED"))
+      name -> (if (ok) dt else Double.NaN)
     }.toMap
 
   def main(args: Array[String]): Unit = {
@@ -181,25 +193,36 @@ object ScaleBench {
     // (min-of-N rejects this host's throttle windows, like Bench)
     runPass(spark, "/root/testdata/sf0.001", 0)
     val passes = (1 to iters).map(p => (runPass(spark, base, p), runPass(spark, out, p)))
-    val baseMin = family.map(n => n -> passes.map(_._1(n)).min).toMap
-    val bigMin = family.map(n => n -> passes.map(_._2(n)).min).toMap
-    val rows = family.map { n =>
+    val okFamily = family.filterNot(errors.contains)
+    val baseMin = okFamily.map(n => n -> passes.map(_._1(n)).min).toMap
+    val bigMin = okFamily.map(n => n -> passes.map(_._2(n)).min).toMap
+    val rows = okFamily.map { n =>
       val r = bigMin(n) / baseMin(n)
       s""""$n":{"base":${baseMin(n)},"scaled":${bigMin(n)},"ratio":${math.round(r * 100) / 100.0}}"""
+    }.mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1).map { case (k, m) =>
+      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val (bt, st) = (baseMin.values.sum, bigMin.values.sum)
     val json =
       s"""{"metric":"scale","mult":$mult,"base_sf":"$base","scaled_dir":"$out",
          |"base_total_sec":$bt,"scaled_total_sec":$st,
-         |"total_ratio":${math.round(st / bt * 100) / 100.0},"queries":$rows}""".stripMargin
+         |"total_ratio":${math.round(st / bt * 100) / 100.0},
+         |"failed":$errJson,"n_failed":${errors.size},"queries":$rows}""".stripMargin
         .replace("\n", "")
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/SCALE_out.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_out.json")),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[scale] write failed: $e") }
     println(s"""{"metric":"scale","mult":$mult,"base_total_sec":$bt,""" +
       s""""scaled_total_sec":$st,"total_ratio":${math.round(st / bt * 100) / 100.0},""" +
-      s""""per_query":"SCALE_out.json"}""")
+      s""""n_failed":${errors.size},"per_query":"SCALE_out.json"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[scale] ${errors.size} queries FAILED: " +
+        errors.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -25,10 +25,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that fails here produces NO parquet and therefore NO row in
+    // the driver's correctness compare (round 6: 48 silently-missing
+    // rows). Keep going — one broken key must not zero the round — but
+    // leave a machine-readable trace beside the outputs.
+    val errors = scala.collection.mutable.Map[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(300)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -47,6 +54,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, m) => s"${q(k)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.toSeq.sorted.mkString(", "))
     spark.stop()
   }
 }
