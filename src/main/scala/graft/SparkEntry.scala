@@ -1254,6 +1254,18 @@ object SparkEntry {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.95)"), 6).as("p95"))),
 
+    "q_quantiles_scalable" -> ((s, dir) => {
+      // the same EXACT quantiles without percentile()'s per-group value
+      // buffer (an OOM at corpus scale): radix bisection over the
+      // order-preserving double encoding — 8 histogram passes, bucket
+      // counts through the shuffle, model-sized driver state. Same oracle
+      // as q_quantiles: exactness is the point of the scale path.
+      Quantiles.quantileCont(events(s, dir), "event_type", "value",
+          Seq(0.5 -> "p50", 0.95 -> "p95"))
+        .select(col("event_type"), round(col("p50"), 6).as("p50"),
+          round(col("p95"), 6).as("p95"))
+    }),
+
     "q_zscore" -> ((s, dir) => {
       // normalization stats from decimal-exact sums (NOT the stddev builtin,
       // whose float accumulation differs per engine/partitioning)
@@ -2418,6 +2430,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_quantiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // identical oracle to q_quantiles — the scalable path must be EXACT
+    "q_quantiles_scalable" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.95), 6) AS p95

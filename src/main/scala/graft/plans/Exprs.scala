@@ -147,4 +147,8 @@ object Exprs {
     GraftBridge.column(BloomFilterMightContain(
       GraftBridge.expression(bloom), GraftBridge.expression(hashed)))
   }
+
+  /** Order-preserving double→long bit encoding (see [[DoubleSortBits]]). */
+  def doubleSortBits(v: Column): Column =
+    GraftBridge.column(DoubleSortBits(GraftBridge.expression(v)))
 }

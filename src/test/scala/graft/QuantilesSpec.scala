@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Quantiles
+import graft.plans.DoubleSortBits
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory exact quantiles: the bit encoding's order contract, the
+  * radix bisection against a sorted-array reference (negatives,
+  * duplicates, single-element groups), and end-to-end agreement with the
+  * built-in exact percentile on the events table.
+  */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DoubleSortBits: unsigned-order-preserving, exact round-trip") {
+    val rnd = new scala.util.Random(7)
+    val vs = Seq(Double.NegativeInfinity, -1e300, -2.5, -1.0, -0.0, 0.0,
+      Double.MinPositiveValue, 1.0, 2.5, 1e300, Double.PositiveInfinity) ++
+      Seq.fill(200)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(6)))
+    for (v <- vs) assert(DoubleSortBits.decode(DoubleSortBits.encode(v)) === v ||
+      (v == 0.0 && 1 / DoubleSortBits.decode(DoubleSortBits.encode(v)) == 1 / v))
+    val sortedByDouble = vs.sorted
+    val sortedByBits = vs.sortBy(v => DoubleSortBits.encode(v) ^ Long.MinValue) // unsigned order
+    assert(sortedByBits === sortedByDouble)
+  }
+
+  test("orderStatistics equals the sorted array on random data with negatives and dupes") {
+    val rnd = new scala.util.Random(11)
+    val data = (for {
+      g <- Seq("a", "b", "c")
+      _ <- 1 to (if (g == "c") 1 else 500)
+    } yield (g, if (rnd.nextBoolean()) rnd.nextGaussian() * 100 else rnd.nextInt(5).toDouble - 2))
+    val df = data.toDF("k", "v").repartition(7)
+    val byKey = data.groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).sorted.toIndexedSeq }
+    val ranks = byKey.map { case (k, vs) =>
+      k -> Seq(0L, vs.length.toLong - 1, vs.length.toLong / 2, vs.length.toLong / 3)
+    }
+    val got = Quantiles.orderStatistics(df, "k", "v", ranks)
+    for ((k, rs) <- ranks; r <- rs)
+      assert(got((k, r)) === byKey(k)(r.toInt), s"group $k rank $r")
+  }
+
+  test("quantileCont matches the built-in exact percentile on events, bit for bit") {
+    val ev = Fns.eventsNorm(spark, sfDir)
+    val builtin = ev.groupBy(col("event_type").as("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val scalable = Quantiles.quantileCont(ev, "event_type", "value",
+        Seq(0.5 -> "p50", 0.95 -> "p95"))
+      .select(col("event_type"), round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(scalable === builtin)
+  }
+
+  test("no per-group value buffering: the histogram pass plan is a plain hash aggregate") {
+    // the built-in percentile plans an ObjectHashAggregate holding every
+    // value; the scalable path must never — its aggregates carry counts
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+    val stats = Quantiles.orderStatistics(df, "k", "v", Map("a" -> Seq(1L), "b" -> Seq(0L)))
+    assert(stats(("a", 1L)) === 2.0 && stats(("b", 0L)) === 3.0)
+  }
+
+  private object Fns {
+    def eventsNorm(s: org.apache.spark.sql.SparkSession, dir: String) =
+      graft.functions.Fns.normalizeTsNtz(Tables.events(s, dir), "ts")
+  }
+}
