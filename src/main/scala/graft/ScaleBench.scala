@@ -192,6 +192,10 @@ object ScaleBench {
     // warmup (JIT + codegen) on the smallest sf, then interleaved passes
     // (min-of-N rejects this host's throttle windows, like Bench)
     runPass(spark, "/root/testdata/sf0.001", 0)
+    // the warmup dir is never measured — a failure there must not taint
+    // the measured passes' error set (or exclude a query that succeeds at
+    // both measured sizes)
+    errors.clear()
     val passes = (1 to iters).map(p => (runPass(spark, base, p), runPass(spark, out, p)))
     val okFamily = family.filterNot(errors.contains)
     val baseMin = okFamily.map(n => n -> passes.map(_._1(n)).min).toMap

@@ -59,8 +59,9 @@ object Classifier {
     * (index = bucket; slot `dim` is the intercept).
     *
     * Cost shape, by design:
-    *   - training is bounded: if more than `maxTrain` labeled docs arrive,
-    *     a deterministic id-hash sample caps the training set (the
+    *   - training is bounded: if more than `maxTrain` labeled docs
+    *     arrive, the `maxTrain` smallest by deterministic id-hash are
+    *     kept — an EXACT top-k cap, see [[cappedLabels]] (the
     *     distillation recipes this models train on 10⁵–10⁶ labels, never
     *     the corpus — at 100 TB the corpus pass belongs to SCORING only);
     *   - setup is ONE shuffle: features join labels, the intercept enters
@@ -82,13 +83,7 @@ object Classifier {
                   maxTrain: Int = 50000): Array[Double] = {
     val nAll = labels.count()
     require(nAll > 0, "empty training set")
-    val labelsS =
-      if (nAll <= maxTrain) labels
-      else {
-        val mod = 1L << 20
-        val keep = ((maxTrain.toDouble / nAll) * mod).toLong.max(1L)
-        labels.where(pmod(xxhash64(col(idCol), lit("train_cap")), lit(mod)) < lit(keep))
-      }
+    val labelsS = cappedLabels(labels, nAll, maxTrain, idCol)
     val spark = feats.sparkSession
     import spark.implicits._
     val docFeats = docFeatureArrays(feats, labelsS, dim, idCol)
@@ -131,6 +126,19 @@ object Classifier {
       w
     } finally if (persist) { cached.unpersist(); () }
   }
+
+  /** The training-set cap as an EXACT bound: the `maxTrain` docs with the
+    * smallest deterministic id-hash (id itself breaks hash ties), via
+    * top-k — Spark plans orderBy+limit as TakeOrderedAndProject (bounded
+    * heaps per partition, k rows to the driver-side stage, no full sort).
+    * A plain hash-threshold filter only caps in EXPECTATION (binomial
+    * around the target); this keeps both the promise in the name and
+    * determinism under any partitioning.
+    */
+  private[graft] def cappedLabels(labels: DataFrame, nAll: Long, maxTrain: Int,
+                                  idCol: String): DataFrame =
+    if (nAll <= maxTrain) labels
+    else labels.orderBy(xxhash64(col(idCol), lit("train_cap")), col(idCol)).limit(maxTrain)
 
   /** Per-doc sort-canonicalized (bucket, x) arrays with the intercept as
     * pseudo-bucket `dim` — the one shuffle of training setup.
@@ -178,7 +186,7 @@ object Classifier {
     */
   def scorecard(docs: DataFrame, dim: Int = 256, iters: Int = 15,
                 lr: Double = 4.0, textCol: String = "text",
-                idCol: String = "doc_id"): DataFrame = {
+                idCol: String = "doc_id", maxTrain: Int = 50000): DataFrame = {
     val spark = docs.sparkSession
     // labels (id, y) and hashed features are each consumed by several
     // actions (median, train join, train count, held-out scoring) —
@@ -193,12 +201,14 @@ object Classifier {
       when(col("quality") >= lit(med), 1.0).otherwise(0.0).as("y"))
     val isTest = pmod(xxhash64(col(idCol)), lit(5L)) === 0
     val w = trainLogReg(feats.where(!isTest), labels.where(!isTest), dim,
-      iters = iters, lr = lr, idCol = idCol)
+      iters = iters, lr = lr, idCol = idCol, maxTrain = maxTrain)
     val scored = scoreLogReg(feats.where(isTest), w, idCol)
       .join(labels, idCol)
       .select(col("y"), when(col("prob") >= 0.5, 1.0).otherwise(0.0).as("yh"))
     import spark.implicits._
-    val nTrain = labels.where(!isTest).count()
+    // n_train reports the docs the model ACTUALLY trained on — when the
+    // cap binds, the split size would overstate it
+    val nTrain = math.min(labels.where(!isTest).count(), maxTrain.toLong)
     val agg = scored.agg(
       count(lit(1)).as("n"), sum(col("y")).as("pos"),
       sum(when(col("y") === col("yh"), 1L).otherwise(0L)).as("correct"),

@@ -35,9 +35,12 @@ object Quantiles {
 
   private val B = 8 // bits per pass; 256-bucket histograms, 64/B passes
 
-  /** Exact 0-based order statistics per group: for each group key and
-    * each requested rank, the rank-th smallest value (NULLs excluded).
+  /** Sentinel standing in for a NULL group key inside the narrowing state
+    * (equi-joins drop null keys). No cast-to-string data value starts
+    * with a NUL byte, so it cannot collide.
     */
+  private val NullKey = "\u0000NULL"
+
   /** Early-resolve threshold: once a target's window (rows sharing its
     * prefix) holds at most this many rows, one pass collects the window's
     * distinct values + counts (≤ threshold rows per target) and finishes
@@ -47,12 +50,22 @@ object Quantiles {
     */
   private val ResolveWindow = 64L
 
+  /** Exact 0-based order statistics per group: for each group key and
+    * each requested rank, the rank-th smallest value (NULL values
+    * excluded; a NULL group key is addressed by the internal sentinel —
+    * use [[quantileCont]] for null-group-aware output). Requesting a key
+    * with no rows fails loudly.
+    */
   def orderStatistics(df: DataFrame, keyCol: String, valueCol: String,
                       ranksOf: Map[String, Seq[Long]]): Map[(String, Long), Double] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL group keys are real groups (GROUP BY keeps them) — encode them
+    // as a sentinel so the state equi-joins match; "\u0000NULL" cannot
+    // collide with a cast-to-string key (no data value casts to a string
+    // with a NUL prefix)
     val base = df.where(col(valueCol).isNotNull)
-      .select(col(keyCol).cast("string").as("__k"),
+      .select(coalesce(col(keyCol).cast("string"), lit(NullKey)).as("__k"),
         graft.plans.Exprs.doubleSortBits(col(valueCol).cast("double")).as("__u"))
     // live: (prefix, remaining rank within window); toResolve: + bitsFixed
     val live = scala.collection.mutable.Map[(String, Long), (Long, Long)]()
@@ -76,6 +89,13 @@ object Quantiles {
           shiftrightunsigned(col("__u"), 64 - bits - B).bitwiseAND(lit(255L)).as("__b"))
         .agg(count(lit(1)).as("__c"))
         .collect()
+      if (pass == 0) {
+        // a requested key with no matching rows would otherwise sit in the
+        // state untouched and decode to garbage — fail loudly instead
+        val present = counts.map(_.getString(0)).toSet
+        val absent = live.keys.map(_._1).filterNot(present.contains)
+        require(absent.isEmpty, s"no rows for requested group key(s): ${absent.mkString(", ")}")
+      }
       counts.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (key, rows) =>
         val (p, rem) = live(key)
         var cum = 0L
@@ -130,7 +150,7 @@ object Quantiles {
                    qs: Seq[(Double, String)]): DataFrame = {
     val spark = df.sparkSession
     val ns = df.where(col(valueCol).isNotNull)
-      .groupBy(col(keyCol).cast("string").as("__k")).count()
+      .groupBy(coalesce(col(keyCol).cast("string"), lit(NullKey)).as("__k")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ranksOf = ns.map { case (k, n) =>
       k -> qs.flatMap { case (q, _) =>
@@ -145,12 +165,15 @@ object Quantiles {
         val lo = math.floor(pos).toLong
         val hi = math.ceil(pos).toLong
         val vlo = stats((k, lo))
-        val vhi = stats((k, hi))
-        vlo + (pos - lo) * (vhi - vlo)
+        // integral positions return the order statistic DIRECTLY — the
+        // interpolation form would turn an infinite endpoint into
+        // Inf − Inf = NaN where percentile()/quantile_cont return ±Inf
+        if (lo == hi) vlo
+        else vlo + (pos - lo) * (stats((k, hi)) - vlo)
       }
-      Row.fromSeq(k +: vals)
+      Row.fromSeq((if (k == NullKey) null else k) +: vals)
     }
-    val schema = StructType(StructField(keyCol, StringType, nullable = false) +:
+    val schema = StructType(StructField(keyCol, StringType, nullable = true) +:
       qs.map { case (_, name) => StructField(name, DoubleType, nullable = false) })
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }

@@ -87,7 +87,12 @@ object Sources {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // fail like the batch loader (Fns.normalizeTsNtz): a silent cast
+        // would null the timestamps and drop every row at the watermark
+        throw new IllegalArgumentException(
+          s"unsupported physical type for streaming ts column: $other")
     }
   }
 }

@@ -168,15 +168,20 @@ object EventsStream {
                            store: () => DataFrame,
                            benchGrams: DataFrame, n: Int = 8,
                            textCol: String = "text", idCol: String = "doc_id")(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the suite is static: build the bloom screen ONCE at query-build
+    // time, not inside the per-batch closure (threshold/store, by
+    // contrast, are () => frames precisely so they re-resolve per batch)
+    val screen = decontaminator(benchGrams, n, textCol)
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       val gated = qualityGateStream(batch.toDF(), threshold(), textCol, idCol,
         keep = Seq(textCol, "ts"))
       val deduped = dedupAgainstStoreBatch(gated, store(), textCol, idCol)
-      val curated = decontaminateStream(deduped, benchGrams, n, textCol)
+      val curated = screen(deduped)
         .select(col(idCol), col("ts"), col("n_tokens"), col("quality"))
       sink(curated, batchId)
     }
+  }
 
   /** Streaming quality gate — the continuous face of
     * `TextAnalysis.qualityGate`: each arriving document is scored at scan
@@ -219,7 +224,17 @@ object EventsStream {
     * negatives ⇒ admission semantics unchanged.
     */
   def decontaminateStream(docs: DataFrame, benchGrams: DataFrame, n: Int = 8,
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text"): DataFrame =
+    decontaminator(benchGrams, n, textCol)(docs)
+
+  /** The decontamination screen as a reusable transform: building it runs
+    * the two bloom-construction jobs ONCE (gram count + sketch aggregate
+    * over the static suite); applying it is pure plan construction. Use
+    * this form wherever the screen is applied repeatedly — foreachBatch
+    * pipelines must NOT rebuild the bloom per micro-batch.
+    */
+  def decontaminator(benchGrams: DataFrame, n: Int = 8,
+                     textCol: String = "text"): DataFrame => DataFrame = {
     import graft.operators.Dedup
     import graft.plans.Exprs
     val bgGrams = benchGrams.select(explode(col("__bg")).as("g"))
@@ -228,14 +243,15 @@ object EventsStream {
       .agg(Exprs.bloomAgg(xxhash64(col("g")), nGrams, (nGrams * 10L).max(64L)).as("b"))
       .head().getAs[Array[Byte]](0)
     val mightHit = (g: Column) => Exprs.bloomMightContain(lit(bloomBytes), xxhash64(g))
-    docs
-      .withColumn("__toks", Dedup.tokens(textCol))
-      .withColumn("__grams", Dedup.ngramsOfTokens("__toks", n))
-      .withColumn("__k", lit(1))
-      .join(broadcast(benchGrams.withColumn("__k", lit(1))), "__k")
-      .where(!exists(col("__grams"), mightHit) ||
-        !arrays_overlap(col("__grams"), col("__bg")))
-      .drop("__toks", "__grams", "__k", "__bg")
+    docs =>
+      docs
+        .withColumn("__toks", Dedup.tokens(textCol))
+        .withColumn("__grams", Dedup.ngramsOfTokens("__toks", n))
+        .withColumn("__k", lit(1))
+        .join(broadcast(benchGrams.withColumn("__k", lit(1))), "__k")
+        .where(!exists(col("__grams"), mightHit) ||
+          !arrays_overlap(col("__grams"), col("__bg")))
+        .drop("__toks", "__grams", "__k", "__bg")
   }
 
   /** The benchmark gram set for [[decontaminateStream]] as a one-row

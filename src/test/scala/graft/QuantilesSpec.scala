@@ -53,6 +53,30 @@ class QuantilesSpec extends SparkSpec {
     assert(scalable === builtin)
   }
 
+  test("NULL group keys and infinite values match the built-in percentile") {
+    val df = Seq(
+      (Some("g"), 1.0), (Some("g"), 2.0), (Some("g"), Double.PositiveInfinity),
+      (None, 5.0), (None, 7.0), (None, 9.0))
+      .toDF("k", "v").select($"k", $"v")
+    val builtin = df.groupBy($"k")
+      .agg(expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 1.0)").as("p100"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val got = Quantiles.quantileCont(df, "k", "v", Seq(0.5 -> "p50", 1.0 -> "p100"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got === builtin)
+    // the NULL group is a real row and q=1.0 on the +Inf group is +Inf,
+    // not Inf - Inf = NaN
+    assert(got(None) === ((7.0, 9.0)))
+    assert(got(Some("g"))._2 === Double.PositiveInfinity)
+  }
+
+  test("a requested group key with no rows fails loudly") {
+    val df = Seq(("a", 1.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Quantiles.orderStatistics(df, "k", "v", Map("a" -> Seq(0L), "zzz" -> Seq(0L)))
+    }
+  }
+
   test("no per-group value buffering: the histogram pass plan is a plain hash aggregate") {
     // the built-in percentile plans an ObjectHashAggregate holding every
     // value; the scalable path must never — its aggregates carry counts
