@@ -88,9 +88,12 @@ object TextAnalysis {
     * above the corpus' own q-th score percentile" cut (an absolute
     * threshold drifts as the corpus mix shifts; a quantile tracks it).
     * One aggregate computes the EXACT interpolated percentile (what the
-    * oracle can reproduce — at 100 TB swap in approx_percentile and accept
-    * the sketch bound); the one-row threshold broadcasts back, so the gate
-    * is scan → one-row cross join → filter: no data-sized shuffle at all.
+    * oracle can reproduce); the one-row threshold broadcasts back, so the
+    * gate is scan → one-row cross join → filter: no data-sized shuffle at
+    * all. `percentile()` buffers every score in one aggregation buffer —
+    * fine at benchmark scale; at corpus scale compute the SAME exact
+    * threshold in bounded memory with [[qualityThresholdScalable]]
+    * (radix-bisection passes, see [[Quantiles]]).
     */
   def qualityGate(docs: DataFrame, quantile: Double = 0.25,
                   textCol: String = "text", idCol: String = "doc_id",
@@ -112,6 +115,23 @@ object TextAnalysis {
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     qualityScore(landed, textCol, idCol)
       .agg(expr(s"percentile(quality, $quantile)").as("__thr"))
+
+  /** [[qualityThreshold]] in bounded memory: the identical exact
+    * interpolated percentile via [[Quantiles.quantileCont]]'s radix
+    * bisection — no per-group value buffer, so the landed corpus can be
+    * any size. Trades 2–4 extra scans of the scored frame for that bound;
+    * the regex scoring pass dominates each scan, so persist the scored
+    * frame upstream when it fits.
+    */
+  def qualityThresholdScalable(landed: DataFrame, quantile: Double = 0.25,
+                               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = landed.sparkSession
+    val scored = qualityScore(landed, textCol, idCol).withColumn("__g", lit("all"))
+    val thr = Quantiles.quantileCont(scored, "__g", "quality", Seq(quantile -> "__thr"))
+      .head().getDouble(1)
+    import spark.implicits._
+    Seq(thr).toDF("__thr")
+  }
 
   /** Document fingerprint: md5 of the normalized text (lowercase, strip
     * non-alphanumerics, collapse whitespace) — catches trivially-reformatted

@@ -4,6 +4,14 @@ import graft.operators.{Multimodal, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
+
+  test("qualityThresholdScalable equals the buffering percentile threshold, bit for bit") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    val buffering = TextAnalysis.qualityThreshold(docs, 0.25).head().getDouble(0)
+    val scalable = TextAnalysis.qualityThresholdScalable(docs, 0.25).head().getDouble(0)
+    assert(scalable === buffering)
+  }
   import spark.implicits._
 
   test("token counts: whitespace vs regex tokenization") {
