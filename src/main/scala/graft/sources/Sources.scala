@@ -38,6 +38,33 @@ object Sources {
     normalizeColumns(
       spark.read.option("header", "true").option("inferSchema", "true").csv(path))
 
+  /** JSONL corpus ingestion — the interchange format LLM training corpora
+    * actually arrive in (one JSON document per line, gzip-splittable per
+    * file). Declared schema, never inference (inference is an extra full
+    * pass AND anchors the schema to whichever files were sampled);
+    * PERMISSIVE mode keeps malformed lines instead of killing a
+    * 100 TB job at the first truncated shard, and quarantines them:
+    * the returned frame carries a `__corrupt` column holding the raw bad
+    * line (null for clean rows), so the caller can count / divert them
+    * (`where(col("__corrupt").isNotNull)`) into a reject sink rather than
+    * silently dropping data. Multiline JSON is deliberately NOT enabled:
+    * multiline documents make files non-splittable.
+    *
+    * Spark caveat: a query whose referenced columns are ONLY `__corrupt`
+    * (e.g. `df.where($"__corrupt".isNotNull).count()`) is disallowed on a
+    * raw JSON scan — persist the frame (or land it to parquet) before
+    * auditing rejects, which a reject-sink pipeline does anyway.
+    */
+  def readJsonlCorpus(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("__corrupt", org.apache.spark.sql.types.StringType)
+    normalizeColumns(
+      spark.read
+        .schema(withCorrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "__corrupt")
+        .json(path))
+  }
+
   /** Holdings table ingestion — the create_sector_shares_dataframe cleanup
     * (sector.py:156-173) on a (ticker, weight, shares_held) source: drop the
     * placeholder '-' rows, nulls and tickers containing '6' (the reference's

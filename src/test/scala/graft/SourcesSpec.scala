@@ -101,6 +101,34 @@ class SourcesSpec extends SparkSpec {
     assert(rows === Seq(1.0, 2.0)) // day 1 untouched, day 2 converged
   }
 
+  test("readJsonlCorpus: declared schema, corrupt lines quarantined not dropped") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl").toFile
+    val f = new java.io.File(dir, "shard-000.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"doc_id": 1, "text": "hello world", "lang": "en"}""")
+    w.println("""{"doc_id": 2, "text": "bonjour", "lang": "fr"}""")
+    w.println("""{"doc_id": 3, "text": "truncated""") // malformed line
+    w.println("""{"doc_id": 4, "text": "ok", "lang": "en"}""")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    // persist before corrupt-column-only queries (documented Spark
+    // restriction on raw JSON scans)
+    val df = Sources.readJsonlCorpus(spark, f.getAbsolutePath, schema).persist()
+    val clean = df.where($"__corrupt".isNull)
+    val bad = df.where($"__corrupt".isNotNull)
+    assert(clean.count() === 3)
+    assert(clean.orderBy($"doc_id").select($"doc_id").as[Long].collect().toSeq === Seq(1L, 2L, 4L))
+    // the quarantined row carries the raw line for a reject sink
+    assert(bad.count() === 1)
+    assert(bad.select($"__corrupt").as[String].head.contains("truncated"))
+    // downstream operators run unchanged on the clean side
+    val scored = graft.operators.TextAnalysis.qualityScore(clean.drop("__corrupt"))
+    assert(scored.count() === 3)
+  }
+
   test("events stream source feeds the shared windowedAgg transform") {
     val streamDir = Files.createTempDirectory("graft_stream")
     Files.copy(
