@@ -77,9 +77,7 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
-  test("no per-group value buffering: the histogram pass plan is a plain hash aggregate") {
-    // the built-in percentile plans an ObjectHashAggregate holding every
-    // value; the scalable path must never — its aggregates carry counts
+  test("tiny groups and exact ranks resolve correctly") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
     val stats = Quantiles.orderStatistics(df, "k", "v", Map("a" -> Seq(1L), "b" -> Seq(0L)))
     assert(stats(("a", 1L)) === 2.0 && stats(("b", 0L)) === 3.0)
