@@ -17,6 +17,28 @@ object Sinks {
     df.withColumn("day", to_date(col(tsCol)))
       .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
 
+  /** Land a [[Sources.readJsonlCorpus]]-style frame as clean parquet plus
+    * a quarantine: rows whose `corruptCol` is null go to `cleanPath`
+    * (without the audit column), the rest keep the raw malformed line and
+    * land under `rejectPath` — ingest never silently drops data, and the
+    * reject side stays re-parseable once the producer is fixed. ONE scan
+    * of the source: the split is two filtered writes over the same parsed
+    * frame, so persist `df` first when the input is a raw JSON scan (also
+    * required by Spark's corrupt-column-projection rule). Returns
+    * (clean, rejected) row counts for the caller's ingest ledger.
+    */
+  def writeWithRejects(df: DataFrame, cleanPath: String, rejectPath: String,
+                       corruptCol: String = "__corrupt"): (Long, Long) = {
+    val clean = df.where(col(corruptCol).isNull).drop(corruptCol)
+    val bad = df.where(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    clean.write.mode(SaveMode.Append).parquet(cleanPath)
+    bad.write.mode(SaveMode.Append).parquet(rejectPath)
+    (spark(df).read.parquet(cleanPath).count(), spark(df).read.parquet(rejectPath).count())
+  }
+
+  private def spark(df: DataFrame): SparkSession = df.sparkSession
+
   /** Restatement: overwrite ONLY the day partitions present in `df`,
     * leaving every other day untouched — the correction path append-only
     * sinks can't express (a late upstream fix re-pulls a day; the daily

@@ -127,6 +127,14 @@ class SourcesSpec extends SparkSpec {
     // downstream operators run unchanged on the clean side
     val scored = graft.operators.TextAnalysis.qualityScore(clean.drop("__corrupt"))
     assert(scored.count() === 3)
+
+    // the landing sink splits clean/reject without dropping either side
+    val cleanDir = new java.io.File(dir, "clean").getAbsolutePath
+    val rejDir = new java.io.File(dir, "rejects").getAbsolutePath
+    val (nClean, nBad) = Sinks.writeWithRejects(df, cleanDir, rejDir)
+    assert(nClean === 3 && nBad === 1)
+    assert(spark.read.parquet(cleanDir).columns.toSeq.sorted === Seq("doc_id", "lang", "text"))
+    assert(spark.read.parquet(rejDir).select($"raw_line").as[String].head.contains("truncated"))
   }
 
   test("events stream source feeds the shared windowedAgg transform") {
