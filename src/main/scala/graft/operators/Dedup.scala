@@ -102,13 +102,18 @@ object Dedup {
                            maxBucketSize: Int = 10000,
                            oversizedStar: Boolean = false,
                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"banding geometry must divide evenly: numHashes=$numHashes bands=$bands")
     val rowsPerBand = numHashes / bands
     // the batch signatures feed BOTH passes (intra-batch near-dedup +
-    // store screen) — computed once here, never re-derived from text
+    // store screen) — computed once here with THIS geometry, which must
+    // also reach the intra pass: banding a w-hash signature with defaults
+    // for a different w slices past the array end (empty-slice constant
+    // buckets) or silently ignores slots
     val batchSigs = minhashSignatures(batch, textCol, idCol, numHashes)
     val intra = deduplicateNear(batch, threshold, textCol, idCol,
       sigs = Some(batchSigs), oversizedStar = oversizedStar,
-      maxBucketSize = maxBucketSize)
+      maxBucketSize = maxBucketSize, numHashes = numHashes, bands = bands)
     val intraSigs = batchSigs
       .join(intra.select(col(idCol).as("id")), Seq("id"), "left_semi")
     def banded(sigs: DataFrame, side: String) = sigs
@@ -204,15 +209,6 @@ object Dedup {
     s"""transform(sequence(0, ${bands - 1}),
        |  b -> named_struct('band', b, 'bucket', xxhash64(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand))))""".stripMargin)
 
-  /** MinHash-LSH candidate pairs over word 3-grams: shingle → signature →
-    * band-bucket → per-bucket pairing → distinct pairs with the estimated
-    * Jaccard (fraction of agreeing signature slots).
-    */
-  /** `maxBucketSize` exempts degenerate buckets from pairwise estimation
-    * (a boilerplate string shared by millions of docs would otherwise cost
-    * O(bucket²)); such buckets run the exact-hash collapse pass instead —
-    * see [[lshCandidatePairs]].
-    */
   /** MinHash signatures (id, __sig) for every document — the shared input
     * of the LSH candidate and exact-verify stages. Callers composing several
     * near-dup passes compute this ONCE and feed it to
@@ -266,6 +262,8 @@ object Dedup {
       bands: Int = 16,
       maxBucketSize: Int = 10000,
       oversizedStar: Boolean = false): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"banding geometry must divide evenly: numHashes=$numHashes bands=$bands")
     val rowsPerBand = numHashes / bands
     val banded = sigs
       .select(col("id"), xxhash64(col("__sig")).as("__fh"),
@@ -342,12 +340,15 @@ object Dedup {
       candidates: Option[DataFrame] = None,
       sigs: Option[DataFrame] = None,
       oversizedStar: Boolean = false,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
     val grams = docs
       .select(col(idCol).as("gid"), tokens(textCol).as("__toks"))
       .select(col("gid"), ngramsOfTokens("__toks", 3).as("grams"))
     val cands = candidates.getOrElse(
-      lshCandidatePairs(sigs.getOrElse(minhashSignatures(docs, textCol, idCol)),
+      lshCandidatePairs(sigs.getOrElse(minhashSignatures(docs, textCol, idCol, numHashes)),
+        numHashes = numHashes, bands = bands,
         maxBucketSize = maxBucketSize, oversizedStar = oversizedStar)
         .select("id_a", "id_b"))
     cands
@@ -526,10 +527,13 @@ object Dedup {
         sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
       (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
-    var edges = materialize(
+    // ONE materialization of the (possibly expensive) pairs lineage feeds
+    // both the edge set and the final self-loop rescue — re-reading
+    // `pairs` after the loop would re-run the whole candidate pipeline
+    val canon = materialize(
       pairs.select(least(col("id_a"), col("id_b")).as("a"),
-        greatest(col("id_a"), col("id_b")).as("b"))
-        .where(col("a") =!= col("b")).distinct())
+        greatest(col("id_a"), col("id_b")).as("b")).distinct())
+    var edges = materialize(canon.where(col("a") =!= col("b")))
     var prev = fingerprint(edges)
     var iter = 0
     var converged = false
@@ -562,9 +566,10 @@ object Dedup {
       .select(col("id"), least(col("id"), col("__mn")).as("component"))
     // nodes whose ONLY pairs were self-loops vanish with the a≠b filter
     // above but are still singleton components — the other variants emit
-    // them, and the contract is identical labels
-    val selfOnly = pairs.where(col("id_a") === col("id_b"))
-      .select(col("id_a").as("id")).distinct()
+    // them, and the contract is identical labels. Reads the materialized
+    // canon, never the raw pairs lineage.
+    val selfOnly = canon.where(col("a") === col("b"))
+      .select(col("a").as("id")).distinct()
       .join(labeled.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     labeled.union(selfOnly)
@@ -580,9 +585,11 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id",
                       sigs: Option[DataFrame] = None,
                       oversizedStar: Boolean = false,
-                      maxBucketSize: Int = 10000): DataFrame = {
+                      maxBucketSize: Int = 10000,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val pairs = ngramJaccard(docs, threshold, textCol, idCol, sigs = sigs,
-      oversizedStar = oversizedStar, maxBucketSize = maxBucketSize)
+      oversizedStar = oversizedStar, maxBucketSize = maxBucketSize,
+      numHashes = numHashes, bands = bands)
       .select("id_a", "id_b")
     val losers = connectedComponents(pairs)
       .where(col("id") =!= col("component"))
@@ -746,7 +753,8 @@ object Dedup {
     * bits spread across all chunks once maxHamming exceeds chunks − 1.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id",
+                   maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     val nChunks = maxHamming + 1
     val fps = docs.select(col(idCol).as("id"), simhash(textCol).as("fp"))
@@ -765,13 +773,32 @@ object Dedup {
       .groupBy(col("chunk_idx"), col("chunk_val"))
       .agg(collect_list(struct(col("id"), col("fp"))).as("members"))
       .where(size(col("members")) > 1)
-    buckets
+    val small = buckets.where(size(col("members")) <= maxBucketSize)
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         expr("bit_count(a.fp ^ b.fp)").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
+    // Over-cap chunk buckets follow the file's bucket-cap convention
+    // (every other near-dup path here caps): no all-vs-all inside them —
+    // instead members group by their FULL fingerprint and each identical
+    // family star-pairs to its minimum id at O(family) cost (identical
+    // fingerprints ⇒ hamming 0, always within any maxHamming). The
+    // near-but-not-identical residue of an over-cap bucket goes
+    // unscreened — pigeonhole completeness holds for buckets within the
+    // cap; a degenerate mega-bucket trades the tail for not going
+    // quadratic, exactly as the MinHash path does.
+    val bigMembers = buckets.where(size(col("members")) > maxBucketSize)
+      .select(col("chunk_idx"), col("chunk_val"), explode(col("members")).as("m"))
+      .select(col("chunk_idx"), col("chunk_val"), col("m.id").as("id"), col("m.fp").as("fp"))
+    val hubs = bigMembers.groupBy(col("chunk_idx"), col("chunk_val"), col("fp"))
+      .agg(min(col("id")).as("hub"))
+    val collapsed = bigMembers.join(hubs, Seq("chunk_idx", "chunk_val", "fp"))
+      .where(col("id") =!= col("hub"))
+      .select(least(col("hub"), col("id")).as("id_a"),
+        greatest(col("hub"), col("id")).as("id_b"),
+        lit(0).as("hamming"))
+    small.union(collapsed).distinct()
   }
 }

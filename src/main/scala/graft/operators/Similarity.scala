@@ -97,6 +97,17 @@ object Similarity {
     * (each row ships to b+1 cells) as low as that allows — the knob scales
     * itself from local[32] to a 1000-executor cluster.
     */
+  /** Int8-screen error bound — correctness-critical and single-sourced:
+    * |Σ qa·qb·sa·sb − a·b| ≤ sa·sb·(½Σ|qa| + ½Σ|qb| + d/4), from the
+    * per-element rounding bound |x − s·q| ≤ s/2. Every quantized screen
+    * (grid-exact, hyperplane-bucketed, SemDeDup cells) adds THIS bound so
+    * the screen can never drop a true pair; tightening or fixing it here
+    * changes all of them in lockstep. Operates on the conventional
+    * screen-side column names (sa/sb, s1a/s1b, ca).
+    */
+  private def int8ErrBound: Column = col("sa") * col("sb") *
+    (lit(0.5) * (col("s1a") + col("s1b")) + lit(0.25) * size(col("ca")))
+
   def cosinePairsExact(embeddings: DataFrame, threshold: Double, blocks: Int = 0,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b =
@@ -138,8 +149,7 @@ object Similarity {
       .withColumn("gi", explode(expr("sequence(0, blk)")))
       .select(col("gi"), col("blk").as("gj"), col("id").as("ib"), col("nrm").as("nb"),
         col("qscale").as("sb"), col("codes").as("cb"), col("s1").as("s1b"))
-    val errBound = col("sa") * col("sb") *
-      (lit(0.5) * (col("s1a") + col("s1b")) + lit(0.25) * size(col("ca")))
+    val errBound = int8ErrBound
     val screened = sideA.join(sideB, Seq("gi", "gj"))
       // diagonal cells see each unordered pair twice (both rows on both
       // sides); off-diagonal cells exactly once with arbitrary id order
@@ -175,23 +185,39 @@ object Similarity {
     * task, never the scored cross product.
     */
   def topKBatch(embeddings: DataFrame, queries: DataFrame, k: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("qn")))
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKBatchImpl(embeddings, queries, k, idCol, vecCol, labelFilter = None)
+
+  /** Shared two-phase batched top-k: codegen'd double screen over the
+    * broadcast query batch, bounded-heap candidates, decimal-exact cosine
+    * on survivors. The screen rank uses the SAME (rounded score, id)
+    * ordering as the final decimal ranking: ranking raw doubles could cut
+    * true top-k members on tie-dense corpora where many cosines share a
+    * rounded value and the final order falls to the id tie-break. With
+    * consistent ordering the 4k+16 margin only has to absorb
+    * double-vs-decimal rounding at a 6th-decimal boundary (~1-ulp
+    * events), not whole tie bands. `labelFilter = Some(labelCol)` swaps
+    * the self-pair test for the label-mismatch predicate (hard-negative
+    * mining) — ONE implementation so the margin/ordering reasoning can
+    * never diverge between the two entry points.
+    */
+  private def topKBatchImpl(embeddings: DataFrame, queries: DataFrame, k: Int,
+                            idCol: String, vecCol: String,
+                            labelFilter: Option[String]): DataFrame = {
+    val qCols = Seq(col(idCol).as("qid"), col(vecCol).as("qv"),
+      sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("qn")) ++
+      labelFilter.map(l => col(l).as("__ql"))
+    val q = broadcast(queries.select(qCols: _*))
+    val eCols = Seq(col(idCol), col(vecCol).as("v"),
+      sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm")) ++
+      labelFilter.map(col)
     val screened = embeddings
-      .select(col(idCol), col(vecCol).as("v"),
-        sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm"))
+      .select(eCols: _*)
       .crossJoin(q)
-      .where(col(idCol) =!= col("qid"))
+      .where(labelFilter.fold(col(idCol) =!= col("qid"))(l => col(l) =!= col("__ql")))
       .select(col("qid"), col(idCol), col("v"), col("qv"),
         (graft.plans.Exprs.dot(col("v"), col("qv"))
           / nullif(col("nrm") * col("qn"), lit(0.0))).as("__dcos"))
-    // screen rank uses the SAME (rounded score, id) ordering as the final
-    // decimal ranking: ranking raw doubles here could cut true top-k
-    // members on tie-dense corpora where many cosines share a rounded
-    // value and the final order falls to the id tie-break. With consistent
-    // ordering the margin only has to absorb double-vs-decimal rounding at
-    // a 6th-decimal boundary (~1-ulp events), not whole tie bands.
     val candidates = graft.plans.GroupTopK.topKPerKey(
       screened, Seq("qid"), Seq(round(col("__dcos"), 6).desc, col(idCol).asc), 4 * k + 16)
     val refined = candidates.select(col("qid"), col(idCol),
@@ -214,29 +240,8 @@ object Similarity {
     */
   def hardNegatives(embeddings: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    labelCol: String = "label"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      col(labelCol).as("__ql"),
-      sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("qn")))
-    val screened = embeddings
-      .select(col(idCol), col(labelCol), col(vecCol).as("v"),
-        sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm"))
-      .crossJoin(q)
-      .where(col(labelCol) =!= col("__ql"))
-      .select(col("qid"), col(idCol), col("v"), col("qv"),
-        (graft.plans.Exprs.dot(col("v"), col("qv"))
-          / nullif(col("nrm") * col("qn"), lit(0.0))).as("__dcos"))
-    // candidate margin + consistent (rounded, id) ordering: the topKBatch
-    // tie-band rationale, unchanged by the label predicate
-    val candidates = graft.plans.GroupTopK.topKPerKey(
-      screened, Seq("qid"), Seq(round(col("__dcos"), 6).desc, col(idCol).asc), 4 * k + 16)
-    val refined = candidates.select(col("qid"), col(idCol),
-      round(dotExact("v", "qv")
-        / nullif(sqrt(dotExact("v", "v")) * sqrt(dotExact("qv", "qv")), lit(0.0)), 6)
-        .as("cosine"))
-    graft.plans.GroupTopK.topKPerKey(
-      refined, Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k)
-  }
+                    labelCol: String = "label"): DataFrame =
+    topKBatchImpl(embeddings, queries, k, idCol, vecCol, labelFilter = Some(labelCol))
 
   /** Random-hyperplane LSH signature: sign bits of dot products against
     * `planes` pseudo-random hyperplanes derived from xxhash64(dim, plane) —
@@ -417,6 +422,7 @@ object Similarity {
   def ivfTopKBatch(index: DataFrame, centroids: Array[Array[Double]],
                    queries: DataFrame, k: Int, nprobe: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireLongIds(queries, idCol, "ivfTopKBatch")
     val qRows = queries.select(col(idCol), col(vecCol)).collect()
     val probesOf: Map[Long, Seq[Int]] = qRows.map { r =>
       val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
@@ -531,9 +537,22 @@ object Similarity {
     * top candidates against float vectors when exact ordering matters.
     * Estimates are engine-specific (rows-only check, like IVF/LSH).
     */
+  /** The query-collecting ANN paths (pqTopK / ivfPq* / ivfTopKBatch) key
+    * their driver-side probe maps on bigint ids — check loudly instead of
+    * a mid-job ClassCastException when a corpus arrives with int/string
+    * ids. (The fully type-generic paths — topK/topKBatch/ivfTopKIndexed —
+    * carry ids through columns and don't care.)
+    */
+  private def requireLongIds(df: DataFrame, idCol: String, who: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType,
+      s"$who requires a bigint $idCol (driver-side probe maps are keyed on Long); got ${dt.catalogString} — cast upstream")
+  }
+
   def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
              query: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireLongIds(query, idCol, "pqTopK")
     val qRow = query.select(col(idCol), col(vecCol)).head()
     val qid = qRow.getLong(0)
     val qv = qRow.getSeq[Float](1).toArray.map(_.toDouble)
@@ -610,6 +629,7 @@ object Similarity {
                 codebooks: Array[Array[Array[Double]]],
                 query: DataFrame, k: Int, nprobe: Int = 4,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireLongIds(query, idCol, "ivfPqTopK")
     val qRow = query.select(col(idCol), col(vecCol)).head()
     val qid = qRow.getLong(0)
     val qv = qRow.getSeq[Float](1).toArray.map(_.toDouble)
@@ -670,6 +690,7 @@ object Similarity {
                         codebooks: Array[Array[Array[Double]]],
                         query: DataFrame, k: Int, nprobe: Int = 4,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireLongIds(query, idCol, "ivfPqResidualTopK")
     val qRow = query.select(col(idCol), col(vecCol)).head()
     val qid = qRow.getLong(0)
     val qv = qRow.getSeq[Float](1).toArray.map(_.toDouble)
@@ -785,18 +806,43 @@ object Similarity {
       graft.plans.Exprs.hyperplaneLsh(col("v"), planesEff, b * planesEff).as("bits")))
     val member = embeddings
       .select(col(idCol).as("id"), col(vecCol).as("v"),
+        xxhash64(col(vecCol)).as("vh"),
         sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm"),
         graft.plans.Exprs.quantizeInt8(col(vecCol)).as("q"))
-      .select(struct(col("id"), col("nrm"), col("q.qscale").as("qscale"),
+      .select(struct(col("id"), col("vh"), col("nrm"), col("q.qscale").as("qscale"),
         col("q.codes").as("codes"), col("q.s1").as("s1")).as("m"),
         explode(array(bandCols: _*)).as("bb"))
-    val survivors = member
+    val buckets = member
       .groupBy(col("bb.band").as("band"), col("bb.bits").as("bits"))
       .agg(collect_list(col("m")).as("ms"))
-      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucketSize)
-      .select(explode(graft.plans.Exprs.bucketScreen(col("ms"), threshold)).as("p"))
+      .where(size(col("ms")) > 1)
+    // the compiled screen takes the 5-field kernel struct — project vh
+    // (carried for the over-cap collapse only) back out per member
+    val screenMs = transform(col("ms"), m => struct(
+      m.getField("id").as("id"), m.getField("nrm").as("nrm"),
+      m.getField("qscale").as("qscale"), m.getField("codes").as("codes"),
+      m.getField("s1").as("s1")))
+    val screened = buckets.where(size(col("ms")) <= maxBucketSize)
+      .select(explode(graft.plans.Exprs.bucketScreen(screenMs, threshold)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    // Over-cap buckets (an embedding family larger than maxBucketSize —
+    // template pages all encoding to the same vector) must not vanish:
+    // the lshCandidatePairs convention applies. Members group by their
+    // EXACT vector hash and each identical family star-pairs to its
+    // minimum id at O(family) cost (identical vectors ⇒ cosine 1, and the
+    // downstream exact verify confirms regardless). Near-but-not-identical
+    // residue inside an over-cap bucket remains unscreened — the same
+    // documented trade as the MinHash path without oversizedStar.
+    val bigMembers = buckets.where(size(col("ms")) > maxBucketSize)
+      .select(col("band"), col("bits"), explode(col("ms")).as("m"))
+      .select(col("band"), col("bits"), col("m.id").as("id"), col("m.vh").as("vh"))
+    val famHubs = bigMembers.groupBy(col("band"), col("bits"), col("vh"))
+      .agg(min(col("id")).as("hub"))
+    val collapsed = bigMembers.join(famHubs, Seq("band", "bits", "vh"))
+      .where(col("id") =!= col("hub"))
+      .select(least(col("hub"), col("id")).as("id_a"),
+        greatest(col("hub"), col("id")).as("id_b"))
+    val survivors = screened.union(collapsed).distinct()
     val vecs0 = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
       normExact(vecCol).as("nrm"))
     val vecs = if (broadcastVecs) broadcast(vecs0) else vecs0
@@ -833,8 +879,7 @@ object Similarity {
       col("qscale").as("sa"), col("codes").as("ca"), col("s1").as("s1a"))
     val bSide = lite.select(col("cell"), col("id").as("ib"), col("nrm").as("nb"),
       col("qscale").as("sb"), col("codes").as("cb"), col("s1").as("s1b"))
-    val errBound = col("sa") * col("sb") *
-      (lit(0.5) * (col("s1a") + col("s1b")) + lit(0.25) * size(col("ca")))
+    val errBound = int8ErrBound
     val screened = a.join(bSide, Seq("cell"))
       .where(col("ia") < col("ib"))
       .where((graft.plans.Exprs.dotInt8(col("ca"), col("cb")).cast("double")
@@ -880,8 +925,7 @@ object Similarity {
       .select(Seq(col("id"), col("nrm"), col("q.qscale").as("qscale"),
         col("q.codes").as("codes"), col("q.s1").as("s1")) ++
         centsList.indices.map(i => col(s"cell$i")): _*)
-    val errBound = col("sa") * col("sb") *
-      (lit(0.5) * (col("s1a") + col("s1b")) + lit(0.25) * size(col("ca")))
+    val errBound = int8ErrBound
     val screened = centsList.indices.map { i =>
       val a = lite.select(col(s"cell$i").as("cell"), col("id").as("ia"), col("nrm").as("na"),
         col("qscale").as("sa"), col("codes").as("ca"), col("s1").as("s1a"))

@@ -231,11 +231,13 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(count(e2e, "BroadcastNestedLoopJoin") === 1, e2e)
     assert(!e2e.contains("CartesianProduct") && !e2e.contains("SortMergeJoin"), e2e)
     // banded LSH pairs: candidates are screened INSIDE buckets by the
-    // compiled kernel — the only joins are the output-sized id-keyed
-    // vector join-backs, and the corpus side is the broadcast build
+    // compiled kernel — the joins are the output-sized id-keyed vector
+    // join-backs (corpus side broadcast) plus the over-cap exact-collapse
+    // star join (family-keyed, O(family)); nothing sort-merges
     val lsh2 = plan("q_ann_lsh")
     assert(lsh2.contains("graft_bucket_screen"), lsh2)
-    assert(count(lsh2, "BroadcastHashJoin") === 2, lsh2)
+    assert(count(lsh2, "BroadcastHashJoin") === 3, lsh2)
+    assert(!lsh2.contains("SortMergeJoin") && !lsh2.contains("CartesianProduct"), lsh2)
     // quality scoring runs the fused one-pass kernel, not regex sweeps
     val qs = plan("q_quality_score")
     assert(qs.contains("graft_text_stats"), qs)

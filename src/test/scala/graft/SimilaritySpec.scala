@@ -243,6 +243,22 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.size > single.size, s"banded ${lsh.size} vs single ${single.size}")
   }
 
+  test("over-cap LSH buckets exact-collapse instead of vanishing (identical-vector family)") {
+    // 30 identical vectors + 5 distinct ones, cap 10: every bucket holding
+    // the family is over-cap, yet all 30 must still pair to the family hub
+    val fam = (1L to 30L).map(i => (i, Array(1.0f, 0.5f, -0.25f, 2.0f), 0))
+    val rest = (100L to 104L).map(i =>
+      (i, Array(-1.0f + i * 0.1f, 3.0f, 0.7f, -0.4f * i), 1))
+    val emb = (fam ++ rest).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cosinePairsBucketed(emb, 0.9, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the family's star to its hub (min id 1) survives the cap
+    for (i <- 2L to 30L) assert(pairs.contains((1L, i)), s"missing (1,$i)")
+    // and the exact verify still gates: the family never pairs with the
+    // unrelated vectors (rest-vs-rest pairs above threshold are legitimate)
+    assert(pairs.forall { case (a, b) => (a <= 30L) == (b <= 30L) })
+  }
+
   test("pqTopKReranked: exact-cosine order, recall at least matches pure ADC") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.orderBy($"vec_id".desc).limit(1)
