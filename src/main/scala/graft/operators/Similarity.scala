@@ -395,10 +395,7 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qRow = query.select(col(idCol), col(vecCol)).head()
     val qv = qRow.getSeq[Float](1).toArray.map(_.toDouble)
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (i, c.zip(qv).map { case (a, b) => a * b }.sum) }
-      .sortBy { case (i, d) => (-d, i) }
-      .take(nprobe).map(_._1)
+    val probes = probeCells(qv, centroids, nprobe)
     val q = broadcast(query
       .select(col(idCol).as("qid"), col(vecCol).as("qv"), normExact(vecCol).as("qn")))
     index
@@ -426,10 +423,7 @@ object Similarity {
     val qRows = queries.select(col(idCol), col(vecCol)).collect()
     val probesOf: Map[Long, Seq[Int]] = qRows.map { r =>
       val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
-      r.getLong(0) -> centroids.zipWithIndex
-        .map { case (c, i) => (i, c.zip(qv).map { case (a, b) => a * b }.sum) }
-        .sortBy { case (i, d) => (-d, i) }
-        .take(nprobe).map(_._1).toSeq
+      r.getLong(0) -> probeCells(qv, centroids, nprobe).toSeq
     }.toMap
     val allProbed = probesOf.values.flatten.toSeq.distinct
     // probe lists as ONE map literal (O(1) expression depth — a per-query
@@ -537,6 +531,30 @@ object Similarity {
     * top candidates against float vectors when exact ordering matters.
     * Estimates are engine-specific (rows-only check, like IVF/LSH).
     */
+  /** Coarse-probe selection, single-sourced for every IVF probe path:
+    * the `nprobe` cells whose centroids have the highest inner product
+    * with the query (ties to the lower cell index). A tie-break or metric
+    * change here reaches all probe variants at once.
+    */
+  private def probeCells(qv: Array[Double], centroids: Array[Array[Double]],
+                         nprobe: Int): Array[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qv).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nprobe).map(_._1)
+
+  /** Per-subspace inner-product LUT for a query against PQ codebooks:
+    * lut(s)(code) = ⟨codebook_s[code], q_s⟩ — the ADC probe's query-side
+    * precompute, shared by every PQ scoring path.
+    */
+  private def ipLutOf(qv: Array[Double],
+                      codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val dsub = codebooks(0)(0).length
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => c.zipWithIndex.map { case (x, i) => x * qv(s * dsub + i) }.sum)
+    }
+  }
+
   /** The query-collecting ANN paths (pqTopK / ivfPq* / ivfTopKBatch) key
     * their driver-side probe maps on bigint ids — check loudly instead of
     * a mid-job ClassCastException when a corpus arrives with int/string
@@ -558,9 +576,7 @@ object Similarity {
     val qv = qRow.getSeq[Float](1).toArray.map(_.toDouble)
     val qNorm = math.sqrt(qv.map(x => x * x).sum)
     val dsub = codebooks(0)(0).length
-    val ipLut = codebooks.zipWithIndex.map { case (cb, s) =>
-      cb.map(c => c.zipWithIndex.map { case (x, i) => x * qv(s * dsub + i) }.sum)
-    }
+    val ipLut = ipLutOf(qv, codebooks)
     val normSqLut = codebooks.map(_.map(c => c.map(x => x * x).sum))
     encoded
       .where(col(idCol) =!= qid)
@@ -634,14 +650,9 @@ object Similarity {
     val qid = qRow.getLong(0)
     val qv = qRow.getSeq[Float](1).toArray.map(_.toDouble)
     val qNorm = math.sqrt(qv.map(x => x * x).sum)
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (i, c.zip(qv).map { case (a, b) => a * b }.sum) }
-      .sortBy { case (i, d) => (-d, i) }
-      .take(nprobe).map(_._1)
+    val probes = probeCells(qv, centroids, nprobe)
     val dsub = codebooks(0)(0).length
-    val ipLut = codebooks.zipWithIndex.map { case (cb, s) =>
-      cb.map(c => c.zipWithIndex.map { case (x, i) => x * qv(s * dsub + i) }.sum)
-    }
+    val ipLut = ipLutOf(qv, codebooks)
     val normSqLut = codebooks.map(_.map(c => c.map(x => x * x).sum))
     index
       .where(col("cent_idx").isin(probes.toSeq: _*) && col(idCol) =!= qid)
@@ -695,15 +706,10 @@ object Similarity {
     val qid = qRow.getLong(0)
     val qv = qRow.getSeq[Float](1).toArray.map(_.toDouble)
     val qNorm = math.sqrt(qv.map(x => x * x).sum)
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (i, c.zip(qv).map { case (a, b) => a * b }.sum) }
-      .sortBy { case (i, d) => (-d, i) }
-      .take(nprobe).map(_._1)
+    val probes = probeCells(qv, centroids, nprobe)
     val probeSet = probes.toSet
     val dsub = codebooks(0)(0).length
-    val ipLut = codebooks.zipWithIndex.map { case (cb, s) =>
-      cb.map(c => c.zipWithIndex.map { case (x, i) => x * qv(s * dsub + i) }.sum)
-    }
+    val ipLut = ipLutOf(qv, codebooks)
     val resNormSq = codebooks.map(_.map(c => c.map(x => x * x).sum))
     val qCentDot = centroids.map(c => c.zip(qv).map { case (a, b) => a * b }.sum)
     val centNormSq = centroids.map(c => c.map(x => x * x).sum)
