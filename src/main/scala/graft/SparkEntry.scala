@@ -1254,6 +1254,13 @@ object SparkEntry {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.95)"), 6).as("p95"))),
 
+    "q_robust_stats" -> ((s, dir) =>
+      // outlier-robust location/scale per event type — median + MAD +
+      // 3σ-equivalent outlier count, both medians from the bounded-memory
+      // exact-quantile machinery (mean/σ are poisoned by the outliers a
+      // curation pass is hunting; med/MAD are not)
+      Quantiles.robustStats(events(s, dir), "event_type", "value")),
+
     "q_quantiles_scalable" -> ((s, dir) => {
       // the same EXACT quantiles without percentile()'s per-group value
       // buffer (an OOM at corpus scale): radix bisection over the
@@ -2434,6 +2441,23 @@ object SparkEntry {
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_robust_stats" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, m.m, abs(e.value - m.m) AS d
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(d, 0.5) AS md
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type,
+        |  round(any_value(d.m), 6) AS med,
+        |  round(any_value(mad.md), 6) AS mad,
+        |  count(CASE WHEN d.d > 3.0 * 1.4826 * mad.md THEN 1 END) AS n_outliers
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY d.event_type""".stripMargin,
 
     // identical oracle to q_quantiles — the scalable path must be EXACT
     "q_quantiles_scalable" ->

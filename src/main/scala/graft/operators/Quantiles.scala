@@ -140,6 +140,34 @@ object Quantiles {
     out.toMap
   }
 
+  /** Robust per-group location/scale: median, MAD (median absolute
+    * deviation) and the count of |x − med| > 3·1.4826·MAD outliers — the
+    * outlier-robust normalization statistics a curation pipeline uses
+    * where mean/σ are poisoned by the very outliers being hunted. Both
+    * medians come from [[quantileCont]]'s radix bisection, so the whole
+    * computation is exact AND bounded-memory at any scale: two bisection
+    * rounds + one counting scan, never a per-group value buffer. 1.4826
+    * is the usual normal-consistency factor. Groups must be driver-sized
+    * (they are the output).
+    */
+  def robustStats(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val meds = quantileCont(df, keyCol, valueCol, Seq(0.5 -> "__med"))
+    val withDev = df.join(broadcast(meds), df(keyCol) <=> meds(keyCol))
+      .select(meds(keyCol).as(keyCol),
+        df(valueCol).as(valueCol),
+        col("__med"),
+        abs(df(valueCol) - col("__med")).as("__absdev"))
+    val mads = quantileCont(withDev, keyCol, "__absdev", Seq(0.5 -> "__mad"))
+    withDev.join(broadcast(mads), withDev(keyCol) <=> mads(keyCol))
+      .groupBy(withDev(keyCol).as(keyCol))
+      .agg(first(col("__med")).as("med"),
+        first(col("__mad")).as("mad"),
+        count(when(col("__absdev") > lit(3.0) * lit(1.4826) * col("__mad"), 1))
+          .as("n_outliers"))
+      .select(col(keyCol), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"), col("n_outliers"))
+  }
+
   /** `quantile_cont` per group: for each q, interpolate between the order
     * statistics at floor/ceil of q·(n−1) — the formula DuckDB/Postgres
     * use, evaluated in the same double arithmetic. Output: one row per

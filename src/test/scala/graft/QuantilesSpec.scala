@@ -70,6 +70,24 @@ class QuantilesSpec extends SparkSpec {
     assert(got(Some("g"))._2 === Double.PositiveInfinity)
   }
 
+  test("robustStats: median/MAD/outlier-count against a hand-computed reference") {
+    // group g: values 1..9 plus one wild outlier. med = 5 (of 1..9,1000 →
+    // 10 values: med = (5+6)/2 = 5.5); absdevs from 5.5: 0.5..4.5 ×2, 994.5
+    // → MAD = interpolate sorted absdevs
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val row = Quantiles.robustStats(df, "k", "v").head()
+    val med = 5.5
+    val absdevs = vals.map(v => math.abs(v - med)).sorted
+    val pos = 0.5 * (absdevs.length - 1)
+    val mad = absdevs(pos.toInt) + (pos - pos.toInt) *
+      (absdevs(pos.toInt + 1) - absdevs(pos.toInt))
+    assert(row.getDouble(1) === med)
+    assert(row.getDouble(2) === math.rint(mad * 1e6) / 1e6)
+    val nOut = vals.count(v => math.abs(v - med) > 3.0 * 1.4826 * mad)
+    assert(row.getLong(3) === nOut && nOut === 1)
+  }
+
   test("a requested group key with no rows fails loudly") {
     val df = Seq(("a", 1.0)).toDF("k", "v")
     intercept[IllegalArgumentException] {
