@@ -136,7 +136,8 @@ object ScaleBench {
     "q_theta_sets", "q_market_day", "q_schema_evolution", "q_window_agg",
     "q_running_sum", "q_sessionize", "q_funnel", "q_funnel_stream",
     "q_retention", "q_rollup", "q_histogram", "q_json_props",
-    "q_quantiles_approx", "q_quantiles", "q_quantiles_scalable", "q_zscore",
+    "q_quantiles_approx", "q_quantiles", "q_quantiles_scalable",
+    "q_robust_stats", "q_zscore",
     "q_distinct_users", "q_approx_distinct", "q_interval_join")
 
   private val family = dedupAnn ++ text ++ events
