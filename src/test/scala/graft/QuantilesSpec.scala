@@ -70,6 +70,34 @@ class QuantilesSpec extends SparkSpec {
     assert(got(Some("g"))._2 === Double.PositiveInfinity)
   }
 
+  test("randomized differential: quantileCont equals the sorted-array reference over seeds") {
+    for (seed <- Seq(3, 17, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(300)
+      // mix of continuous values, heavy duplicates, negatives and exact zeros
+      val vals = (1 to n).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => rnd.nextGaussian() * 1000
+          case 1 => rnd.nextInt(10).toDouble
+          case 2 => -rnd.nextInt(5).toDouble
+          case _ => 0.0
+        }
+      }
+      val df = vals.map(("g", _)).toDF("k", "v").repartition(1 + rnd.nextInt(8))
+      val qs = Seq(0.0 -> "q0", 0.25 -> "q25", 0.5 -> "q50", 0.77 -> "q77", 1.0 -> "q100")
+      val got = Quantiles.quantileCont(df, "k", "v", qs).head()
+      val sorted = vals.sorted.toIndexedSeq
+      qs.zipWithIndex.foreach { case ((q, _), i) =>
+        val pos = q * (n - 1)
+        val lo = math.floor(pos).toInt
+        val hi = math.ceil(pos).toInt
+        val expect = if (lo == hi) sorted(lo)
+          else sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+        assert(got.getDouble(i + 1) === expect, s"seed $seed q $q")
+      }
+    }
+  }
+
   test("robustStats: median/MAD/outlier-count against a hand-computed reference") {
     // group g: values 1..9 plus one wild outlier. med = 5 (of 1..9,1000 →
     // 10 values: med = (5+6)/2 = 5.5); absdevs from 5.5: 0.5..4.5 ×2, 994.5
