@@ -2,6 +2,21 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
+  /** Strict JSON string literal: escapes backslash, quote AND all control
+    * characters below 0x20 — an exception message carrying a tab or CR
+    * must not make the artifact invalid JSON.
+    */
+  def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
   /** One bench run's artifact: per-query min-of-passes seconds for the
     * queries that SUCCEEDED in every pass, per-query error text for the
     * ones that didn't, and the raw per-pass samples behind the min. A
@@ -14,8 +29,7 @@ object Bench {
                            samples: Seq[Map[String, Double]]) {
     def okNames: Seq[String] = names.filterNot(errors.contains)
     def total: Double = if (results.nonEmpty) results.values.sum else 0.0
-    private def jstr(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    private def jstr(s: String) = Bench.jsonStr(s)
     def headline(sfDir: String): String = {
       val qs = okNames.map(k => jstr(k) + ":" + results(k)).mkString("{", ",", "}")
       val errJson = errors.toSeq.sortBy(_._1)

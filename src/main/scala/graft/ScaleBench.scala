@@ -32,7 +32,7 @@ object ScaleBench {
     val marker = new java.io.File(s"$out/_GENERATED")
     if (marker.exists()) return
     val docs = Tables.documents(spark, base)
-    val nDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val nDoc = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0) + 1
     (0 until mult).map { k =>
       val text =
         if (k == 0) col("text")
@@ -47,7 +47,7 @@ object ScaleBench {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val emb = Tables.embeddings(spark, base)
-    val nEmb = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val nEmb = emb.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     (0 until mult).map { k =>
       val rotated =
@@ -78,8 +78,8 @@ object ScaleBench {
     val marker = new java.io.File(s"$out/_GENERATED_EVENTS")
     if (marker.exists()) return
     val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, base), "ts")
-    val nUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
-    val nEvt = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val nUser = ev.agg(max(col("user_id")).cast("long")).head().getLong(0) + 1
+    val nEvt = ev.agg(max(col("event_id")).cast("long")).head().getLong(0) + 1
     (0 until mult).map { k =>
       ev.select(
         (col("event_id") + lit(k.toLong * nEvt)).as("event_id"),
@@ -206,7 +206,7 @@ object ScaleBench {
       s""""$n":{"base":${baseMin(n)},"scaled":${bigMin(n)},"ratio":${math.round(r * 100) / 100.0}}"""
     }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1).map { case (k, m) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      Bench.jsonStr(k) + ":" + Bench.jsonStr(m)
     }.mkString("{", ",", "}")
     val (bt, st) = (baseMin.values.sum, bigMin.values.sum)
     val json =

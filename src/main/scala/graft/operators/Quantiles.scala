@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
@@ -21,12 +21,22 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructTy
   * target rank, and 8 passes pin all 64 bits — the exact value, no
   * per-group buffering anywhere, shuffle carries bucket counts only.
   *
-  * Cost shape: 1 + 8 full scans (the base frame is re-scanned per pass,
-  * not persisted — at corpus scale a cached copy may not fit, and a
+  * Cost shape: the gate/counts job plus typically TWO more jobs per
+  * round — a wide group-keyed first pass (adaptive 16/12/8 bits, see
+  * [[orderStatsEnc]]) whose 65536× narrowing usually drops every window
+  * straight into the resolve threshold, then the resolve job; only
+  * heavy-duplicate windows take further 8-bit narrowing jobs (worst case
+  * 1 + (64−b1)/8 + 1 scans). The base frame is re-scanned per pass, not
+  * persisted — at corpus scale a cached copy may not fit, and a
   * column-pruned parquet re-scan is the cheaper side of the trade; callers
-  * iterating many quantile sets can persist upstream). Driver state and
-  * every collect are model-sized. The group count must be driver-sized
-  * (it is the output cardinality).
+  * iterating many quantile sets can persist upstream. Driver state and
+  * every collect are bounded (≤ ~2²⁰ rows, independent of data size).
+  * The group count must be driver-sized
+  * (it is the output cardinality) — and that precondition is ENFORCED:
+  * [[quantileCont]]/[[robustStats]] count groups with a bounded collect
+  * (`limit(cap+1)`) before any driver-side state is built and fail loudly
+  * past `spark.graft.quantiles.maxGroups` (default 100000), the same
+  * fail-don't-OOM discipline as the dedup union-find broadcast gate.
   *
   * Determinism: bucket counts are exact longs and the final interpolation
   * runs once on the driver — identical results under any partitioning.
@@ -35,84 +45,165 @@ object Quantiles {
 
   private val B = 8 // bits per pass; 256-bucket histograms, 64/B passes
 
-  /** Sentinel standing in for a NULL group key inside the narrowing state
-    * (equi-joins drop null keys). No cast-to-string data value starts
-    * with a NUL byte, so it cannot collide.
+  /** Sentinel standing in for a NULL group key in [[orderStatistics]]'s
+    * public rank map (equi-joins drop null keys). INTERNALLY keys are
+    * carried with a marker byte — "\u0000" for the null group, "\u0001" +
+    * key for real groups — so a real StringType key that happens to equal
+    * this sentinel can never merge with the null group.
     */
-  private val NullKey = "\u0000NULL"
+  val NullKey = "\u0000NULL"
+
+  private val EncNull = "\u0000"
+  private def encRaw(k: String): String = if (k == NullKey) EncNull else "\u0001" + k
+  private def decEnc(k: String): String = if (k == EncNull) NullKey else k.substring(1)
+
+  /** Collision-free encoded group key: marker byte + cast-to-string value;
+    * NULL keys get their own marker. In-band sentinels over raw strings
+    * are NOT collision-free (a StringType key needs no cast and can hold
+    * any bytes) — the out-of-band marker byte is.
+    */
+  private def encCol(keyCol: String): Column =
+    when(col(keyCol).isNull, lit(EncNull))
+      .otherwise(concat(lit("\u0001"), col(keyCol).cast("string")))
+
+  private def maxGroups(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.quantiles.maxGroups", "100000").toLong
 
   /** Early-resolve threshold: once a target's window (rows sharing its
     * prefix) holds at most this many rows, one pass collects the window's
     * distinct values + counts (≤ threshold rows per target) and finishes
-    * it exactly — continuous-ish data resolves in 2–4 passes instead of
-    * the full 8; heavy-duplicate windows keep narrowing and terminate at
-    * the full 64 bits regardless.
+    * it exactly — heavy-duplicate windows keep narrowing and terminate at
+    * the full 64 bits regardless. Sized at 4096 because each pass is a
+    * whole Spark job (the per-job overhead, not the scan, dominates at
+    * benchmark scale) and each pass divides the window by 256: a 4096-row
+    * threshold typically resolves one to two jobs earlier than a 64-row
+    * one, while the resolve collect stays ≤ 4096 rows per target —
+    * driver-sized regardless of corpus size.
     */
-  private val ResolveWindow = 64L
+  private val ResolveWindow = 4096L
+
+  /** Per-group non-null-value counts in ENCODED key space, with the
+    * driver-size precondition enforced: the collect is bounded at cap+1
+    * rows, and landing past the cap aborts with an actionable message
+    * instead of OOMing the driver on a user-keyed call.
+    */
+  private def groupCounts(df: DataFrame, keyCol: String, valueCol: String): Map[String, Long] = {
+    val cap = maxGroups(df)
+    val rows = df.where(col(valueCol).isNotNull)
+      .groupBy(encCol(keyCol).as("__k")).count()
+      .limit((cap + 1).toInt).collect()
+    require(rows.length <= cap,
+      s"quantileCont over '$keyCol' has more than $cap groups — per-group quantiles are " +
+        s"driver-sized output; group by a coarser key or raise spark.graft.quantiles.maxGroups")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   /** Exact 0-based order statistics per group: for each group key and
     * each requested rank, the rank-th smallest value (NULL values
-    * excluded; a NULL group key is addressed by the internal sentinel —
+    * excluded; a NULL group key is addressed by the [[NullKey]] sentinel —
     * use [[quantileCont]] for null-group-aware output). Requesting a key
     * with no rows fails loudly.
     */
   def orderStatistics(df: DataFrame, keyCol: String, valueCol: String,
                       ranksOf: Map[String, Seq[Long]]): Map[(String, Long), Double] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    // NULL group keys are real groups (GROUP BY keeps them) — encode them
-    // as a sentinel so the state equi-joins match; "\u0000NULL" cannot
-    // collide with a cast-to-string key (no data value casts to a string
-    // with a NUL prefix)
     val base = df.where(col(valueCol).isNotNull)
-      .select(coalesce(col(keyCol).cast("string"), lit(NullKey)).as("__k"),
+      .select(encCol(keyCol).as("__k"),
         graft.plans.Exprs.doubleSortBits(col(valueCol).cast("double")).as("__u"))
+    val enc = ranksOf.map { case (k, rs) => encRaw(k) -> rs }
+    orderStatsEnc(base, enc).map { case ((k, r), v) => (decEnc(k), r) -> v }
+  }
+
+  /** Bisection core over a pre-encoded base (`__k` encoded string key,
+    * `__u` order-preserving bits). Keys in `ranksOf` and in the result are
+    * in the encoded space.
+    *
+    * Pass structure (each pass is a whole Spark job, and at benchmark
+    * scale per-job overhead — not scan volume — dominates, so the design
+    * minimizes the JOB count):
+    *  - Pass 0 is GROUP-KEYED, not per-target: one wide histogram of the
+    *    top `b1` bits per requested group, no state join at all (an `isin`
+    *    predicate for few groups, a broadcast semi-join past 1024). Every
+    *    rank target of a group walks the same histogram on the driver, so
+    *    a median's floor/ceil pair costs one job, and `b1` is sized
+    *    adaptively (16/12/8 bits) to keep the worst-case collect under
+    *    ~2²⁰ rows: 16 bits narrows a window by 65536× in the first job,
+    *    which on continuous-ish data drops straight into the resolve
+    *    threshold — a full round in two jobs.
+    *  - Later passes (rare: heavy-duplicate windows) carry per-target
+    *    state and narrow 8 bits per job as before.
+    */
+  private def orderStatsEnc(base: DataFrame,
+                            ranksOf: Map[String, Seq[Long]]): Map[(String, Long), Double] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val keys = ranksOf.filter(_._2.nonEmpty).keys.toSeq
+    if (keys.isEmpty) return Map.empty
+    // first-pass width: bound the pass-0 collect at groups × 2^b1 ≤ ~1M
+    // rows (the ACTIVE bucket count is usually far smaller — exponent
+    // concentration — but the bound must hold on adversarial data)
+    val b1 = if (keys.size <= 16) 16 else if (keys.size <= 256) 12 else B
+    val filtered =
+      if (keys.size <= 1024) base.where(col("__k").isin(keys: _*))
+      else base.join(broadcast(keys.toDF("__k")), "__k")
+    val h0 = filtered
+      .groupBy(col("__k"), shiftrightunsigned(col("__u"), 64 - b1).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+    val byGroup = h0.groupBy(_.getString(0)).map { case (k, rs) =>
+      k -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    }
+    // a requested key with no matching rows would otherwise sit in the
+    // state untouched and decode to garbage — fail loudly instead
+    val absent = keys.filterNot(byGroup.contains)
+    require(absent.isEmpty,
+      s"no rows for requested group key(s): ${absent.map(decEnc).mkString(", ")}")
     // live: (prefix, remaining rank within window); toResolve: + bitsFixed
     val live = scala.collection.mutable.Map[(String, Long), (Long, Long)]()
     val toResolve = scala.collection.mutable.Map[(String, Long), (Long, Long, Int)]()
     val out = scala.collection.mutable.Map[(String, Long), Double]()
-    for ((k, rs) <- ranksOf; r <- rs.distinct) live((k, r)) = (0L, r)
-    if (live.isEmpty) return Map.empty
-    var pass = 0
-    while (live.nonEmpty && pass < 64 / B) {
-      val bits = pass * B
+    for ((k, rs) <- ranksOf; r <- rs.distinct) {
+      val buckets = byGroup(k)
+      var cum = 0L
+      var done = false
+      for ((b, c) <- buckets if !done) {
+        if (r < cum + c) {
+          if (c <= ResolveWindow) toResolve((k, r)) = (b, r - cum, b1)
+          else live((k, r)) = (b, r - cum)
+          done = true
+        } else cum += c
+      }
+      require(done, s"rank $r out of range for group ${decEnc(k)}")
+    }
+    var bits = b1
+    while (live.nonEmpty && bits < 64) {
+      val w = math.min(B, 64 - bits) // b1 = 12 leaves a 4-bit final pass
       val stDf = live.toSeq.map { case ((k, r), (p, _)) => (k, r, p) }
         .toDF("__k", "__r", "__p")
       val joined = base.join(broadcast(stDf), "__k")
-      // Java shifts wrap at 64, so the bits == 0 pass (empty prefix) must
-      // skip the prefix test rather than shift by 64
-      val matchesPrefix =
-        if (bits == 0) lit(true)
-        else shiftrightunsigned(col("__u"), 64 - bits) === col("__p")
-      val counts = joined.where(matchesPrefix)
+      val counts = joined
+        .where(shiftrightunsigned(col("__u"), 64 - bits) === col("__p"))
         .groupBy(col("__k"), col("__r"),
-          shiftrightunsigned(col("__u"), 64 - bits - B).bitwiseAND(lit(255L)).as("__b"))
+          shiftrightunsigned(col("__u"), 64 - bits - w)
+            .bitwiseAND(lit((1L << w) - 1)).as("__b"))
         .agg(count(lit(1)).as("__c"))
         .collect()
-      if (pass == 0) {
-        // a requested key with no matching rows would otherwise sit in the
-        // state untouched and decode to garbage — fail loudly instead
-        val present = counts.map(_.getString(0)).toSet
-        val absent = live.keys.map(_._1).filterNot(present.contains)
-        require(absent.isEmpty, s"no rows for requested group key(s): ${absent.mkString(", ")}")
-      }
       counts.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (key, rows) =>
         val (p, rem) = live(key)
         var cum = 0L
         var done = false
         for ((b, c) <- rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1) if !done) {
           if (rem < cum + c) {
-            val np = (p << B) | b
-            if (c <= ResolveWindow) {
+            val np = (p << w) | b
+            if (c <= ResolveWindow && bits + w < 64) {
               live.remove(key)
-              toResolve(key) = (np, rem - cum, bits + B)
+              toResolve(key) = (np, rem - cum, bits + w)
             } else live(key) = (np, rem - cum)
             done = true
           } else cum += c
         }
-        require(done, s"rank ${key._2} out of range for group ${key._1}")
+        require(done, s"rank ${key._2} out of range for group ${decEnc(key._1)}")
       }
-      pass += 1
+      bits += w
     }
     // fully-narrowed targets: the 64-bit prefix IS the value
     out ++= live.map { case ((k, r), (p, _)) => (k, r) -> graft.plans.DoubleSortBits.decode(p) }
@@ -134,7 +225,7 @@ object Quantiles {
           if (rem < cum + c) { out(key) = graft.plans.DoubleSortBits.decode(u); done = true }
           else cum += c
         }
-        require(done, s"resolve rank ${key._2} out of range for group ${key._1}")
+        require(done, s"resolve rank ${key._2} out of range for group ${decEnc(key._1)}")
       }
     }
     out.toMap
@@ -144,20 +235,34 @@ object Quantiles {
     * deviation) and the count of |x − med| > 3·1.4826·MAD outliers — the
     * outlier-robust normalization statistics a curation pipeline uses
     * where mean/σ are poisoned by the very outliers being hunted. Both
-    * medians come from [[quantileCont]]'s radix bisection, so the whole
-    * computation is exact AND bounded-memory at any scale: two bisection
-    * rounds + one counting scan, never a per-group value buffer. 1.4826
-    * is the usual normal-consistency factor. Groups must be driver-sized
-    * (they are the output).
+    * medians come from the radix bisection, so the whole computation is
+    * exact AND bounded-memory at any scale: two bisection rounds + one
+    * counting scan, never a per-group value buffer. 1.4826 is the usual
+    * normal-consistency factor. Groups must be driver-sized (they are the
+    * output) — enforced by the same gate as [[quantileCont]].
+    *
+    * Scan sharing: the per-group counts are computed ONCE — |x − med| is
+    * non-null exactly where x is, so both bisection rounds and the
+    * interpolation share them — and the wide first pass holds each round
+    * to ~two jobs, leaving ~6 jobs total. Persisting the projected base
+    * was MEASURED as a net loss at this job count (cache materialization
+    * costs more than the column-pruned re-scans it saves: 1.79 s cached
+    * vs 1.52 s re-scanned at sf0.1), so the operator re-scans by design —
+    * which is also the only shape that works when the corpus doesn't fit
+    * in cache.
     */
   def robustStats(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
-    val meds = quantileCont(df, keyCol, valueCol, Seq(0.5 -> "__med"))
-    val withDev = df.join(broadcast(meds), df(keyCol) <=> meds(keyCol))
+    val spark = df.sparkSession
+    val proj = df.select(col(keyCol), col(valueCol)).where(col(valueCol).isNotNull)
+    val ns = groupCounts(proj, keyCol, valueCol)
+    val meds = quantileContCounted(proj, keyCol, valueCol, Seq(0.5 -> "__med"), ns)
+    // quantileCont's key output is StringType — cast the base key explicitly
+    // so the join is type-stable for any key type (no implicit coercion)
+    val withDev = proj.join(broadcast(meds), proj(keyCol).cast("string") <=> meds(keyCol))
       .select(meds(keyCol).as(keyCol),
-        df(valueCol).as(valueCol),
         col("__med"),
-        abs(df(valueCol) - col("__med")).as("__absdev"))
-    val mads = quantileCont(withDev, keyCol, "__absdev", Seq(0.5 -> "__mad"))
+        abs(proj(valueCol) - col("__med")).as("__absdev"))
+    val mads = quantileContCounted(withDev, keyCol, "__absdev", Seq(0.5 -> "__mad"), ns)
     withDev.join(broadcast(mads), withDev(keyCol) <=> mads(keyCol))
       .groupBy(withDev(keyCol).as(keyCol))
       .agg(first(col("__med")).as("med"),
@@ -172,21 +277,31 @@ object Quantiles {
     * statistics at floor/ceil of q·(n−1) — the formula DuckDB/Postgres
     * use, evaluated in the same double arithmetic. Output: one row per
     * group, one column per (q, name). Values are UNROUNDED; apply
-    * `round(col, 6)` downstream for oracle-parity output.
+    * `round(col, 6)` downstream for oracle-parity output. Fails loudly
+    * past `spark.graft.quantiles.maxGroups` groups.
     */
   def quantileCont(df: DataFrame, keyCol: String, valueCol: String,
-                   qs: Seq[(Double, String)]): DataFrame = {
+                   qs: Seq[(Double, String)]): DataFrame =
+    quantileContCounted(df, keyCol, valueCol, qs, groupCounts(df, keyCol, valueCol))
+
+  /** [[quantileCont]] with the per-group counts supplied (encoded key
+    * space) — lets a caller that already paid the counts pass (or whose
+    * counts are shared across rounds, like [[robustStats]]) skip it.
+    */
+  private def quantileContCounted(df: DataFrame, keyCol: String, valueCol: String,
+                                  qs: Seq[(Double, String)],
+                                  ns: Map[String, Long]): DataFrame = {
     val spark = df.sparkSession
-    val ns = df.where(col(valueCol).isNotNull)
-      .groupBy(coalesce(col(keyCol).cast("string"), lit(NullKey)).as("__k")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ranksOf = ns.map { case (k, n) =>
       k -> qs.flatMap { case (q, _) =>
         val pos = q * (n - 1)
         Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
       }
     }
-    val stats = orderStatistics(df, keyCol, valueCol, ranksOf)
+    val base = df.where(col(valueCol).isNotNull)
+      .select(encCol(keyCol).as("__k"),
+        graft.plans.Exprs.doubleSortBits(col(valueCol).cast("double")).as("__u"))
+    val stats = orderStatsEnc(base, ranksOf)
     val rows = ns.toSeq.sortBy(_._1).map { case (k, n) =>
       val vals = qs.map { case (q, _) =>
         val pos = q * (n - 1)
@@ -199,7 +314,7 @@ object Quantiles {
         if (lo == hi) vlo
         else vlo + (pos - lo) * (stats((k, hi)) - vlo)
       }
-      Row.fromSeq((if (k == NullKey) null else k) +: vals)
+      Row.fromSeq((if (k == EncNull) null else k.substring(1)) +: vals)
     }
     val schema = StructType(StructField(keyCol, StringType, nullable = true) +:
       qs.map { case (_, name) => StructField(name, DoubleType, nullable = false) })

@@ -25,16 +25,30 @@ object Sinks {
     * of the source: the split is two filtered writes over the same parsed
     * frame, so persist `df` first when the input is a raw JSON scan (also
     * required by Spark's corrupt-column-projection rule). Returns
-    * (clean, rejected) row counts for the caller's ingest ledger.
+    * (clean, rejected) row counts for THIS call — counted from the
+    * metadata of the files this call's two write jobs committed, so a
+    * second append (or pre-existing data in the paths) never inflates the
+    * ledger with cumulative path totals.
     */
   def writeWithRejects(df: DataFrame, cleanPath: String, rejectPath: String,
                        corruptCol: String = "__corrupt"): (Long, Long) = {
     val clean = df.where(col(corruptCol).isNull).drop(corruptCol)
     val bad = df.where(col(corruptCol).isNotNull)
       .select(col(corruptCol).as("raw_line"))
-    clean.write.mode(SaveMode.Append).parquet(cleanPath)
-    bad.write.mode(SaveMode.Append).parquet(rejectPath)
-    (spark(df).read.parquet(cleanPath).count(), spark(df).read.parquet(rejectPath).count())
+    (writeCounting(clean, cleanPath), writeCounting(bad, rejectPath))
+  }
+
+  /** Append `df` to `path` and return the number of rows THIS write
+    * landed. The count rides on the write itself via `observe` (a
+    * CollectMetrics node — retry-safe, codegen-transparent, no second
+    * pass, no path re-read), so it is a per-call delta even when the path
+    * already holds data.
+    */
+  private def writeCounting(df: DataFrame, path: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(path)
+    obs.get("n").asInstanceOf[Long]
   }
 
   private def spark(df: DataFrame): SparkSession = df.sparkSession

@@ -116,6 +116,46 @@ class QuantilesSpec extends SparkSpec {
     assert(row.getLong(3) === nOut && nOut === 1)
   }
 
+  test("the driver-sized-groups precondition is enforced, not just documented") {
+    // a user-keyed call (more groups than the cap) must fail loudly with an
+    // actionable message BEFORE building driver-side state, not OOM
+    val df = (1 to 50).map(i => (s"user_$i", i.toDouble)).toDF("k", "v")
+    spark.conf.set("spark.graft.quantiles.maxGroups", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Quantiles.quantileCont(df, "k", "v", Seq(0.5 -> "p50"))
+      }
+      assert(e.getMessage.contains("spark.graft.quantiles.maxGroups"))
+      val e2 = intercept[IllegalArgumentException] {
+        Quantiles.robustStats(df, "k", "v")
+      }
+      assert(e2.getMessage.contains("coarser key"))
+    } finally spark.conf.unset("spark.graft.quantiles.maxGroups")
+    // under the cap the same call succeeds
+    assert(Quantiles.quantileCont(df, "k", "v", Seq(0.5 -> "p50")).count() === 50)
+  }
+
+  test("a real string key equal to the NULL sentinel stays its own group") {
+    // keys are carried with an out-of-band marker byte, so a StringType key
+    // that literally holds "\u0000NULL" cannot merge with the null group
+    val df = Seq((Option("\u0000NULL"), 1.0), (Option("\u0000NULL"), 3.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 30.0))
+      .toDF("k", "v")
+    val got = Quantiles.quantileCont(df, "k", "v", Seq(0.5 -> "p50"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got.size === 2)
+    assert(got(Some("\u0000NULL")) === 2.0)
+    assert(got(None) === 20.0)
+  }
+
+  test("robustStats is type-stable on a non-string group key") {
+    val df = Seq((1, 1.0), (1, 2.0), (1, 3.0), (2, 10.0), (2, 20.0), (2, 30.0))
+      .toDF("k", "v")
+    val got = Quantiles.robustStats(df, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("1" -> 2.0, "2" -> 20.0))
+  }
+
   test("a requested group key with no rows fails loudly") {
     val df = Seq(("a", 1.0)).toDF("k", "v")
     intercept[IllegalArgumentException] {

@@ -135,6 +135,12 @@ class SourcesSpec extends SparkSpec {
     assert(nClean === 3 && nBad === 1)
     assert(spark.read.parquet(cleanDir).columns.toSeq.sorted === Seq("doc_id", "lang", "text"))
     assert(spark.read.parquet(rejDir).select($"raw_line").as[String].head.contains("truncated"))
+    // the ledger counts are per-CALL deltas, not cumulative path totals:
+    // a second append over pre-existing data reports only its own rows
+    val (nClean2, nBad2) = Sinks.writeWithRejects(df, cleanDir, rejDir)
+    assert(nClean2 === 3 && nBad2 === 1)
+    assert(spark.read.parquet(cleanDir).count() === 6)
+    assert(spark.read.parquet(rejDir).count() === 2)
   }
 
   test("events stream source feeds the shared windowedAgg transform") {
