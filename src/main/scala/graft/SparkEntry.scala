@@ -122,6 +122,22 @@ object SparkEntry {
   private def indexRoot(s: SparkSession): String =
     s"${Graft.localScratchDir}/graft-index-${s.sparkContext.applicationId}"
 
+  /** The bar store behind q_incremental_bars: the pre-cutoff history's
+    * mergeable bars persisted as day-partitioned parquet, built ONCE per
+    * (process, dataset). The query then measures what an incremental
+    * refresh actually costs — a bar-store read + the fresh batch's
+    * aggregate + a bar-sized merge — instead of silently re-deriving
+    * history from ticks on every run (which models recompute, not
+    * persistence).
+    */
+  private def sharedBarStore(s: SparkSession, dir: String): String =
+    memo(s, s"barstore:$dir") {
+      val path = s"${indexRoot(s)}/bars_${new java.io.File(dir).getName}"
+      Ohlc.mergeableBars(events(s, dir).where(col("ts") < tsNtz("2024-01-20")))
+        .write.mode("overwrite").partitionBy("d").parquet(path)
+      path
+    }
+
   private def sharedIvfIndex(s: SparkSession, dir: String): (String, Array[Array[Double]]) =
     memo(s, s"ivfidx:$dir") {
       val emb = Tables.embeddings(s, dir)
@@ -529,13 +545,15 @@ object SparkEntry {
     }),
 
     "q_incremental_bars" -> ((s, dir) => {
-      // incremental refresh through the mergeable-bar algebra: bars from the
-      // persisted history and from the new ingest batch merge WITHOUT
-      // re-touching old ticks; oracle = full recompute (they must agree)
-      val ev = events(s, dir)
-      val persisted = Ohlc.mergeableBars(ev.where(col("ts") < tsNtz("2024-01-20")))
-      val fresh = Ohlc.mergeableBars(ev.where(col("ts") >= tsNtz("2024-01-20")))
-      Ohlc.mergeBars(persisted.union(fresh))
+      // incremental refresh through the mergeable-bar algebra: the history
+      // half REALLY persists (day-partitioned parquet bar store, built once
+      // per process like the ANN indexes), so what this query measures is
+      // the incremental path it models — read stored BARS, aggregate only
+      // the fresh batch's ticks, merge — never a re-derivation of history.
+      // Oracle = full recompute (they must agree).
+      val stored = s.read.parquet(sharedBarStore(s, dir))
+      val fresh = Ohlc.mergeableBars(events(s, dir).where(col("ts") >= tsNtz("2024-01-20")))
+      Ohlc.mergeBars(stored.unionByName(fresh))
         .select("user_id", "d", "open", "high", "low", "close", "volume")
     }),
 

@@ -179,17 +179,18 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(joined.collect().nonEmpty)
   }
 
-  test("incremental bar merge aggregates bars — the tick scans partial-combine first") {
+  test("incremental bar merge reads STORED bars — only the fresh batch scans ticks") {
     val p = plan("q_incremental_bars")
-    // two mergeableBars partial+final pairs plus the merge's pair: every
-    // aggregate partial-combines map-side (SortAggregate — the struct
-    // tie-break witnesses aren't hash-buffer types — but still
-    // partial_min_by before the exchange), and no raw-tick repartition.
-    // The merge step itself needs NO exchange: both union branches arrive
-    // partitioned on the grouping key.
+    // the history half must come from the persisted day-partitioned bar
+    // store (a plain parquet scan of bar rows — no aggregate above it),
+    // leaving exactly one mergeableBars partial+final pair for the fresh
+    // batch plus the merge's pair: 4 aggregates, 2 partial_min_by, and
+    // two exchanges (fresh bars + merge). A third min_by or aggregate
+    // means history is being re-derived from ticks again.
     assert(!p.contains("SortMergeJoin"), p)
-    assert(count(p, "Aggregate\\(") === 6, p)
-    assert(count(p, "partial_min_by") === 3, p)
+    assert(p.contains("/bars_"), p) // history = bar-store scan
+    assert(count(p, "Aggregate\\(") === 4, p)
+    assert(count(p, "partial_min_by") === 2, p)
     assert(count(p, "Exchange") === 2, p)
   }
 
