@@ -142,13 +142,42 @@ object ScaleBench {
 
   private val family = dedupAnn ++ text ++ events
 
+  /** Optional comma-separated key subset (SPARK_GRAFT_KEYS) — the 30×/100×
+    * rungs run a representative slice instead of the whole surface so a
+    * deeper decade stays affordable.
+    */
+  private def selectedFamily: Seq[String] = {
+    val only = sys.env.get("SPARK_GRAFT_KEYS").map(_.split(',').map(_.trim).toSet)
+    family.filter(n => only.forall(_.contains(n)))
+  }
+
+  /** q_curation_stream's batch mirror with the eval suite pinned to the
+    * BASE corpus's 1× bench slice while the curated corpus comes from
+    * `corpusDir` — isolates the corpus-growth term of the curation ratio
+    * from the suite-growth term (the shipped query grows both).
+    */
+  private def curationFixedSuite(spark: SparkSession, corpusDir: String,
+                                 benchDir: String): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val stamp = lit("2024-01-01 00:00:00").cast("timestamp")
+    val corpus = Tables.documents(spark, corpusDir)
+      .where(col("doc_id") % 50 =!= 0).withColumn("ts", stamp)
+    val bench = Tables.documents(spark, benchDir)
+      .where(col("doc_id") % 50 === 0).withColumn("ts", stamp)
+    val thr = TextAnalysis.qualityThreshold(corpus, 0.25)
+    val store = Dedup.fingerprintStore(corpus.limit(0))
+    val bg = graft.streaming.EventsStream.benchmarkGrams(bench)
+    graft.streaming.EventsStream.curationStream(corpus, thr, store, bg)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+  }
+
   // Same failure contract as Bench: a failed query is recorded, kept out
   // of every total/ratio, and fails the process — time-to-throw is not a
   // measurement.
   private val errors = scala.collection.mutable.Map[String, String]()
 
   private def runPass(spark: SparkSession, dir: String, pass: Int): Map[String, Double] =
-    family.map { name =>
+    selectedFamily.map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, dir).count(); true }
@@ -198,7 +227,7 @@ object ScaleBench {
     // both measured sizes)
     errors.clear()
     val passes = (1 to iters).map(p => (runPass(spark, base, p), runPass(spark, out, p)))
-    val okFamily = family.filterNot(errors.contains)
+    val okFamily = selectedFamily.filterNot(errors.contains)
     val baseMin = okFamily.map(n => n -> passes.map(_._1(n)).min).toMap
     val bigMin = okFamily.map(n => n -> passes.map(_._2(n)).min).toMap
     val rows = okFamily.map { n =>
@@ -209,11 +238,49 @@ object ScaleBench {
       Bench.jsonStr(k) + ":" + Bench.jsonStr(m)
     }.mkString("{", ",", "}")
     val (bt, st) = (baseMin.values.sum, bigMin.values.sum)
+    // Diagnostics beyond the timings (both optional on subset runs):
+    //  - q_ann_lsh's candidate VOLUME per rung — its super-unit time ratio
+    //    is defended as candidate-bound; emit the candidates so the claim
+    //    is measured per corpus, not asserted.
+    //  - fixed-suite curation: q_curation_stream's measured ratio grows
+    //    BOTH the corpus and the eval suite; re-time it with the suite
+    //    pinned to the 1× slice to isolate the corpus term.
+    val lshDiag =
+      if (!okFamily.contains("q_ann_lsh")) ""
+      else {
+        def d(dir: String): (Long, Long, Long) = {
+          val emb = Tables.embeddings(spark, dir)
+          (emb.count(),
+            graft.operators.Similarity.lshCandidatePairsBucketed(emb, 0.4).count(),
+            graft.operators.Similarity.cosinePairsBucketed(emb, 0.4).count())
+        }
+        val (nb, cb, fb) = d(base)
+        val (ns, cs, fs) = d(out)
+        System.err.println(s"[scale] lsh diag base n=$nb cand=$cb conf=$fb; " +
+          s"scaled n=$ns cand=$cs conf=$fs")
+        s""","lsh_diag":{"base":{"n_vectors":$nb,"candidates":$cb,"confirmed":$fb},""" +
+          s""""scaled":{"n_vectors":$ns,"candidates":$cs,"confirmed":$fs}}"""
+      }
+    val fixedSuite =
+      if (!okFamily.contains("q_curation_stream")) ""
+      else {
+        def t(corpusDir: String): Double =
+          (1 to iters).map { _ =>
+            val t0 = System.nanoTime()
+            curationFixedSuite(spark, corpusDir, base).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val (fb, fs) = (t(base), t(out))
+        System.err.println(f"[scale] fixed-suite curation base $fb%.2f s scaled $fs%.2f s")
+        s""","fixed_suite_curation":{"base":$fb,"scaled":$fs,""" +
+          s""""ratio":${math.round(fs / fb * 100) / 100.0}}"""
+      }
     val json =
       s"""{"metric":"scale","mult":$mult,"base_sf":"$base","scaled_dir":"$out",
          |"base_total_sec":$bt,"scaled_total_sec":$st,
          |"total_ratio":${math.round(st / bt * 100) / 100.0},
-         |"failed":$errJson,"n_failed":${errors.size},"queries":$rows}""".stripMargin
+         |"failed":$errJson,"n_failed":${errors.size}$lshDiag$fixedSuite,
+         |"queries":$rows}""".stripMargin
         .replace("\n", "")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(

@@ -782,20 +782,18 @@ object Similarity {
     * id-keyed vector join-back, so every post-screen stage is
     * output-sized.
     *
-    * The verify joins carry an EXPLICIT broadcast hint on the vector side
-    * (`broadcastVecs`, default on): after explode+aggregate Catalyst has
-    * no usable size estimate for the survivor stream and was measured
-    * picking the survivors as the broadcast build. The hint pins the
-    * corpus relation as the build side. Set `broadcastVecs = false` when
-    * the vector table itself exceeds broadcast scale (≳10⁷ rows); the
-    * join-back then shuffles output-sized streams, which is the best any
-    * plan can do at that size.
+    * This method returns the candidate pairs BEFORE the exact verify —
+    * the volume the recall-compensated band geometry actually generates
+    * (screen survivors plus the over-cap exact-collapse stars, distinct).
+    * It is public so scale runs can emit candidate counts as DATA:
+    * q_ann_lsh's super-unit scale ratio is candidate-volume-bound by
+    * design, and this makes that claim measurable per corpus rung instead
+    * of asserted. [[cosinePairsBucketed]] adds the decimal-exact verify.
     */
-  def cosinePairsBucketed(embeddings: DataFrame, threshold: Double, planes: Int = 0,
-                          bands: Int = 8, maxBucketSize: Int = 10000,
-                          targetBucket: Int = 128, bandsMax: Int = 256,
-                          broadcastVecs: Boolean = true,
-                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def lshCandidatePairsBucketed(embeddings: DataFrame, threshold: Double, planes: Int = 0,
+                                bands: Int = 8, maxBucketSize: Int = 10000,
+                                targetBucket: Int = 128, bandsMax: Int = 256,
+                                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes >= 0 && planes <= 63 && bands > 0,
       "planes must be in [0, 63] (0 = auto); bands > 0")
     val (planesEff, bandsEff) =
@@ -848,7 +846,27 @@ object Similarity {
       .where(col("id") =!= col("hub"))
       .select(least(col("hub"), col("id")).as("id_a"),
         greatest(col("hub"), col("id")).as("id_b"))
-    val survivors = screened.union(collapsed).distinct()
+    screened.union(collapsed).distinct()
+  }
+
+  /** [[lshCandidatePairsBucketed]] + the decimal-exact cosine verify on
+    * the survivors (every emitted pair is exact, whatever the screen
+    * admitted). The verify joins carry an EXPLICIT broadcast hint on the
+    * vector side (`broadcastVecs`, default on): after explode+aggregate
+    * Catalyst has no usable size estimate for the survivor stream and was
+    * measured picking the survivors as the broadcast build. The hint pins
+    * the corpus relation as the build side. Set `broadcastVecs = false`
+    * when the vector table itself exceeds broadcast scale (≳10⁷ rows);
+    * the join-back then shuffles output-sized streams, which is the best
+    * any plan can do at that size.
+    */
+  def cosinePairsBucketed(embeddings: DataFrame, threshold: Double, planes: Int = 0,
+                          bands: Int = 8, maxBucketSize: Int = 10000,
+                          targetBucket: Int = 128, bandsMax: Int = 256,
+                          broadcastVecs: Boolean = true,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val survivors = lshCandidatePairsBucketed(embeddings, threshold, planes, bands,
+      maxBucketSize, targetBucket, bandsMax, idCol, vecCol)
     val vecs0 = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
       normExact(vecCol).as("nrm"))
     val vecs = if (broadcastVecs) broadcast(vecs0) else vecs0

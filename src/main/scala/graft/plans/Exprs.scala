@@ -151,4 +151,12 @@ object Exprs {
   /** Order-preserving double→long bit encoding (see [[DoubleSortBits]]). */
   def doubleSortBits(v: Column): Column =
     GraftBridge.column(DoubleSortBits(GraftBridge.expression(v)))
+
+  /** EXACT string-set membership probe against a broadcast, executor-cached
+    * hash set (see [[StringSetContains]]): O(1) per row where an
+    * `arrays_overlap` confirm against a literal array is O(|set|).
+    */
+  def stringSetContains(item: Column,
+                        set: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]]): Column =
+    GraftBridge.column(StringSetContains(GraftBridge.expression(item), set))
 }

@@ -213,45 +213,43 @@ object EventsStream {
     * constant key, and `arrays_overlap` answers "shares any 8-gram" at
     * scan speed with zero state. Identical admission semantics to the
     * batch anti-join — both test gram-set intersection with the suite.
-    * Scale shape: `arrays_overlap` alone walks the FULL benchmark gram
-    * array per row (it hash-sets the smaller side, then scans the bigger
-    * — O(|bg|) per doc), which is the one per-row term that grows with
-    * the eval suite. A bloom literal over the same static gram set —
-    * built ONCE at query-build time, model-sized like every codebook —
-    * screens first: `exists` probes each DOC gram (O(doc grams) per row),
-    * and only rows the bloom flags (true contaminants + ~1% false
-    * positives) pay the exact overlap confirm. Blooms have no false
-    * negatives ⇒ admission semantics unchanged.
+    * Scale shape: the suite-size term is gone from the per-row cost. An
+    * earlier shape confirmed with `arrays_overlap` against the full gram
+    * array (O(|bg|) for every row its bloom pre-screen flagged) — at the
+    * 10× rung that term DOMINATED the measured ratio (fixed-suite 1.05×
+    * vs 16.8× with the suite grown alongside the corpus). The screen is
+    * now ONE exact probe: the suite's distinct grams live in a broadcast,
+    * executor-cached hash set ([[graft.plans.StringSetContains]]) and
+    * `exists` asks each DOC gram for O(1) exact membership — O(doc grams)
+    * per row total, zero false positives, no join, no bloom needed at
+    * broadcastable suite sizes (past broadcast scale,
+    * `Dedup.decontaminateBloom`'s bloom + confirm-join is the shape).
     */
   def decontaminateStream(docs: DataFrame, benchGrams: DataFrame, n: Int = 8,
                           textCol: String = "text"): DataFrame =
     decontaminator(benchGrams, n, textCol)(docs)
 
   /** The decontamination screen as a reusable transform: building it runs
-    * the two bloom-construction jobs ONCE (gram count + sketch aggregate
-    * over the static suite); applying it is pure plan construction. Use
-    * this form wherever the screen is applied repeatedly — foreachBatch
-    * pipelines must NOT rebuild the bloom per micro-batch.
+    * the gram-set collect ONCE (one job over the static suite) and ships
+    * it as a broadcast; applying it is pure plan construction. Use this
+    * form wherever the screen is applied repeatedly — foreachBatch
+    * pipelines must NOT rebuild the set per micro-batch.
     */
   def decontaminator(benchGrams: DataFrame, n: Int = 8,
                      textCol: String = "text"): DataFrame => DataFrame = {
     import graft.operators.Dedup
     import graft.plans.Exprs
-    val bgGrams = benchGrams.select(explode(col("__bg")).as("g"))
-    val nGrams = bgGrams.count().max(1L)
-    val bloomBytes = bgGrams
-      .agg(Exprs.bloomAgg(xxhash64(col("g")), nGrams, (nGrams * 10L).max(64L)).as("b"))
-      .head().getAs[Array[Byte]](0)
-    val mightHit = (g: Column) => Exprs.bloomMightContain(lit(bloomBytes), xxhash64(g))
+    val spark = benchGrams.sparkSession
+    val grams = benchGrams.select(explode(col("__bg")).as("g")).distinct()
+      .collect().map(_.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bc = spark.sparkContext.broadcast(grams)
+    val inSuite = (g: Column) => Exprs.stringSetContains(g, bc)
     docs =>
       docs
         .withColumn("__toks", Dedup.tokens(textCol))
         .withColumn("__grams", Dedup.ngramsOfTokens("__toks", n))
-        .withColumn("__k", lit(1))
-        .join(broadcast(benchGrams.withColumn("__k", lit(1))), "__k")
-        .where(!exists(col("__grams"), mightHit) ||
-          !arrays_overlap(col("__grams"), col("__bg")))
-        .drop("__toks", "__grams", "__k", "__bg")
+        .where(!exists(col("__grams"), inSuite))
+        .drop("__toks", "__grams")
   }
 
   /** The benchmark gram set for [[decontaminateStream]] as a one-row

@@ -731,4 +731,67 @@ class StreamingSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
     assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
   }
+
+  test("curationForeachBatch kill-and-restart: pending wave processed once, store rejects re-sent texts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur_restart").toFile.getAbsolutePath
+    val (ckpt, storeDir, outDir) = (s"$dir/ckpt", s"$dir/store", s"$dir/out")
+    val all = Tables.documents(spark, sfDir).limit(80)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val benchDF = all.filter(_._1 % 10 == 0).toSeq.toDF("doc_id", "text")
+    val corpus = all.filter(_._1 % 10 != 0)
+    val corpusDF = corpus.toSeq.toDF("doc_id", "text")
+    val byId = scala.collection.mutable.Map(corpus: _*)
+    val thr = TextAnalysis.qualityThreshold(corpusDF, 0.25)
+    Dedup.fingerprintStore(Seq((9000L, corpus.head._2)).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(storeDir)
+    val benchGrams = EventsStream.benchmarkGrams(benchDF)
+    val input = MemoryStream[StreamDoc]
+    // production-shaped sink: idempotent manifest landing (one dir per
+    // batch id, overwritten on replay) + the fingerprint-store append a
+    // curation loop does with each admitted wave — which is exactly what
+    // makes a restart's replayed texts rejectable by the store SCAN
+    def start() = EventsStream.curationForeachBatch(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      () => thr, () => spark.read.parquet(storeDir), benchGrams) { (batch, batchId) =>
+      val ids = batch.select("doc_id").as[Long](implicitly).collect()
+      ids.toSeq.toDF("doc_id")
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      if (ids.nonEmpty)
+        Dedup.fingerprintStore(ids.toSeq.map(id => (id, byId(id))).toDF("doc_id", "text"))
+          .write.mode("append").parquet(storeDir)
+      ()
+    }.option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(corpus.sortBy(_._1).map { case (id, t) =>
+        StreamDoc(id, ts("2024-01-01 10:00:00"), t) }.toSeq: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val admitted1 = spark.read.parquet(s"$outDir/batch=0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted1.nonEmpty)
+    // wave 2 arrives while the query is DOWN: every wave-1 text re-sent
+    // under FRESH ids (so only the fingerprint store can reject them)
+    // plus one genuinely new document
+    // base the new text on a doc KNOWN to clear the quality gate (it was
+    // admitted), so only its novel fingerprint decides its fate
+    val freshText = byId(admitted1.head) + " and the account continues with further words"
+    byId(7777L) = freshText
+    val fresh = StreamDoc(7777L, ts("2024-01-01 11:00:00"), freshText)
+    input.addData((corpus.sortBy(_._1).map { case (id, t) =>
+      StreamDoc(id + 100000L, ts("2024-01-01 11:00:00"), t) } :+ fresh).toSeq: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir) // batch=N partition dirs
+    // batch numbering continued from the checkpoint (resumed, not reset),
+    // the committed wave-1 batch was not re-delivered, and the pending
+    // wave was processed exactly once: re-sent texts all rejected by the
+    // store, the new document admitted
+    assert(out.select("batch").distinct().as[Int].collect().toSet === Set(0, 1))
+    assert(out.where($"batch" === 0).select("doc_id").as[Long].collect().toSet === admitted1)
+    val wave2 = out.where($"batch" === 1).select("doc_id").as[Long].collect().toSet
+    assert(wave2 === Set(7777L), s"wave 2 must admit only the new doc, got $wave2")
+  }
 }
