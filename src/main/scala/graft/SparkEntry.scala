@@ -1291,6 +1291,13 @@ object SparkEntry {
           round(col("p95"), 6).as("p95"))
     }),
 
+    "q_winsorize" -> ((s, dir) =>
+      // robust normalization end-to-end: clip at the exact p01/p99 bounds
+      // (bounded-memory bisection quantiles) and report bounds, the
+      // decimal-exact winsorized mean and the clipped count per type —
+      // the quantile machinery in its pipeline role, oracle-checked
+      Quantiles.winsorize(events(s, dir), "event_type", "value")),
+
     "q_zscore" -> ((s, dir) => {
       // normalization stats from decimal-exact sums (NOT the stddev builtin,
       // whose float accumulation differs per engine/partitioning)
@@ -2483,6 +2490,26 @@ object SparkEntry {
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.01) AS lo,
+        |    quantile_cont(value, 0.99) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_type,
+        |  round(q.lo, 6) AS p_lo,
+        |  round(q.hi, 6) AS p_hi,
+        |  round(CAST(sum(CAST(
+        |      CASE WHEN e.value < q.lo THEN q.lo
+        |           WHEN e.value > q.hi THEN q.hi
+        |           ELSE e.value END AS DECIMAL(28,6))) AS DOUBLE)
+        |    / count(*), 6) AS wmean,
+        |  CAST(sum(CASE WHEN e.value < q.lo OR e.value > q.hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped
+        |FROM events e JOIN q USING (event_type)
+        |WHERE e.value IS NOT NULL
+        |GROUP BY e.event_type, q.lo, q.hi""".stripMargin,
 
     "q_zscore" ->
       """WITH stats AS (

@@ -273,6 +273,36 @@ object Quantiles {
         round(col("mad"), 6).as("mad"), col("n_outliers"))
   }
 
+  /** Per-group winsorization summary — the robust normalization step a
+    * curation pipeline applies where raw means are poisoned by tails:
+    * values clip to the EXACT [lo, hi] quantiles (from [[quantileCont]]'s
+    * bounded-memory bisection, so no per-group buffering at any scale)
+    * and the output carries the bounds, the decimal-exact winsorized mean
+    * (order-independent accumulation — float sums differ per
+    * partitioning) and the clipped-row count, one row per group. Cost:
+    * the quantile rounds plus ONE clip-and-aggregate scan; the bounds
+    * frame is group-sized and broadcast.
+    */
+  def winsorize(df: DataFrame, keyCol: String, valueCol: String,
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val qs = quantileCont(df, keyCol, valueCol, Seq(lo -> "__lo", hi -> "__hi"))
+    val clipped = df.where(col(valueCol).isNotNull)
+      .join(broadcast(qs), df(keyCol).cast("string") <=> qs(keyCol))
+      .select(qs(keyCol).as(keyCol), col("__lo"), col("__hi"),
+        when(col(valueCol) < col("__lo"), col("__lo"))
+          .when(col(valueCol) > col("__hi"), col("__hi"))
+          .otherwise(col(valueCol)).as("__w"),
+        (col(valueCol) < col("__lo") || col(valueCol) > col("__hi")).as("__c"))
+    clipped.groupBy(col(keyCol))
+      .agg(first(col("__lo")).as("lo"), first(col("__hi")).as("hi"),
+        (graft.functions.Fns.exactSum(col("__w")) / count(lit(1))).as("wm"),
+        sum(when(col("__c"), 1L).otherwise(0L)).as("n_clipped"))
+      .select(col(keyCol), round(col("lo"), 6).as("p_lo"),
+        round(col("hi"), 6).as("p_hi"), round(col("wm"), 6).as("wmean"),
+        col("n_clipped"))
+  }
+
   /** `quantile_cont` per group: for each q, interpolate between the order
     * statistics at floor/ceil of q·(n−1) — the formula DuckDB/Postgres
     * use, evaluated in the same double arithmetic. Output: one row per

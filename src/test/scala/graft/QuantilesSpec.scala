@@ -156,6 +156,26 @@ class QuantilesSpec extends SparkSpec {
     assert(got === Map("1" -> 2.0, "2" -> 20.0))
   }
 
+  test("winsorize clips at the exact quantile bounds and reports the robust mean") {
+    // 1..9 plus an outlier at 1000; lo=0.1/hi=0.9 → bounds from the same
+    // interpolation the reference engines use, clipped mean hand-computed
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val row = Quantiles.winsorize(df, "k", "v", 0.1, 0.9).head()
+    val sorted = vals.sorted.toIndexedSeq
+    def q(p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = pos.toInt
+      if (lo == pos) sorted(lo) else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val (blo, bhi) = (q(0.1), q(0.9))
+    val clipped = vals.map(v => math.max(blo, math.min(bhi, v)))
+    assert(row.getDouble(1) === math.rint(blo * 1e6) / 1e6)
+    assert(row.getDouble(2) === math.rint(bhi * 1e6) / 1e6)
+    assert(row.getDouble(3) === math.rint(clipped.sum / clipped.length * 1e6) / 1e6)
+    assert(row.getLong(4) === vals.count(v => v < blo || v > bhi))
+  }
+
   test("a requested group key with no rows fails loudly") {
     val df = Seq(("a", 1.0)).toDF("k", "v")
     intercept[IllegalArgumentException] {
