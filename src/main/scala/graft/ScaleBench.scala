@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   *    shingle relations) while sharing no shingles with any other copy.
   *    Ten identical copies would instead multiply every dup family by 10
   *    and measure a different (denser) workload at the bigger size.
-  *  - embeddings: copy k cyclically rotates each vector's dimensions by k,
-  *    preserving norms and all intra-copy angles exactly while making
-  *    cross-copy cosines incoherent — cluster geometry scales, near-dup
-  *    pair density doesn't.
+  *  - embeddings: copy k cyclically rotates each vector's dimensions by k
+  *    AND applies a deterministic per-copy ±1 sign pattern, preserving
+  *    norms and all intra-copy angles exactly while making cross-copy
+  *    cosines incoherent (rotation alone is NOT enough: these embeddings
+  *    share a dominant direction that any dimension permutation preserves
+  *    — the 10× diag measured confirmed pairs growing 106× under
+  *    rotation-only copies; the sign flips zero the expected cross-copy
+  *    cosine) — cluster geometry scales, near-dup pair density doesn't.
   *
   * Output: one line per corpus + a final JSON with per-query base/scaled
   * seconds and the ratio; the full artifact lands in SCALE_out.json
@@ -29,7 +33,11 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
 
   private def generate(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
-    val marker = new java.io.File(s"$out/_GENERATED")
+    // V2: rotation + per-copy sign pattern (plain rotation left cross-copy
+    // cosines coherent — measured 10× diag: confirmed pairs grew 106×, not
+    // 10×, because these embeddings share a dominant direction that any
+    // permutation of dimensions preserves; the sign flips kill it)
+    val marker = new java.io.File(s"$out/_GENERATED_V2")
     if (marker.exists()) return
     val docs = Tables.documents(spark, base)
     val nDoc = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0) + 1
@@ -50,9 +58,17 @@ object ScaleBench {
     val nEmb = emb.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     (0 until mult).map { k =>
+      // copy k: rotate dims by k AND multiply each dim by a deterministic
+      // ±1 drawn from hash(i, k). Intra-copy dot products are EXACTLY
+      // preserved (s_i·a_i · s_i·b_i = a_i·b_i), norms unchanged, while
+      // cross-copy cosines lose the shared dominant direction (expected
+      // cosine 0 under the sign pattern) — duplicate DENSITY, not just
+      // duplicate structure, now really scales linearly.
       val rotated =
         if (k == 0) col("embedding")
-        else expr(s"transform(sequence(0, ${dim - 1}), i -> embedding[(i + $k) % $dim])")
+        else expr(s"transform(sequence(0, ${dim - 1}), i -> CAST(" +
+          s"embedding[(i + $k) % $dim] * " +
+          s"(CASE WHEN pmod(hash(i, $k), 2) = 0 THEN 1.0 ELSE -1.0 END) AS FLOAT))")
       emb.select(
         (col("vec_id") + lit(k.toLong * nEmb)).as("vec_id"),
         rotated.as("embedding"),
@@ -137,7 +153,7 @@ object ScaleBench {
     "q_running_sum", "q_sessionize", "q_funnel", "q_funnel_stream",
     "q_retention", "q_rollup", "q_histogram", "q_json_props",
     "q_quantiles_approx", "q_quantiles", "q_quantiles_scalable",
-    "q_robust_stats", "q_zscore",
+    "q_robust_stats", "q_winsorize", "q_zscore",
     "q_distinct_users", "q_approx_distinct", "q_interval_join")
 
   private val family = dedupAnn ++ text ++ events

@@ -34,4 +34,15 @@ class BenchSpec extends SparkSpec {
     assert(math.abs(out.total - (out.results("q_a") + out.results("q_b"))) < 1e-9)
     assert(out.headline(sfDir).contains(""""n_failed":0"""))
   }
+
+  test("error messages with control characters still produce strictly valid JSON") {
+    // an exception message carrying a tab/CR (here: via the error text the
+    // artifact embeds) must be \u-escaped, not passed through raw
+    val out = Bench.Outcome(Seq("q_bad"), Map.empty,
+      Map("q_bad" -> "boom\tcol\rrest\u0001x"), Seq(Map("q_bad" -> Double.NaN)))
+    val headline = out.headline(sfDir)
+    assert(!headline.exists(_ < ' '), headline)
+    assert(headline.contains("\\u0009") && headline.contains("\\u000d") &&
+      headline.contains("\\u0001"), headline)
+  }
 }
