@@ -156,6 +156,30 @@ class QuantilesSpec extends SparkSpec {
     assert(got === Map("1" -> 2.0, "2" -> 20.0))
   }
 
+  test("b1=12 branch (17..256 groups) and heavy-duplicate windows stay exact") {
+    // 30 groups exercises the 12-bit first pass (64 - 12 leaves a 4-bit
+    // final narrowing pass); group g29 is ONE repeated value whose window
+    // never shrinks below the resolve threshold until the prefix pins all
+    // 64 bits — the live-state path must terminate and decode exactly
+    val rnd = new scala.util.Random(23)
+    val data = (0 until 30).flatMap { g =>
+      if (g == 29) Seq.fill(5000)((s"g$g", 42.125))
+      else (0 until 50).map(_ => (s"g$g", rnd.nextGaussian() * 10))
+    }
+    val df = data.toDF("k", "v").repartition(5)
+    val got = Quantiles.quantileCont(df, "k", "v", Seq(0.5 -> "p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = data.groupBy(_._1).map { case (k, rows) =>
+      val vs = rows.map(_._2).sorted.toIndexedSeq
+      val pos = 0.5 * (vs.length - 1)
+      val lo = pos.toInt
+      k -> (if (lo == pos) vs(lo) else vs(lo) + (pos - lo) * (vs(lo + 1) - vs(lo)))
+    }
+    assert(got.size === 30)
+    for ((k, v) <- ref) assert(got(k) === v, s"group $k")
+    assert(got("g29") === 42.125)
+  }
+
   test("winsorize clips at the exact quantile bounds and reports the robust mean") {
     // 1..9 plus an outlier at 1000; lo=0.1/hi=0.9 → bounds from the same
     // interpolation the reference engines use, clipped mean hand-computed
