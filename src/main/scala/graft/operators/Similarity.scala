@@ -420,7 +420,17 @@ object Similarity {
                    queries: DataFrame, k: Int, nprobe: Int = 4,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     requireLongIds(queries, idCol, "ivfTopKBatch")
-    val qRows = queries.select(col(idCol), col(vecCol)).collect()
+    // probe planning collects the query batch to the driver — that is the
+    // operator's contract (a batch is request-sized, not corpus-sized),
+    // and like every driver-sized precondition here it fails loudly
+    // instead of OOMing when violated
+    val qCap = index.sparkSession.conf
+      .get("spark.graft.ann.maxBatchQueries", "65536").toLong
+    val qRows = queries.select(col(idCol), col(vecCol))
+      .limit((qCap + 1).toInt).collect()
+    require(qRows.length <= qCap,
+      s"ivfTopKBatch plans probes on the driver from the query batch — got more than " +
+        s"$qCap queries; split the batch or raise spark.graft.ann.maxBatchQueries")
     val probesOf: Map[Long, Seq[Int]] = qRows.map { r =>
       val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
       r.getLong(0) -> probeCells(qv, centroids, nprobe).toSeq

@@ -240,8 +240,19 @@ object EventsStream {
     import graft.operators.Dedup
     import graft.plans.Exprs
     val spark = benchGrams.sparkSession
+    // the suite gram set is collected for the broadcast probe set — gated
+    // like every driver-sized precondition (default 10M grams ≈ ~0.5 GB):
+    // past broadcast scale the right shape is Dedup.decontaminateBloom's
+    // bloom + exact confirm JOIN, and this fails loudly saying so
+    val cap = spark.conf
+      .get("spark.graft.decontaminate.maxSuiteGrams", "10000000").toLong
     val grams = benchGrams.select(explode(col("__bg")).as("g")).distinct()
+      .limit((cap + 1).toInt)
       .collect().map(_.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(grams.length <= cap,
+      s"decontaminator ships the suite gram set as a broadcast — got more than $cap " +
+        s"distinct grams; use Dedup.decontaminateBloom past broadcast scale or raise " +
+        s"spark.graft.decontaminate.maxSuiteGrams")
     val bc = spark.sparkContext.broadcast(grams)
     val inSuite = (g: Column) => Exprs.stringSetContains(g, bc)
     docs =>

@@ -166,6 +166,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKBatch enforces its driver-sized query-batch precondition") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val index = Similarity.buildIvfIndex(emb, cents)
+    spark.conf.set("spark.graft.ann.maxBatchQueries", "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfTopKBatch(index, cents, emb.limit(10), 5)
+      }
+      assert(e.getMessage.contains("spark.graft.ann.maxBatchQueries"))
+      // under the cap the same call runs
+      assert(Similarity.ivfTopKBatch(index, cents, emb.limit(2), 5).count() > 0)
+    } finally spark.conf.unset("spark.graft.ann.maxBatchQueries")
+  }
+
   test("ivfTopKBatch equals per-query ivfTopKIndexed for every query in the batch") {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = Similarity.seedCentroids(emb, 8)

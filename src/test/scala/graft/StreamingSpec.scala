@@ -732,6 +732,18 @@ class StreamingSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
   }
 
+  test("decontaminator enforces its broadcastable-suite precondition") {
+    val bench = Tables.documents(spark, sfDir).limit(5).select($"doc_id", $"text")
+    val bg = EventsStream.benchmarkGrams(bench)
+    spark.conf.set("spark.graft.decontaminate.maxSuiteGrams", "5")
+    try {
+      val e = intercept[IllegalArgumentException] { EventsStream.decontaminator(bg) }
+      assert(e.getMessage.contains("decontaminateBloom"))
+    } finally spark.conf.unset("spark.graft.decontaminate.maxSuiteGrams")
+    // default cap: the same suite builds fine
+    assert(EventsStream.decontaminator(bg) != null)
+  }
+
   test("curationForeachBatch kill-and-restart: pending wave processed once, store rejects re-sent texts") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Dedup, TextAnalysis}
