@@ -16,7 +16,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_sector_price",     // as-of + ratio chain
     "q_quality_score",    // decimal-blended score
     "q_dedup_embedding",  // decimal-exact cosine over the pair grid
-    "q_pack_sequences")   // two-level prefix sum
+    "q_pack_sequences",   // two-level prefix sum
+    "q_robust_stats",     // driver-walked radix bisection (exact long counts)
+    "q_winsorize")        // bisection bounds + decimal-exact clipped mean
 
   test("sensitive queries return identical rows at 3 vs 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -179,6 +179,17 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(joined.collect().nonEmpty)
   }
 
+  test("winsorize: bounds broadcast, one data-sized exchange") {
+    // the group-sized bounds frame must broadcast into the clip scan
+    // (null-safe equality as a hash-join KEY, not a nested-loop residual)
+    // and the only hash exchanges are the final group aggregate's
+    val p = plan("q_winsorize")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(count(p, "Exchange hashpartitioning") === 1, p)
+  }
+
   test("incremental bar merge reads STORED bars — only the fresh batch scans ticks") {
     val p = plan("q_incremental_bars")
     // the history half must come from the persisted day-partitioned bar
