@@ -1298,6 +1298,19 @@ object SparkEntry {
       // the quantile machinery in its pipeline role, oracle-checked
       Quantiles.winsorize(events(s, dir), "event_type", "value")),
 
+    "q_winsorize_stream" -> ((s, dir) => {
+      // batch mirror of streaming.EventsStream.winsorizeStream (the
+      // q_funnel_stream pattern): per-ROW clipping against landed-corpus
+      // bounds through the same stream-static entry point, so the
+      // continuous face's row-level decisions are DuckDB-checked
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val bounds = Quantiles.quantileCont(ev, "event_type", "value",
+        Seq(0.01 -> "__lo", 0.99 -> "__hi"))
+      streaming.EventsStream.winsorizeStream(ev, bounds)
+        .select(col("event_id"), col("event_type"),
+          round(col("value_w"), 6).as("value_w"), col("clipped"))
+    }),
+
     "q_zscore" -> ((s, dir) => {
       // normalization stats from decimal-exact sums (NOT the stddev builtin,
       // whose float accumulation differs per engine/partitioning)
@@ -2510,6 +2523,20 @@ object SparkEntry {
         |FROM events e JOIN q USING (event_type)
         |WHERE e.value IS NOT NULL
         |GROUP BY e.event_type, q.lo, q.hi""".stripMargin,
+
+    "q_winsorize_stream" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.01) AS lo,
+        |    quantile_cont(value, 0.99) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |  round(CASE WHEN e.value < q.lo THEN q.lo
+        |             WHEN e.value > q.hi THEN q.hi
+        |             ELSE e.value END, 6) AS value_w,
+        |  (e.value < q.lo OR e.value > q.hi) AS clipped
+        |FROM events e JOIN q USING (event_type)
+        |WHERE e.value IS NOT NULL""".stripMargin,
 
     "q_zscore" ->
       """WITH stats AS (

@@ -203,6 +203,36 @@ object EventsStream {
       .where(col("quality") >= col("__thr"))
       .drop("__k", "__thr")
 
+  /** Streaming winsorization — robust normalization's continuous face,
+    * completing the batch/streaming symmetry for the exact-quantile
+    * family. Each arriving row's value clips to its group's [lo, hi]
+    * bounds computed from the LANDED corpus
+    * (`Quantiles.quantileCont(landed, key, value, Seq(lo -> "__lo",
+    * hi -> "__hi"))`) — a live stream cannot see its own quantiles, and
+    * pinning the bounds to data at rest makes replayed batches make
+    * identical decisions (the same contract as the quality-gate threshold
+    * and the temperature-mix rates). The bounds frame is group-sized and
+    * broadcast; the stream side never shuffles (stateless stream-static
+    * left join + projection). Rows whose group has no landed bounds pass
+    * through UNCLIPPED with `clipped = false` — a new entity must not be
+    * silently distorted by another group's tails; refresh the bounds via
+    * foreachBatch re-resolution when live refresh matters.
+    */
+  def winsorizeStream(stream: DataFrame, bounds: DataFrame,
+                      keyCol: String = "event_type",
+                      valueCol: String = "value"): DataFrame =
+    stream
+      .join(broadcast(bounds.select(col(keyCol), col("__lo"), col("__hi"))),
+        Seq(keyCol), "left")
+      .withColumn("value_w",
+        when(col("__lo").isNull, col(valueCol))
+          .when(col(valueCol) < col("__lo"), col("__lo"))
+          .when(col(valueCol) > col("__hi"), col("__hi"))
+          .otherwise(col(valueCol)))
+      .withColumn("clipped", col("__lo").isNotNull && col(valueCol).isNotNull &&
+        (col(valueCol) < col("__lo") || col(valueCol) > col("__hi")))
+      .drop("__lo", "__hi")
+
   /** Streaming benchmark decontamination — the continuous face of
     * `Dedup.decontaminate`. The batch shape (explode grams → semi-join →
     * doc-level anti-join) needs a stream-derived dirty-id set joined back

@@ -732,6 +732,36 @@ class StreamingSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
   }
 
+  test("winsorizeStream clips against landed bounds; unseen groups pass unclipped") {
+    implicit val sqlCtx = spark.sqlContext
+    // landed bounds: group g with [lo, hi] = [2.0, 8.0] (from a landed
+    // frame via the exact quantiles); the live stream then carries values
+    // inside, below, above, and from a group the landed corpus never saw
+    val landed = Seq.tabulate(101)(i => ("click", i * 0.1)).toDF("event_type", "value")
+    val bounds = graft.operators.Quantiles.quantileCont(
+      landed, "event_type", "value", Seq(0.2 -> "__lo", 0.8 -> "__hi"))
+    val input = MemoryStream[Ev]
+    val out = EventsStream.winsorizeStream(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")), bounds)
+    val query = out.writeStream.format("memory").queryName("winsor_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:00:00"), "click", 5.0),   // inside
+        Ev(2L, ts("2024-01-01 10:00:01"), "click", -3.0),  // below lo -> 2.0
+        Ev(3L, ts("2024-01-01 10:00:02"), "click", 99.0),  // above hi -> 8.0
+        Ev(4L, ts("2024-01-01 10:00:03"), "mystery", 99.0)) // no bounds
+      query.processAllAvailable()
+      val rows = spark.table("winsor_stream")
+        .select($"user_id", $"value_w", $"clipped")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+      assert(rows(1L) === ((5.0, false)))
+      assert(rows(2L) === ((2.0, true)))
+      assert(rows(3L) === ((8.0, true)))
+      assert(rows(4L) === ((99.0, false))) // new entity not distorted
+    } finally query.stop()
+  }
+
   test("decontaminator enforces its broadcastable-suite precondition") {
     val bench = Tables.documents(spark, sfDir).limit(5).select($"doc_id", $"text")
     val bg = EventsStream.benchmarkGrams(bench)
