@@ -941,6 +941,16 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }),
 
+    "q_contamination_report" -> ((s, dir) => {
+      // the eval-integrity direction of decontamination: per benchmark
+      // doc, how many distinct corpus docs share an 8-gram with it —
+      // zero-leak suite items included (absence is part of the report)
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationReport(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0))
+    }),
+
     "q_chunk_split" -> ((s, dir) =>
       // sliding-window chunking (RAG / long-doc pretraining): 64-token
       // chunks, 16-token overlap, codegen'd scan-speed projection
@@ -2319,6 +2329,24 @@ object SparkEntry {
         |  array_to_string(list_transform(
         |    list_sort(list(struct_pack(pos := pos, unit := unit))), s -> s.unit), '. ') AS clean_text
         |FROM kept GROUP BY doc_id""".stripMargin,
+
+    "q_contamination_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 6, 2)),
+        |                        i -> array_to_string(t[i:i+7], ' '))) AS g
+        |  FROM toks),
+        |bg AS (SELECT DISTINCT doc_id AS bench_id, g FROM grams WHERE doc_id % 50 = 0),
+        |pairs AS (
+        |  SELECT DISTINCT bg.bench_id, grams.doc_id AS cid
+        |  FROM grams JOIN bg USING (g) WHERE grams.doc_id % 50 <> 0)
+        |SELECT b.doc_id AS bench_id,
+        |  CAST(coalesce(p.n, 0) AS BIGINT) AS n_leaked_docs
+        |FROM documents b
+        |LEFT JOIN (SELECT bench_id, count(*) AS n FROM pairs GROUP BY bench_id) p
+        |  ON b.doc_id = p.bench_id
+        |WHERE b.doc_id % 50 = 0""".stripMargin,
 
     "q_decontaminate" ->
       // t[i:i+7] slices clamp on short lists, matching the compiled

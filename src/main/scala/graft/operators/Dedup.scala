@@ -658,6 +658,35 @@ object Dedup {
       .select(col("__gid").as(idCol)).distinct()
   }
 
+  /** Eval-integrity leak report — the INVERSE direction of
+    * [[decontaminate]]: for each benchmark document, how many DISTINCT
+    * corpus documents share at least one n-gram with it. Dropping leaked
+    * corpus docs protects training; this is what the eval-integrity
+    * review publishes about the SUITE — which items are compromised and
+    * how broadly, so a too-leaked task can be retired. Scale shape: the
+    * corpus gram stream probes the broadcast (gram → bench id) table
+    * map-side; the shuffle carries distinct (bench, corpus) id PAIRS —
+    * leak-sized, never gram-sized. Benchmark docs with zero leaks still
+    * appear (n_leaked_docs = 0): absence of evidence is part of the
+    * report.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("__gid"), tokens(textCol).as("__toks"))
+      .select(col("__gid"), explode(ngramsOfTokens("__toks", n)).as("g"))
+    val bg = grams(benchmark).select(col("__gid").as("__bid"), col("g")).distinct()
+    val pairs = grams(corpus)
+      .join(broadcast(bg), "g")
+      .select(col("__bid"), col("__gid").as("__cid")).distinct()
+    val counts = pairs.groupBy(col("__bid").as("bench_id"))
+      .agg(count(lit(1)).as("n_leaked_docs"))
+    benchmark.select(col(idCol).as("bench_id"))
+      .join(counts, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_leaked_docs"), lit(0L)).as("n_leaked_docs"))
+  }
+
   /** Decontamination past broadcast scale: [[decontaminate]] broadcasts the
     * benchmark's raw gram STRINGS, which stops working when the eval suite
     * union grows to hundreds of millions of grams. Here the membership set

@@ -108,6 +108,20 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("contaminationReport counts distinct leaked corpus docs per bench doc, zero-leak items included") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (200L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"), // leaks 100
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),                     // leaks 100
+      (3L, "alpha beta gamma only shares a short fragment not eight grams")      // clean
+    ).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === Map(100L -> 2L, 200L -> 0L))
+  }
+
   test("decontaminateBloom equals exact decontaminate, even with a saturated filter") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.where($"doc_id" % 50 =!= 0)
