@@ -1308,6 +1308,13 @@ object SparkEntry {
       // the quantile machinery in its pipeline role, oracle-checked
       Quantiles.winsorize(events(s, dir), "event_type", "value")),
 
+    "q_quantile_bins" -> ((s, dir) =>
+      // equi-depth discretization: quartile bins per event type from the
+      // exact bisection bounds, branch-free assignment, output-sized
+      // count shuffle — the feature-binning step fixed-width bins can't
+      // do on skewed columns
+      Quantiles.equiDepthBins(events(s, dir), "event_type", "value", 4)),
+
     "q_winsorize_stream" -> ((s, dir) => {
       // batch mirror of streaming.EventsStream.winsorizeStream (the
       // q_funnel_stream pattern): per-ROW clipping against landed-corpus
@@ -2551,6 +2558,21 @@ object SparkEntry {
         |FROM events e JOIN q USING (event_type)
         |WHERE e.value IS NOT NULL
         |GROUP BY e.event_type, q.lo, q.hi""".stripMargin,
+
+    "q_quantile_bins" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS b1,
+        |    quantile_cont(value, 0.50) AS b2,
+        |    quantile_cont(value, 0.75) AS b3
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_type,
+        |  1 + CAST(e.value > q.b1 AS INT) + CAST(e.value > q.b2 AS INT)
+        |    + CAST(e.value > q.b3 AS INT) AS bin,
+        |  count(*) AS n
+        |FROM events e JOIN q USING (event_type)
+        |WHERE e.value IS NOT NULL
+        |GROUP BY e.event_type, bin""".stripMargin,
 
     "q_winsorize_stream" ->
       """WITH q AS (

@@ -303,6 +303,32 @@ object Quantiles {
         col("n_clipped"))
   }
 
+  /** Per-group equi-depth discretization — the quantile-binning step a
+    * feature pipeline uses to turn a skewed numeric column into k
+    * roughly-equal-population ordinal bins (fixed-width bins put 99 % of
+    * a heavy-tailed column in one bucket; equi-depth can't). Bin
+    * boundaries are the EXACT i/k quantiles from [[quantileCont]] (no
+    * per-group buffering at any scale); a row's bin is
+    * 1 + Σᵢ [value > boundᵢ] — a branch-free broadcast-join projection,
+    * so the assignment pass is scan-speed and the only shuffle is the
+    * output-sized count aggregate. Returns one row per (group, bin) with
+    * its population.
+    */
+  def equiDepthBins(df: DataFrame, keyCol: String, valueCol: String,
+                    k: Int = 4): DataFrame = {
+    require(k >= 2 && k <= 256, "need 2 <= k <= 256 bins")
+    val qs = (1 until k).map(i => i.toDouble / k -> s"__b$i")
+    val bounds = quantileCont(df, keyCol, valueCol, qs)
+    val binCol = qs.map { case (_, name) =>
+      (col(valueCol) > col(name)).cast("int")
+    }.reduce(_ + _) + lit(1)
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(bounds), df(keyCol).cast("string") <=> bounds(keyCol))
+      .select(bounds(keyCol).as(keyCol), binCol.as("bin"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** `quantile_cont` per group: for each q, interpolate between the order
     * statistics at floor/ceil of q·(n−1) — the formula DuckDB/Postgres
     * use, evaluated in the same double arithmetic. Output: one row per

@@ -200,6 +200,16 @@ class QuantilesSpec extends SparkSpec {
     assert(row.getLong(4) === vals.count(v => v < blo || v > bhi))
   }
 
+  test("equiDepthBins: quartile populations on a skewed column") {
+    // heavy-tailed: 1..96 plus four huge outliers — fixed-width bins
+    // would put ~everything in bin 1; equi-depth must split 25/25/25/25
+    val vals = (1 to 96).map(_.toDouble) ++ Seq(1e6, 2e6, 3e6, 4e6)
+    val df = vals.map(("g", _)).toDF("k", "v").repartition(4)
+    val bins = Quantiles.equiDepthBins(df, "k", "v", 4)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(bins === Map(1 -> 25L, 2 -> 25L, 3 -> 25L, 4 -> 25L))
+  }
+
   test("a requested group key with no rows fails loudly") {
     val df = Seq(("a", 1.0)).toDF("k", "v")
     intercept[IllegalArgumentException] {
