@@ -1308,6 +1308,17 @@ object SparkEntry {
       // the quantile machinery in its pipeline role, oracle-checked
       Quantiles.winsorize(events(s, dir), "event_type", "value")),
 
+    "q_psi_drift" -> ((s, dir) => {
+      // drift monitor: PSI of each event type's value distribution, even
+      // event ids as the reference ingest vs odd as the current one —
+      // reference-decile bins, smoothed proportions, decimal-summed terms
+      val ev = events(s, dir)
+      Quantiles.populationStability(
+        ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1),
+        "event_type", "value")
+    }),
+
     "q_quantile_bins" -> ((s, dir) =>
       // equi-depth discretization: quartile bins per event type from the
       // exact bisection bounds, branch-free assignment, output-sized
@@ -2558,6 +2569,60 @@ object SparkEntry {
         |FROM events e JOIN q USING (event_type)
         |WHERE e.value IS NOT NULL
         |GROUP BY e.event_type, q.lo, q.hi""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH ref AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL AND event_id % 2 = 0),
+        |cur AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL AND event_id % 2 = 1),
+        |q AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.1) AS b1, quantile_cont(value, 0.2) AS b2,
+        |    quantile_cont(value, 0.3) AS b3, quantile_cont(value, 0.4) AS b4,
+        |    quantile_cont(value, 0.5) AS b5, quantile_cont(value, 0.6) AS b6,
+        |    quantile_cont(value, 0.7) AS b7, quantile_cont(value, 0.8) AS b8,
+        |    quantile_cont(value, 0.9) AS b9
+        |  FROM ref GROUP BY event_type),
+        |rb AS (
+        |  SELECT r.event_type,
+        |    1 + CAST(r.value > q.b1 AS INT) + CAST(r.value > q.b2 AS INT)
+        |      + CAST(r.value > q.b3 AS INT) + CAST(r.value > q.b4 AS INT)
+        |      + CAST(r.value > q.b5 AS INT) + CAST(r.value > q.b6 AS INT)
+        |      + CAST(r.value > q.b7 AS INT) + CAST(r.value > q.b8 AS INT)
+        |      + CAST(r.value > q.b9 AS INT) AS bin,
+        |    count(*) AS c
+        |  FROM ref r JOIN q USING (event_type) GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT c2.event_type,
+        |    1 + CAST(c2.value > q.b1 AS INT) + CAST(c2.value > q.b2 AS INT)
+        |      + CAST(c2.value > q.b3 AS INT) + CAST(c2.value > q.b4 AS INT)
+        |      + CAST(c2.value > q.b5 AS INT) + CAST(c2.value > q.b6 AS INT)
+        |      + CAST(c2.value > q.b7 AS INT) + CAST(c2.value > q.b8 AS INT)
+        |      + CAST(c2.value > q.b9 AS INT) AS bin,
+        |    count(*) AS c
+        |  FROM cur c2 JOIN q USING (event_type) GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT q.event_type, CAST(gs.g AS INT) AS bin
+        |  FROM q CROSS JOIN (SELECT unnest(range(1, 11)) AS g) gs),
+        |j AS (
+        |  SELECT g.event_type, g.bin,
+        |    coalesce(rb.c, 0) AS cr, coalesce(cb.c, 0) AS cc
+        |  FROM grid g
+        |  LEFT JOIN rb ON g.event_type = rb.event_type AND g.bin = rb.bin
+        |  LEFT JOIN cb ON g.event_type = cb.event_type AND g.bin = cb.bin),
+        |t AS (
+        |  SELECT event_type, sum(cr) AS nr, sum(cc) AS nc FROM j GROUP BY 1),
+        |terms AS (
+        |  SELECT j.event_type,
+        |    ((j.cr + 0.5) / (t.nr + 5.0) - (j.cc + 0.5) / (t.nc + 5.0)) *
+        |      ln(((j.cr + 0.5) / (t.nr + 5.0)) / ((j.cc + 0.5) / (t.nc + 5.0)))
+        |      AS term
+        |  FROM j JOIN t USING (event_type))
+        |SELECT event_type,
+        |  round(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY event_type""".stripMargin,
 
     "q_quantile_bins" ->
       """WITH q AS (

@@ -329,6 +329,53 @@ object Quantiles {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-group Population Stability Index between a reference and a
+    * current frame — the standard drift alarm a continuously-ingesting
+    * training pipeline puts on every numeric feature (rule of thumb:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 retrain). Bins are the
+    * REFERENCE's k equi-depth boundaries (exact, from [[quantileCont]]);
+    * both frames bin with the same branch-free projection; proportions
+    * are Laplace-smoothed ((c + 0.5)/(n + k/2)) so an empty bin can't
+    * produce ±∞; and the per-bin terms (p−q)·ln(p/q) accumulate in
+    * DECIMAL so the sum is identical under any partitioning. All
+    * shuffles are output-sized (group × k count rows); the grid includes
+    * zero-zero bins (their term is exactly 0) so both engines sum the
+    * same k terms per group.
+    */
+  def populationStability(reference: DataFrame, current: DataFrame,
+                          keyCol: String, valueCol: String, k: Int = 10): DataFrame = {
+    require(k >= 2 && k <= 256, "need 2 <= k <= 256 bins")
+    val qs = (1 until k).map(i => i.toDouble / k -> s"__b$i")
+    val bounds = quantileCont(reference, keyCol, valueCol, qs)
+    def binned(df: DataFrame) = {
+      val binCol = qs.map { case (_, name) =>
+        (col(valueCol) > col(name)).cast("int")
+      }.reduce(_ + _) + lit(1)
+      df.where(col(valueCol).isNotNull)
+        .join(broadcast(bounds), df(keyCol).cast("string") <=> bounds(keyCol))
+        .select(bounds(keyCol).as("__k"), binCol.as("bin"))
+        .groupBy(col("__k"), col("bin")).agg(count(lit(1)).as("c"))
+    }
+    val rc = binned(reference).withColumnRenamed("c", "cr")
+    val cc = binned(current).withColumnRenamed("c", "cc")
+    val grid = bounds.select(col(keyCol).as("__k"))
+      .withColumn("bin", explode(expr(s"sequence(1, $k)")))
+    val joined = grid
+      .join(rc, Seq("__k", "bin"), "left")
+      .join(cc, Seq("__k", "bin"), "left")
+      .select(col("__k"), col("bin"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val tots = joined.groupBy(col("__k"))
+      .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+    val p = (col("cr") + lit(0.5)) / (col("nr") + lit(k / 2.0))
+    val q = (col("cc") + lit(0.5)) / (col("nc") + lit(k / 2.0))
+    joined.join(broadcast(tots), "__k")
+      .select(col("__k"), ((p - q) * log(p / q)).as("__term"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(round(sum(col("__term").cast("decimal(28,12)")).cast("double"), 6).as("psi"))
+  }
+
   /** `quantile_cont` per group: for each q, interpolate between the order
     * statistics at floor/ceil of q·(n−1) — the formula DuckDB/Postgres
     * use, evaluated in the same double arithmetic. Output: one row per

@@ -210,6 +210,15 @@ class QuantilesSpec extends SparkSpec {
     assert(bins === Map(1 -> 25L, 2 -> 25L, 3 -> 25L, 4 -> 25L))
   }
 
+  test("populationStability: identical halves score 0, a shifted half alarms") {
+    val ref = (1 to 200).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val same = Quantiles.populationStability(ref, ref, "k", "v").head()
+    assert(same.getDouble(1) === 0.0) // p = q in every bin -> every term 0
+    val shifted = (1 to 200).map(i => ("g", i.toDouble + 150)).toDF("k", "v")
+    val drift = Quantiles.populationStability(ref, shifted, "k", "v").head().getDouble(1)
+    assert(drift > 0.25, s"shifted distribution must cross the retrain bar, got $drift")
+  }
+
   test("a requested group key with no rows fails loudly") {
     val df = Seq(("a", 1.0)).toDF("k", "v")
     intercept[IllegalArgumentException] {
