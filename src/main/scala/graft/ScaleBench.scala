@@ -134,6 +134,7 @@ object ScaleBench {
     "q_wordlm", "q_bpe", "q_unigram_lm", "q_tokenizer_quality", "q_tfidf",
     "q_fingerprint", "q_winnow_fingerprint", "q_simhash_pairs",
     "q_boilerplate", "q_decontaminate", "q_decontaminate_bloom",
+    "q_contamination_report",
     "q_chunk_split", "q_pack_sequences", "q_shard_assign", "q_pipeline_e2e",
     "q_curation_stream", "q_url_normalize", "q_bm25_topk", "q_domain_cap",
     "q_span_dedup",
@@ -158,7 +159,8 @@ object ScaleBench {
     "q_running_sum", "q_sessionize", "q_funnel", "q_funnel_stream",
     "q_retention", "q_rollup", "q_histogram", "q_json_props",
     "q_quantiles_approx", "q_quantiles", "q_quantiles_scalable",
-    "q_robust_stats", "q_winsorize", "q_zscore",
+    "q_robust_stats", "q_winsorize", "q_winsorize_stream",
+    "q_quantile_bins", "q_psi_drift", "q_zscore",
     "q_distinct_users", "q_approx_distinct", "q_interval_join")
 
   private val family = dedupAnn ++ text ++ events

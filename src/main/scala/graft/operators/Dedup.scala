@@ -682,7 +682,7 @@ object Dedup {
     val counts = pairs.groupBy(col("__bid").as("bench_id"))
       .agg(count(lit(1)).as("n_leaked_docs"))
     benchmark.select(col(idCol).as("bench_id"))
-      .join(counts, Seq("bench_id"), "left")
+      .join(broadcast(counts), Seq("bench_id"), "left") // leak-report sized
       .select(col("bench_id"),
         coalesce(col("n_leaked_docs"), lit(0L)).as("n_leaked_docs"))
   }

@@ -360,9 +360,12 @@ object Quantiles {
     val cc = binned(current).withColumnRenamed("c", "cc")
     val grid = bounds.select(col(keyCol).as("__k"))
       .withColumn("bin", explode(expr(s"sequence(1, $k)")))
+    // every frame here is output-sized (group × k rows) but derives from
+    // aggregates/local relations Catalyst has no stats for — hint the
+    // probe sides so the grid assembly can't fall to sort-merge joins
     val joined = grid
-      .join(rc, Seq("__k", "bin"), "left")
-      .join(cc, Seq("__k", "bin"), "left")
+      .join(broadcast(rc), Seq("__k", "bin"), "left")
+      .join(broadcast(cc), Seq("__k", "bin"), "left")
       .select(col("__k"), col("bin"),
         coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("cc"), lit(0L)).as("cc"))

@@ -179,6 +179,19 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(joined.collect().nonEmpty)
   }
 
+  test("round-8 quantile/report keys join only by broadcast hash") {
+    // every non-base frame in these plans is group/output-sized but
+    // derives from aggregates or local relations Catalyst can't size —
+    // the explicit hints must hold (no SMJ, no nested-loop)
+    for (q <- Seq("q_psi_drift", "q_contamination_report",
+        "q_quantile_bins", "q_winsorize_stream")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+  }
+
   test("winsorize: bounds broadcast, one data-sized exchange") {
     // the group-sized bounds frame must broadcast into the clip scan
     // (null-safe equality as a hash-join KEY, not a nested-loop residual)
