@@ -344,40 +344,72 @@ object Quantiles {
     */
   def populationStability(reference: DataFrame, current: DataFrame,
                           keyCol: String, valueCol: String, k: Int = 10): DataFrame = {
+    val (bounds, props) = psiReference(reference, keyCol, valueCol, k)
+    psiAgainst(current, keyCol, valueCol, k, bounds, props)
+  }
+
+  /** The reference side of a PSI monitor, computed once: the k-quantile
+    * bin bounds and the SMOOTHED reference proportion per (group, bin)
+    * (`__p`, Laplace (c + 0.5)/(n + k/2)) — both model-sized (group × k
+    * rows). A streaming monitor materializes these at build time and
+    * scores every micro-batch against them ([[psiAgainst]]); the batch
+    * [[populationStability]] is exactly that composition.
+    */
+  def psiReference(reference: DataFrame, keyCol: String, valueCol: String,
+                   k: Int = 10): (DataFrame, DataFrame) = {
     require(k >= 2 && k <= 256, "need 2 <= k <= 256 bins")
     val qs = (1 until k).map(i => i.toDouble / k -> s"__b$i")
     val bounds = quantileCont(reference, keyCol, valueCol, qs)
-    def binned(df: DataFrame) = {
-      val binCol = qs.map { case (_, name) =>
-        (col(valueCol) > col(name)).cast("int")
-      }.reduce(_ + _) + lit(1)
-      df.where(col(valueCol).isNotNull)
-        .join(broadcast(bounds), df(keyCol).cast("string") <=> bounds(keyCol))
-        .select(bounds(keyCol).as("__k"), binCol.as("bin"))
-        .groupBy(col("__k"), col("bin")).agg(count(lit(1)).as("c"))
-    }
-    val rc = binned(reference).withColumnRenamed("c", "cr")
-    val cc = binned(current).withColumnRenamed("c", "cc")
-    val grid = bounds.select(col(keyCol).as("__k"))
-      .withColumn("bin", explode(expr(s"sequence(1, $k)")))
+    val rc = binCounts(reference, bounds, keyCol, valueCol)
     // every frame here is output-sized (group × k rows) but derives from
     // aggregates/local relations Catalyst has no stats for — hint the
     // probe sides so the grid assembly can't fall to sort-merge joins
-    val joined = grid
+    val filled = binGrid(bounds, keyCol, k)
       .join(broadcast(rc), Seq("__k", "bin"), "left")
-      .join(broadcast(cc), Seq("__k", "bin"), "left")
+      .select(col("__k"), col("bin"), coalesce(col("c"), lit(0L)).as("cr"))
+    val tots = filled.groupBy(col("__k")).agg(sum(col("cr")).as("nr"))
+    val props = filled.join(broadcast(tots), "__k")
       .select(col("__k"), col("bin"),
-        coalesce(col("cr"), lit(0L)).as("cr"),
-        coalesce(col("cc"), lit(0L)).as("cc"))
-    val tots = joined.groupBy(col("__k"))
-      .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
-    val p = (col("cr") + lit(0.5)) / (col("nr") + lit(k / 2.0))
+        ((col("cr") + lit(0.5)) / (col("nr") + lit(k / 2.0))).as("__p"))
+    (bounds, props)
+  }
+
+  /** PSI of `current` against a [[psiReference]]: one row per group with
+    * the decimal-summed Σ (p−q)·ln(p/q). Groups absent from the
+    * reference emit nothing — a new entity has no reference distribution
+    * to drift from.
+    */
+  def psiAgainst(current: DataFrame, keyCol: String, valueCol: String, k: Int,
+                 bounds: DataFrame, refProps: DataFrame): DataFrame = {
+    val cc = binCounts(current, bounds, keyCol, valueCol)
+    val filled = refProps
+      .join(broadcast(cc), Seq("__k", "bin"), "left")
+      .select(col("__k"), col("bin"), col("__p"),
+        coalesce(col("c"), lit(0L)).as("cc"))
+    val tots = filled.groupBy(col("__k")).agg(sum(col("cc")).as("nc"))
     val q = (col("cc") + lit(0.5)) / (col("nc") + lit(k / 2.0))
-    joined.join(broadcast(tots), "__k")
-      .select(col("__k"), ((p - q) * log(p / q)).as("__term"))
+    filled.join(broadcast(tots), "__k")
+      .select(col("__k"), ((col("__p") - q) * log(col("__p") / q)).as("__term"))
       .groupBy(col("__k").as(keyCol))
       .agg(round(sum(col("__term").cast("decimal(28,12)")).cast("double"), 6).as("psi"))
   }
+
+  /** Shared branch-free bin assignment + count against a bounds frame. */
+  private def binCounts(df: DataFrame, bounds: DataFrame,
+                        keyCol: String, valueCol: String): DataFrame = {
+    val boundCols = bounds.columns.filter(_.startsWith("__b"))
+    val binCol = boundCols.map { name =>
+      (col(valueCol) > col(name)).cast("int")
+    }.reduce(_ + _) + lit(1)
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(bounds), df(keyCol).cast("string") <=> bounds(keyCol))
+      .select(bounds(keyCol).as("__k"), binCol.as("bin"))
+      .groupBy(col("__k"), col("bin")).agg(count(lit(1)).as("c"))
+  }
+
+  private def binGrid(bounds: DataFrame, keyCol: String, k: Int): DataFrame =
+    bounds.select(col(keyCol).as("__k"))
+      .withColumn("bin", explode(expr(s"sequence(1, $k)")))
 
   /** `quantile_cont` per group: for each q, interpolate between the order
     * statistics at floor/ceil of q·(n−1) — the formula DuckDB/Postgres

@@ -54,15 +54,29 @@ case class StringSetContains(child: Expression,
 }
 
 object StringSetContains {
-  // probe sets built once per (executor JVM, broadcast id) — tasks share
+  // probe sets built once per (executor JVM, broadcast id) — tasks share.
+  // BOUNDED: a long-running service that keeps building fresh screens
+  // (new broadcast per build) must not accumulate dead sets; when the
+  // cache exceeds MaxCachedSets the oldest entries are dropped (a probe
+  // against a dropped id just rebuilds from the still-alive broadcast).
+  private val MaxCachedSets = 8
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashSet[UTF8String]]()
+    new java.util.LinkedHashMap[Long, java.util.HashSet[UTF8String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, java.util.HashSet[UTF8String]]): Boolean =
+        size() > MaxCachedSets
+    }
 
   private def setFor(bc: Broadcast[Array[Array[Byte]]]): java.util.HashSet[UTF8String] =
-    cache.computeIfAbsent(bc.id, _ => {
-      val items = bc.value
-      val s = new java.util.HashSet[UTF8String](math.max(16, items.length * 2))
-      items.foreach(b => s.add(UTF8String.fromBytes(b)))
-      s
-    })
+    cache.synchronized {
+      val hit = cache.get(bc.id)
+      if (hit != null) hit
+      else {
+        val items = bc.value
+        val s = new java.util.HashSet[UTF8String](math.max(16, items.length * 2))
+        items.foreach(b => s.add(UTF8String.fromBytes(b)))
+        cache.put(bc.id, s)
+        s
+      }
+    }
 }

@@ -233,6 +233,35 @@ object EventsStream {
         (col(valueCol) < col("__lo") || col(valueCol) > col("__hi")))
       .drop("__lo", "__hi")
 
+  /** Streaming drift monitor — each micro-batch's Population Stability
+    * Index against the LANDED reference distribution
+    * ([[graft.operators.Quantiles.psiReference]]): the retrain alarm,
+    * continuously. The reference bin bounds and smoothed proportions are
+    * materialized ONCE at build time (model-sized: group × k rows — a
+    * micro-batch must never re-run the landed quantiles); each batch then
+    * bins at scan speed against the broadcast bounds and `sink` receives
+    * one (group, psi, batch_id) row per group per batch. Groups absent
+    * from the reference emit nothing — a new entity has no reference
+    * distribution to drift from; extend the landed corpus and rebuild the
+    * monitor when it should.
+    */
+  def psiMonitor(stream: DataFrame, reference: DataFrame,
+                 keyCol: String = "event_type", valueCol: String = "value",
+                 k: Int = 10)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Quantiles
+    val spark = reference.sparkSession
+    val (bounds, props) = Quantiles.psiReference(reference, keyCol, valueCol, k)
+    val propsLocal = spark.createDataFrame(
+      spark.sparkContext.parallelize(props.collect().toSeq, 1), props.schema)
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(Quantiles.psiAgainst(batch.toDF(), keyCol, valueCol, k, bounds, propsLocal)
+          .withColumn("batch_id", lit(batchId)), batchId)
+        ()
+    }
+  }
+
   /** Streaming benchmark decontamination — the continuous face of
     * `Dedup.decontaminate`. The batch shape (explode grams → semi-join →
     * doc-level anti-join) needs a stream-derived dirty-id set joined back

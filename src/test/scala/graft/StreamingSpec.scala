@@ -762,6 +762,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("psiMonitor: in-distribution batches stay quiet, a shifted batch alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (1 to 200).map(i => ("click", i.toDouble)).toDF("event_type", "value")
+    val input = MemoryStream[Ev]
+    val scores = scala.collection.mutable.Map[Long, Double]()
+    val query = EventsStream.psiMonitor(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")), ref) { (psi, id) =>
+      psi.collect().foreach(r => scores(id) = r.getDouble(1))
+      ()
+    }.start()
+    try {
+      input.addData((1 to 200).map(i =>
+        Ev(i.toLong, ts("2024-01-01 10:00:00"), "click", i.toDouble)).toSeq: _*)
+      query.processAllAvailable()
+      input.addData((1 to 200).map(i =>
+        Ev(1000L + i, ts("2024-01-01 11:00:00"), "click", i.toDouble + 150)).toSeq: _*)
+      query.processAllAvailable()
+      assert(scores(0L) < 0.1, s"in-distribution batch must stay quiet: $scores")
+      assert(scores(1L) > 0.25, s"shifted batch must cross the retrain bar: $scores")
+    } finally query.stop()
+  }
+
   test("decontaminator enforces its broadcastable-suite precondition") {
     val bench = Tables.documents(spark, sfDir).limit(5).select($"doc_id", $"text")
     val bg = EventsStream.benchmarkGrams(bench)
