@@ -1067,6 +1067,16 @@ object SparkEntry {
       Similarity.topKBatch(emb, emb.orderBy(col("vec_id")).limit(2), 10)
     }),
 
+    "q_ann_mmr" -> ((s, dir) => {
+      // diversity re-rank after ANN: top-20 brute candidates per query →
+      // greedy MMR top-5 (λ = 0.7) so near-duplicate hits can't crowd out
+      // coverage. Greedy selection is engine-specific → rows check;
+      // SimilaritySpec pins the semantics on a crafted redundant set.
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.orderBy(col("vec_id").desc).limit(3)
+      Similarity.mmrRerank(Similarity.topKBatch(emb, queries, 20), emb, k = 5)
+    }),
+
     "q_hard_negatives" -> ((s, dir) => {
       // contrastive hard negatives: nearest different-label vectors per
       // anchor — one batched brute-force pass with the label test riding

@@ -248,6 +248,69 @@ object Similarity {
     * deterministic, no driver-side randomness, one compiled pass per row
     * (graft.plans.HyperplaneLSH).
     */
+  /** Maximal-Marginal-Relevance re-ranking of a batched top-N candidate
+    * set (Carbonell & Goldstein 1998): greedily pick k of each query's
+    * candidates maximizing λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s) —
+    * the standard diversity pass a retrieval pipeline runs after ANN so
+    * near-duplicate hits don't crowd out coverage. The greedy argmax is
+    * inherently SEQUENTIAL per query, so this is one of the few
+    * legitimate typed-group operators in the engine: a `flatMapGroups`
+    * whose per-group state is the candidate set itself — bounded at
+    * `maxCandidates` (enforced, fail-loudly) and model-sized by
+    * construction (N from the upstream top-k). Candidates shuffle once on
+    * qid; the candidate-candidate cosines are O(N·k) per query, computed
+    * in-group. Deterministic: candidates pre-sorted by (relevance desc,
+    * id asc) and ties in the marginal score resolve to the first in that
+    * order.
+    */
+  def mmrRerank(candidates: DataFrame, embeddings: DataFrame, k: Int,
+                lambda: Double = 0.7, maxCandidates: Int = 1024,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, "lambda in [0, 1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val withVec = candidates
+      .join(embeddings.select(col(idCol).as("__cid"), col(vecCol).as("__v")),
+        candidates(idCol) === col("__cid"))
+      .select(col("qid").cast("long"), col("__cid").cast("long"),
+        col("cosine").cast("double"), col("__v"))
+      .as[(Long, Long, Double, Array[Float])]
+    withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cand = it.toArray.sortBy(c => (-c._3, c._2))
+      require(cand.length <= maxCandidates,
+        s"mmrRerank got ${cand.length} candidates for query $qid — bound the upstream " +
+          s"top-N or raise maxCandidates ($maxCandidates)")
+      val vecs = cand.map { c =>
+        val v = c._4.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val chosen = scala.collection.mutable.ArrayBuffer[Int]()
+      val remaining = scala.collection.mutable.ArrayBuffer(cand.indices: _*)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double, Double)]()
+      while (chosen.length < math.min(k, cand.length)) {
+        var bestIdx = -1
+        var best = Double.NegativeInfinity
+        for (i <- remaining) {
+          val div = if (chosen.isEmpty) 0.0
+            else chosen.iterator.map(j => dot(vecs(i), vecs(j))).max
+          val score = lambda * cand(i)._3 - (1 - lambda) * div
+          if (score > best) { best = score; bestIdx = i }
+        }
+        chosen += bestIdx
+        remaining -= bestIdx
+        out += ((qid, cand(bestIdx)._2, chosen.length,
+          cand(bestIdx)._3, math.rint(best * 1e6) / 1e6))
+      }
+      out.iterator
+    }.toDF("qid", idCol, "mmr_rank", "cosine", "mmr_score")
+  }
+
   def lshSignature(vecCol: String, planes: Int): Column =
     graft.plans.Exprs.hyperplaneLsh(col(vecCol), planes)
 

@@ -166,6 +166,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank trades a redundant near-duplicate for coverage; rank 1 is pure relevance") {
+    // corpus: A and A' nearly identical (both very close to the query),
+    // B distinct with moderate relevance. Plain top-2 = {A, A'};
+    // MMR top-2 must swap the redundant A' for B.
+    val emb = Seq(
+      (1L, Array(0.999f, 0.04f, 0.0f)),  // A — most relevant
+      (2L, Array(0.999f, 0.045f, 0.0f)), // A' ~ A (redundant)
+      (3L, Array(0.8f, -0.6f, 0.0f)),    // B distinct: rel 0.80 > sim-to-A 0.78
+      (9L, Array(1.0f, 0.0f, 0.0f))      // the query vector
+    ).toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" === 9L)
+    val cands = Similarity.topK(emb, queries, 3)
+      .withColumn("qid", lit(9L))
+      .select($"qid", $"vec_id", $"cosine")
+    val plain = cands.orderBy($"cosine".desc).limit(2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(plain === Set(1L, 2L))
+    val mmr = Similarity.mmrRerank(cands, emb, k = 2, lambda = 0.5)
+      .orderBy($"mmr_rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(mmr.head._1 === 1L, s"rank 1 must be the most relevant: ${mmr.toSeq}")
+    assert(mmr(1)._1 === 3L, s"rank 2 must trade A' for the distinct B: ${mmr.toSeq}")
+    // the candidate cap fails loudly, not out-of-memory
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.mmrRerank(cands, emb, k = 2, maxCandidates = 1).collect()
+    }
+    assert(e.getMessage.contains("maxCandidates") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxCandidates")))
+  }
+
   test("ivfTopKBatch enforces its driver-sized query-batch precondition") {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = Similarity.seedCentroids(emb, 8)
