@@ -126,7 +126,7 @@ object ScaleBench {
     "q_dedup_embedding", "q_dedup_embedding_keep",
     "q_ann_topk", "q_ann_batch", "q_ann_lsh", "q_ann_ivf",
     "q_ann_ivf_indexed", "q_ann_ivfpq_indexed", "q_ann_ivf_append",
-    "q_kmeans", "q_ann_recall")
+    "q_kmeans", "q_ann_recall", "q_ann_mmr")
   private val text = Seq(
     "q_lang_id", "q_quality_score", "q_quality_gate", "q_classifier", "q_token_count",
     "q_type_token", "q_vocab", "q_char_diversity", "q_bigram_frac",
