@@ -150,7 +150,7 @@ object ScaleBench {
   private val events = Seq(
     "q_ohlc_daily", "q_ohlc_15min", "q_fill_forward", "q_incremental_append",
     "q_incremental_shuffled", "q_latest_date", "q_sma", "q_dollar_volume",
-    "q_gap_off_peak", "q_gap_on_peak", "q_pct_change_ndays", "q_drawdown",
+    "q_gap_off_peak", "q_gap_on_peak", "q_rolling_median", "q_pct_change_ndays", "q_drawdown",
     "q_ewma", "q_volatility", "q_corr_pairs", "q_bollinger", "q_rsi",
     "q_macd", "q_pivot_wide", "q_asof_join", "q_asof_ttl", "q_asof_forward",
     "q_asof_nearest", "q_asof_broadcast", "q_sector_price", "q_asof_state",

@@ -233,6 +233,17 @@ object SparkEntry {
         col("user_id"), col("d"), col("close"),
         Fns.sma(col("close"), 5, entityDay).as("sma_5"))),
 
+    "q_rolling_median" -> ((s, dir) =>
+      // per-entity trailing-7-row rolling MEDIAN of the daily close — the
+      // robust rolling stat a spike-heavy series needs where the SMA gets
+      // dragged by outliers. percentile() over a BOUNDED frame buffers at
+      // most 7 values per row (frame-bounded, scale-safe — unlike a
+      // whole-group percentile); interpolation matches quantile_cont.
+      bars(s, dir).select(
+        col("user_id"), col("d"), col("close"),
+        round(expr("percentile(close, 0.5)")
+          .over(entityDay.rowsBetween(-6, 0)), 6).as("roll_med"))),
+
     "q_dollar_volume" -> ((s, dir) =>
       bars(s, dir).select(
         col("user_id"), col("d"),
@@ -1592,6 +1603,15 @@ object SparkEntry {
         |           OVER (PARTITION BY user_id ORDER BY d
         |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) / 5
         |  END AS sma_5
+        |FROM bars""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d, close,
+        |  round(quantile_cont(close, 0.5) OVER (PARTITION BY user_id ORDER BY d
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS roll_med
         |FROM bars""".stripMargin,
 
     "q_dollar_volume" ->
