@@ -181,6 +181,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winsorize equals the naive clipped reference over seeds (multi-group)") {
+    for (seed <- Seq(5L, 31L, 77L)) {
+      val data = genData(seed, 300).map(e => (s"g${e.k}", e.v))
+      val df = data.toDF("k", "v").repartition(1 + (seed % 7).toInt)
+      val got = graft.operators.Quantiles.winsorize(df, "k", "v", 0.1, 0.9)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+      def q(vs: IndexedSeq[Double], p: Double): Double = {
+        val pos = p * (vs.length - 1)
+        val lo = pos.toInt
+        if (lo == pos) vs(lo) else vs(lo) + (pos - lo) * (vs(lo + 1) - vs(lo))
+      }
+      data.groupBy(_._1).foreach { case (k, rows) =>
+        val vs = rows.map(_._2).sorted.toIndexedSeq
+        val (blo, bhi) = (q(vs, 0.1), q(vs, 0.9))
+        val clipped = vs.map(v => math.max(blo, math.min(bhi, v)))
+        val (glo, ghi, gmean, gclip) = got(k)
+        assert(glo === math.rint(blo * 1e6) / 1e6, s"seed $seed group $k lo")
+        assert(ghi === math.rint(bhi * 1e6) / 1e6, s"seed $seed group $k hi")
+        // decimal(28,6)-accumulated mean: quantize each clipped value at
+        // 1e-6 exactly as the cast does, then a rationally-exact mean
+        val dec = clipped.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        val expectMean = (dec.sum / dec.length).toDouble
+        assert(gmean === math.rint(expectMean * 1e6) / 1e6, s"seed $seed group $k mean")
+        assert(gclip === vs.count(v => v < blo || v > bhi).toLong, s"seed $seed group $k clip")
+      }
+    }
+  }
+
+  test("populationStability equals the naive PSI reference over seeds") {
+    for (seed <- Seq(9L, 42L)) {
+      val ref = genData(seed, 400).map(e => (s"g${e.k % 3}", e.v))
+      val cur = genData(seed + 1000, 400).map(e => (s"g${e.k % 3}", e.v * (1.0 + (seed % 3) * 0.2)))
+      val refDf = ref.toDF("k", "v").repartition(3)
+      val curDf = cur.toDF("k", "v").repartition(5)
+      val got = graft.operators.Quantiles.populationStability(refDf, curDf, "k", "v")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      def q(vs: IndexedSeq[Double], p: Double): Double = {
+        val pos = p * (vs.length - 1)
+        val lo = pos.toInt
+        if (lo == pos) vs(lo) else vs(lo) + (pos - lo) * (vs(lo + 1) - vs(lo))
+      }
+      val curByK = cur.groupBy(_._1)
+      ref.groupBy(_._1).foreach { case (k, rrows) =>
+        val rv = rrows.map(_._2).sorted.toIndexedSeq
+        val bounds = (1 until 10).map(i => q(rv, i / 10.0))
+        def binOf(v: Double) = 1 + bounds.count(v > _)
+        val cv = curByK.getOrElse(k, Seq.empty).map(_._2)
+        val rc = (1 to 10).map(b => rv.count(binOf(_) == b).toLong)
+        val cc = (1 to 10).map(b => cv.count(binOf(_) == b).toLong)
+        val (nr, nc) = (rc.sum, cc.sum)
+        val terms = (0 until 10).map { i =>
+          val p = (rc(i) + 0.5) / (nr + 5.0)
+          val qq = (cc(i) + 0.5) / (nc + 5.0)
+          BigDecimal((p - qq) * math.log(p / qq)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }
+        val expect = math.rint(terms.sum.toDouble * 1e6) / 1e6
+        assert(got(k) === expect, s"seed $seed group $k")
+      }
+    }
+  }
+
   test("incremental append equals naive newer-than filter (random data)") {
     for (seed <- 20L to 23L) {
       val all = genData(seed, 100).zipWithIndex.map { case (e, i) => (e.k, e.t * 1000L + i, e.v) }
