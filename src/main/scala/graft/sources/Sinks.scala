@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** Day-partitioned parquet append. */
-  def writeByDay(df: DataFrame, path: String, tsCol: String): Unit =
+  /** Day-partitioned columnar append. `format` is any columnar source
+    * Spark bundles ("parquet" default, "orc" for ORC-standardized lakes)
+    * — partition pruning and predicate pushdown work identically
+    * (SourcesSpec asserts the ORC scan's PushedFilters).
+    */
+  def writeByDay(df: DataFrame, path: String, tsCol: String,
+                 format: String = "parquet"): Unit =
     df.withColumn("day", to_date(col(tsCol)))
-      .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+      .write.mode(SaveMode.Append).partitionBy("day").format(format).save(path)
 
   /** Land a [[Sources.readJsonlCorpus]]-style frame as clean parquet plus
     * a quarantine: rows whose `corruptCol` is null go to `cleanPath`

@@ -85,6 +85,23 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan)
   }
 
+  test("writeByDay in ORC: same partition pruning AND predicate pushdown") {
+    val out = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath + "/t"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-02 10:00:00"), 2.0),
+      (3L, ts("2024-01-02 11:00:00"), 3.0)).toDF("user_id", "ts", "value")
+    Sinks.writeByDay(df, out, "ts", format = "orc")
+    val pruned = spark.read.orc(out)
+      .where($"day" === "2024-01-02" && $"value" > 2.5)
+    assert(pruned.count() === 1)
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters"), plan) // day -> directory pruning
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(value,2.5)"), plan) // value -> ORC reader
+  }
+
   test("restateDays overwrites only the touched day partitions, idempotently") {
     val out = Files.createTempDirectory("graft_restate").toFile.getAbsolutePath + "/t"
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
