@@ -136,7 +136,7 @@ object ScaleBench {
     "q_boilerplate", "q_decontaminate", "q_decontaminate_bloom",
     "q_contamination_report",
     "q_chunk_split", "q_pack_sequences", "q_shard_assign", "q_pipeline_e2e",
-    "q_curation_stream", "q_url_normalize", "q_bm25_topk", "q_domain_cap",
+    "q_curation_stream", "q_url_normalize", "q_dedup_url", "q_bm25_topk", "q_domain_cap",
     "q_span_dedup",
     "q_domain_stats", "q_scrub_pii", "q_profile", "q_sample_hash",
     "q_split_assign", "q_stratified_sample", "q_corpus_mix",

@@ -844,6 +844,24 @@ object SparkEntry {
         TextAnalysis.canonicalizeUrl(url).as("canon_url"))
     }),
 
+    "q_dedup_url" -> ((s, dir) => {
+      // canonical-URL dedup — the FIRST pass of any web-corpus pipeline
+      // (two crawls of one page differ only in tracking params/fragment/
+      // case): canonicalize, keep the min-id doc per canonical URL via
+      // the bounded-heap GroupTopK. Same synthetic URLs as
+      // q_url_normalize; ~2 docs per canonical key by construction.
+      val url = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM:443/docs/"), (col("doc_id") % 5).cast("string"),
+        lit("/?utm_source=feed&id="), (col("doc_id") % 3).cast("string"),
+        when(col("doc_id") % 2 === 0, "#top").otherwise(""))
+      val canon = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), col("n_chars"),
+        TextAnalysis.canonicalizeUrl(url).as("canon_url"))
+      graft.plans.GroupTopK.topKPerKey(
+        canon, Seq("canon_url"), Seq(col("doc_id").asc), 1)
+        .select("doc_id", "source", "canon_url")
+    }),
+
     "q_domain_stats" -> ((s, dir) => {
       // per-domain curation stats (the C4/RefinedWeb host-level gate):
       // synthetic URLs by the q_url_normalize convention, grouped by
@@ -2285,6 +2303,36 @@ object SparkEntry {
         |  scheme || '://' || host || path ||
         |  CASE WHEN cleanq = '' THEN '' ELSE '?' || cleanq END AS canon_url
         |FROM parts""".stripMargin,
+
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '/?utm_source=feed&id=' ||
+        |    CAST(doc_id % 3 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END AS url
+        |  FROM documents),
+        |pre AS (
+        |  SELECT doc_id, source, url,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)),
+        |      '^www\.', '') AS nw,
+        |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+        |    array_to_string(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      x -> NOT starts_with(x, 'utm_')), '&') AS cleanq
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id, source,
+        |    scheme || '://' ||
+        |    (CASE WHEN scheme = 'https' THEN regexp_replace(nw, ':443$', '')
+        |          WHEN scheme = 'http' THEN regexp_replace(nw, ':80$', '')
+        |          ELSE nw END) || path ||
+        |    CASE WHEN cleanq = '' THEN '' ELSE '?' || cleanq END AS canon_url
+        |  FROM pre)
+        |SELECT doc_id, source, canon_url FROM canon
+        |WHERE doc_id = (SELECT min(doc_id) FROM canon c2
+        |                WHERE c2.canon_url = canon.canon_url)""".stripMargin,
 
     "q_domain_stats" ->
       """WITH u AS (
