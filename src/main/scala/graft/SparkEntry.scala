@@ -54,6 +54,10 @@ object SparkEntry {
 
   private def exactSumD(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
 
+  // returns are O(1e-2): 12 fractional digits keep the decimal-exact sum
+  // meaningful where 6 would quantize the signal away
+  private def exactSumD12(c: Column): Column = sum(c.cast("decimal(28,12)")).cast("double")
+
   // ---- per-process shared artifacts ------------------------------------
   // Model-sized state that several query keys consume (trained codebooks,
   // a materialized truth set, persisted index builds) is memoized per
@@ -228,6 +232,29 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(max(col("ts")).as("latest_ts"), to_date(max(col("ts"))).as("latest_d"))),
 
+    "q_scd2" -> ((s, dir) =>
+      // type-2 history of each user's event_type: validity intervals from
+      // one lag+lead window pair sharing a single sort/exchange
+      Cdc.scd2(events(s, dir), "user_id", "event_type", "ts", "event_id")),
+
+    "q_cdc_merge" -> ((s, dir) => {
+      // MERGE INTO shape: the pre-split snapshot (latest value per user)
+      // merged with the post-split changelog; 'error' events are delete
+      // tombstones. One union + one row_number shuffle on the key — no
+      // join, so the changelog never has to fit a broadcast.
+      val ev = events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val snapshot = ev.where(col("ts") < tsNtz("2024-01-20"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("user_id"), col("value"), col("ts"))
+      val changes = ev.where(col("ts") >= tsNtz("2024-01-20"))
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"),
+          col("event_type"))
+      Cdc.mergeChangelog(snapshot, changes, "user_id", "ts", "event_id",
+        "event_type", deleteOp = "error", valueCols = Seq("value"))
+    }),
+
     "q_sma" -> ((s, dir) =>
       bars(s, dir).select(
         col("user_id"), col("d"), col("close"),
@@ -346,6 +373,32 @@ object SparkEntry {
             nullif(sqrt(col("n") * col("sxx") - col("s1") * col("s1")) *
               sqrt(col("n") * col("syy") - col("s2") * col("s2")), lit(0.0)), 6)
             .as("corr_close"))
+    }),
+
+    "q_beta" -> ((s, dir) => {
+      // per-entity market beta: OLS slope of the entity's daily return on
+      // the equal-weighted market return. Returns are a lag window per
+      // entity; the market series is a DAY-keyed aggregate (bounded by the
+      // calendar, broadcast back); the per-entity slope is one keyed
+      // aggregate of decimal-exact cross-moments — the q_corr_pairs recipe
+      // against a single common factor, so the pair space is N·days, not N².
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+      val ret = b.select(col("user_id"), col("d"),
+        (col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1)
+          .as("r"))
+        .where(col("r").isNotNull)
+      val mkt = ret.groupBy(col("d"))
+        .agg((exactSumD12(col("r")) / count(lit(1))).as("mr"))
+      ret.join(broadcast(mkt), Seq("d"))
+        .groupBy(col("user_id"))
+        .agg(exactSumD12(col("r")).as("sr"), exactSumD12(col("mr")).as("sm"),
+          exactSumD12(col("r") * col("mr")).as("srm"),
+          exactSumD12(col("mr") * col("mr")).as("smm"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("user_id"),
+          round((col("n") * col("srm") - col("sr") * col("sm")) /
+            nullif(col("n") * col("smm") - col("sm") * col("sm"), lit(0.0)), 6)
+            .as("beta"))
     }),
 
     "q_bollinger" -> ((s, dir) => {
@@ -735,6 +788,17 @@ object SparkEntry {
 
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(Tables.documents(s, dir), minCount = 2)),
+
+    "q_pmi" -> ((s, dir) =>
+      // top-50 bigram collocations by PMI, keyed unigram joins (vocab-sized
+      // sides never broadcast), deterministic tie-break
+      TextAnalysis.pmiCollocations(Tables.documents(s, dir), k = 50, minCount = 5)),
+
+    "q_kl_divergence" -> ((s, dir) =>
+      // per-source token-distribution KL vs the whole corpus — corpus
+      // counts derived from the per-slice aggregate, not a second scan
+      TextAnalysis.corpusDivergence(Tables.documents(s, dir), "source")
+        .withColumnRenamed("slice", "source")),
 
     "q_quality_gate" -> ((s, dir) =>
       // FineWeb-style quantile cut: keep docs at or above the corpus' own
@@ -1611,6 +1675,40 @@ object SparkEntry {
     "q_latest_date" ->
       "SELECT user_id, max(ts) AS latest_ts, CAST(max(ts) AS DATE) AS latest_d FROM events GROUP BY user_id",
 
+    "q_scd2" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type, ts, event_id FROM base
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM runs""".stripMargin,
+
+    "q_cdc_merge" ->
+      """WITH snap AS (
+        |  SELECT user_id, value, ts FROM (
+        |    SELECT user_id, value, ts,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-20')
+        |  WHERE rn = 1),
+        |u AS (
+        |  SELECT user_id, value, ts, 0 AS pri, CAST(-1 AS BIGINT) AS tie,
+        |    '__snap' AS op FROM snap
+        |  UNION ALL
+        |  SELECT user_id, value, ts, 1 AS pri, CAST(event_id AS BIGINT) AS tie,
+        |    event_type AS op
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-20'),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY pri DESC, ts DESC, tie DESC) AS rn FROM u)
+        |SELECT user_id, value, ts, (pri = 1) AS from_changelog
+        |FROM r WHERE rn = 1 AND op <> 'error'""".stripMargin,
+
     "q_sma" ->
       """WITH bars AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
@@ -1738,6 +1836,31 @@ object SparkEntry {
         |SELECT u1, u2,
         |  round((n * sxy - s1 * s2) /
         |    nullif(sqrt(n * sxx - s1 * s1) * sqrt(n * syy - s2 * s2), 0), 6) AS corr_close
+        |FROM st""".stripMargin,
+
+    "q_beta" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |ret AS (
+        |  SELECT user_id, d,
+        |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY d), 0) - 1 AS r
+        |  FROM bars),
+        |r2 AS (SELECT user_id, d, r FROM ret WHERE r IS NOT NULL),
+        |mkt AS (
+        |  SELECT d, CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mr
+        |  FROM r2 GROUP BY d),
+        |j AS (SELECT user_id, r, mr FROM r2 JOIN mkt USING (d)),
+        |st AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS sr,
+        |    CAST(sum(CAST(mr AS DECIMAL(28,12))) AS DOUBLE) AS sm,
+        |    CAST(sum(CAST(r * mr AS DECIMAL(28,12))) AS DOUBLE) AS srm,
+        |    CAST(sum(CAST(mr * mr AS DECIMAL(28,12))) AS DOUBLE) AS smm,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM j GROUP BY 1)
+        |SELECT user_id,
+        |  round((n * srm - sr * sm) / nullif(n * smm - sm * sm, 0), 6) AS beta
         |FROM st""".stripMargin,
 
     "q_bollinger" ->
@@ -2056,6 +2179,52 @@ object SparkEntry {
         |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
         |      FROM documents)
         |GROUP BY token HAVING count(*) >= 2""".stripMargin,
+
+    "q_pmi" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+        |uni AS (SELECT unnest(toks) AS token FROM t),
+        |uc AS (SELECT token, count(*) AS c_tok FROM uni GROUP BY 1),
+        |bgl AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |bc AS (
+        |  SELECT split_part(bg, ' ', 1) AS a, split_part(bg, ' ', 2) AS b,
+        |    count(*) AS c_ab
+        |  FROM bgl GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c_tok) AS DOUBLE) AS n_tok FROM uc),
+        |btot AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bg FROM bc),
+        |scored AS (
+        |  SELECT a, b, c_ab,
+        |    round(ln((CAST(c_ab AS DOUBLE) / n_bg) /
+        |      ((CAST(ca.c_tok AS DOUBLE) / n_tok) *
+        |       (CAST(cb.c_tok AS DOUBLE) / n_tok))), 6) AS pmi
+        |  FROM bc JOIN uc ca ON bc.a = ca.token JOIN uc cb ON bc.b = cb.token
+        |  CROSS JOIN tot CROSS JOIN btot
+        |  WHERE c_ab >= 5)
+        |SELECT a, b, c_ab, pmi FROM (
+        |  SELECT a, b, c_ab, pmi,
+        |    row_number() OVER (ORDER BY pmi DESC, a, b) AS rn FROM scored)
+        |WHERE rn <= 50""".stripMargin,
+
+    "q_kl_divergence" ->
+      """WITH sc AS (
+        |  SELECT source, token, count(*) AS c_s FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |cc AS (SELECT token, sum(c_s) AS c_all FROM sc GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c_s) AS DOUBLE) AS n_s FROM sc GROUP BY 1),
+        |na AS (SELECT CAST(sum(c_all) AS DOUBLE) AS n_all FROM cc)
+        |SELECT source, CAST(sum(c_s) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(
+        |    (CAST(c_s AS DOUBLE) / n_s) *
+        |      ln((CAST(c_s AS DOUBLE) / n_s) / (CAST(c_all AS DOUBLE) / n_all))
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl
+        |FROM sc JOIN cc USING (token) JOIN ns USING (source) CROSS JOIN na
+        |GROUP BY 1""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (

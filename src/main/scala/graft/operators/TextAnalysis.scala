@@ -515,4 +515,84 @@ object TextAnalysis {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
+
+  /** Top-k word-bigram collocations by pointwise mutual information —
+    * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p over corpus bigram/token
+    * totals. The phrase-mining pass under tokenizer vocab extension and
+    * corpus characterization.
+    *
+    * Everything is counting: one bigram aggregate and one unigram
+    * aggregate (both vocab-sized after map-side combine), joined KEYED on
+    * the token — the unigram table is vocabulary-sized, which at web-corpus
+    * scale exceeds broadcast budget, so the join must shuffle by token and
+    * never collects. Corpus totals ride a one-row broadcast. `minCount`
+    * suppresses the low-count PMI explosion (a pair seen once has maximal
+    * PMI); ties at equal rounded score break lexicographically so top-k is
+    * deterministic.
+    */
+  def pmiCollocations(docs: DataFrame, k: Int = 50, minCount: Long = 5L,
+                      textCol: String = "text"): DataFrame = {
+    // two corpus scans (unigram + bigram aggregates) by design: the only
+    // shareable intermediate is the tokenized corpus itself, and caching a
+    // corpus-sized explode costs more than the second scan it saves
+    val toks = docs.select(Dedup.tokens(textCol).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c_tok"))
+    val bg = toks.where(size(col("__toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__toks) - 2), " +
+          "i -> struct(__toks[i] AS a, __toks[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val totals = broadcast(
+      uni.agg(sum(col("c_tok")).cast("double").as("n_tok"))
+        .crossJoin(bg.agg(sum(col("c_ab")).cast("double").as("n_bg"))))
+    val scored = bg.where(col("c_ab") >= minCount)
+      .join(uni.select(col("token").as("a"), col("c_tok").as("c_a")), Seq("a"))
+      .join(uni.select(col("token").as("b"), col("c_tok").as("c_b")), Seq("b"))
+      .crossJoin(totals)
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(
+          (col("c_ab").cast("double") / col("n_bg")) /
+            ((col("c_a").cast("double") / col("n_tok")) *
+              (col("c_b").cast("double") / col("n_tok")))), 6).as("pmi"))
+    scored.orderBy(col("pmi").desc, col("a"), col("b")).limit(k)
+  }
+
+  /** Per-slice KL divergence of the token distribution against the whole
+    * corpus — KL(P_slice ‖ P_corpus) = Σ p_s·ln(p_s/p_c) — the drift/mix
+    * diagnostic that says which source's language is farthest from the
+    * blend it feeds (zero-count corpus tokens can't occur: every slice
+    * token is in the corpus by construction).
+    *
+    * ONE corpus scan: the (slice, token) aggregate is persisted —
+    * vocab×slices-sized, orders of magnitude under the corpus — and every
+    * downstream total (corpus counts, slice totals, grand total) derives
+    * from the cache instead of re-scanning the corpus (Catalyst clones
+    * unpersisted subtrees per consumer: without the persist this plan
+    * reads the corpus four times). Per-slice totals are slice-count-sized
+    * broadcasts, and the Σ accumulates decimal so the result is
+    * partition-order-independent.
+    */
+  def corpusDivergence(docs: DataFrame, sliceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val sc = docs
+      .select(col(sliceCol).as("slice"), explode(Dedup.tokens(textCol)).as("token"))
+      .groupBy(col("slice"), col("token")).agg(count(lit(1)).as("c_s"))
+      .persist()
+    val cc = sc.groupBy(col("token")).agg(sum(col("c_s")).as("c_all"))
+    val perSlice = broadcast(
+      sc.groupBy(col("slice")).agg(sum(col("c_s")).cast("double").as("n_s")))
+    val total = broadcast(cc.agg(sum(col("c_all")).cast("double").as("n_all")))
+    val ps = col("c_s").cast("double") / col("n_s")
+    val pc = col("c_all").cast("double") / col("n_all")
+    sc.join(cc, Seq("token"))
+      .join(perSlice, Seq("slice"))
+      .crossJoin(total)
+      .select(col("slice"), col("c_s"), (ps * log(ps / pc)).as("__term"))
+      .groupBy(col("slice"))
+      .agg(
+        sum(col("c_s")).as("n_tokens"),
+        round(sum(col("__term").cast("decimal(28,12)")).cast("double"), 6).as("kl"))
+  }
 }

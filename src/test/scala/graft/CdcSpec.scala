@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{Cdc, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("Cdc.scd2 collapses consecutive equal values into validity intervals") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), "A"),
+      (1L, 11L, ts("2024-01-02 00:00:00"), "A"), // same run — collapsed
+      (1L, 12L, ts("2024-01-03 00:00:00"), "B"),
+      (1L, 13L, ts("2024-01-04 00:00:00"), "A"), // A again — NEW run
+      (2L, 20L, ts("2024-01-01 00:00:00"), "X")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Cdc.scd2(ev, "user_id", "event_type", "ts", "event_id")
+      .orderBy($"user_id", $"valid_from")
+      .select($"user_id", $"event_type", $"valid_from", $"valid_to", $"is_current")
+      .collect()
+    assert(out.length === 4)
+    assert(out(0).getString(1) === "A" && out(0).getTimestamp(3) === ts("2024-01-03 00:00:00"))
+    assert(out(1).getString(1) === "B" && out(1).getTimestamp(3) === ts("2024-01-04 00:00:00"))
+    assert(out(2).getString(1) === "A" && out(2).isNullAt(3) && out(2).getBoolean(4))
+    assert(out(3).getLong(0) === 2L && out(3).getBoolean(4))
+    // open rows: exactly one per key
+    assert(out.count(_.getBoolean(4)) === 2)
+  }
+
+  test("Cdc.scd2 breaks equal-ts ties by the tie column") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "A"),
+      (1L, 2L, ts("2024-01-01 00:00:00"), "B") // same instant, higher id wins as latest
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val cur = Cdc.scd2(ev, "user_id", "event_type", "ts", "event_id")
+      .where($"is_current").select($"event_type").as[String].collect()
+    assert(cur.toSeq === Seq("B"))
+  }
+
+  test("Cdc.mergeChangelog: upserts win, tombstones delete, untouched keys survive") {
+    val snap = Seq(
+      (1L, 1.0, ts("2024-01-10 00:00:00")),
+      (2L, 2.0, ts("2024-01-10 00:00:00")),
+      (3L, 3.0, ts("2024-01-10 00:00:00"))
+    ).toDF("user_id", "value", "ts")
+    val chg = Seq(
+      (2L, 9.0, ts("2024-01-20 00:00:00"), 100L, "update"),
+      (2L, 8.0, ts("2024-01-19 00:00:00"), 99L, "update"), // older change — loses
+      (3L, 0.0, ts("2024-01-21 00:00:00"), 101L, "error"), // tombstone
+      (4L, 4.0, ts("2024-01-22 00:00:00"), 102L, "insert") // brand-new key
+    ).toDF("user_id", "value", "ts", "event_id", "event_type")
+    val out = Cdc.mergeChangelog(snap, chg, "user_id", "ts", "event_id",
+        "event_type", deleteOp = "error", valueCols = Seq("value"))
+      .orderBy($"user_id")
+      .select($"user_id", $"value", $"from_changelog").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq ===
+      Seq((1L, 1.0, false), (2L, 9.0, true), (4L, 4.0, true)))
+  }
+
+  test("Cdc.mergeChangelog is idempotent: replaying the changelog converges") {
+    val snap = Seq((1L, 1.0, ts("2024-01-10 00:00:00"))).toDF("user_id", "value", "ts")
+    val chg = Seq((1L, 7.0, ts("2024-01-20 00:00:00"), 5L, "update"))
+      .toDF("user_id", "value", "ts", "event_id", "event_type")
+    val once = Cdc.mergeChangelog(snap, chg, "user_id", "ts", "event_id",
+      "event_type", "error", Seq("value"))
+    val twice = Cdc.mergeChangelog(
+      once.select($"user_id", $"value", $"ts"), chg, "user_id", "ts",
+      "event_id", "event_type", "error", Seq("value"))
+    assert(twice.select($"user_id", $"value").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 7.0)))
+  }
+
+  test("pmiCollocations ranks the glued pair above independent pairs") {
+    // "alpha beta" always co-occur; filler words pair randomly
+    val docs = (0 until 40).map { i =>
+      (i.toLong, "alpha beta " + (if (i % 2 == 0) "x y" else "y x"))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, k = 10, minCount = 5)
+      .select($"a", $"b", $"pmi").collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) === ("alpha", "beta"))
+    // PMI of a deterministic pair must beat the shuffled fillers
+    val pmis = out.map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(pmis(("alpha", "beta")) > pmis.getOrElse(("x", "y"), Double.NegativeInfinity))
+  }
+
+  test("pmiCollocations minCount suppresses rare pairs") {
+    val docs = Seq((0L, "rare pair"), (1L, "common words common words common words " +
+      "common words common words")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, k = 10, minCount = 5)
+      .select($"a", $"b").as[(String, String)].collect().toSet
+    assert(!out.contains(("rare", "pair")))
+  }
+
+  test("corpusDivergence: identical slices have zero KL, skewed ones positive") {
+    val docs = Seq(
+      (0L, "a", "t t u u v v"),
+      (1L, "b", "t t u u v v"),   // b == corpus blend of a,b → KL 0
+      (2L, "c", "w w w w w w")    // disjoint vocabulary → strongly positive
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.corpusDivergence(docs, "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("a")._1 === 6L)
+    assert(out("a")._2 === out("b")._2) // symmetric construction
+    assert(out("c")._2 > out("a")._2)
+    assert(out("c")._2 > 0.0)
+  }
+
+  test("q_beta agrees with the covar/var regression slope at 4dp") {
+    // differential: the decimal-exact cross-moment formula vs Spark's own
+    // covar_pop/var_pop — independent float paths, same statistic
+    val q = SparkEntry.queries("q_beta")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+    val bars = graft.operators.Ohlc.dailyBars(ev).select($"user_id", $"d", $"close")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"d")
+    val ret = bars.select($"user_id", $"d",
+        ($"close" / nullif(lag($"close", 1).over(w), lit(0.0)) - 1).as("r"))
+      .where($"r".isNotNull)
+    val mkt = ret.groupBy($"d").agg(avg($"r").as("mr"))
+    val ref = ret.join(broadcast(mkt), Seq("d"))
+      .groupBy($"user_id")
+      .agg((covar_pop($"r", $"mr") / var_pop($"mr")).as("beta"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.keySet === ref.keySet)
+    q.foreach { case (u, b) => assert(math.abs(b - ref(u)) < 5e-4, s"user $u: $b vs ${ref(u)}") }
+  }
+}
