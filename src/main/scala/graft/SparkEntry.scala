@@ -401,6 +401,62 @@ object SparkEntry {
             .as("beta"))
     }),
 
+    "q_autocorr" -> ((s, dir) => {
+      // per-entity lag-1 autocorrelation of daily returns (momentum vs
+      // mean-reversion diagnostic): one window pass derives (r_t, r_{t-1})
+      // pairs, one keyed aggregate of decimal-exact moments — no join at all
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+      val ret = b.select(col("user_id"), col("d"),
+        (col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1)
+          .as("r"))
+      val pairs = ret
+        .select(col("user_id"), col("r"), lag(col("r"), 1).over(entityDay).as("rp"))
+        .where(col("r").isNotNull && col("rp").isNotNull)
+      pairs.groupBy(col("user_id"))
+        .agg(exactSumD12(col("r")).as("s1"), exactSumD12(col("rp")).as("s2"),
+          exactSumD12(col("r") * col("r")).as("sxx"),
+          exactSumD12(col("rp") * col("rp")).as("syy"),
+          exactSumD12(col("r") * col("rp")).as("sxy"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("user_id"), col("n").cast("long").as("n_pairs"),
+          round((col("n") * col("sxy") - col("s1") * col("s2")) /
+            nullif(sqrt(col("n") * col("sxx") - col("s1") * col("s1")) *
+              sqrt(col("n") * col("syy") - col("s2") * col("s2")), lit(0.0)), 6)
+            .as("ac1"))
+    }),
+
+    "q_obv" -> ((s, dir) => {
+      // on-balance volume: running sum of sign(Δclose)·volume per entity —
+      // integer arithmetic throughout (sign is exact, volume is a count),
+      // so the cumulative sum is associative and bit-stable
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"), col("volume"))
+      val signed = b.select(col("user_id"), col("d"),
+        (signum(col("close") - lag(col("close"), 1).over(entityDay)).cast("long")
+          * col("volume")).as("sv"))
+      signed.select(col("user_id"), col("d"),
+        sum(coalesce(col("sv"), lit(0L)))
+          .over(entityDay.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("obv"))
+    }),
+
+    "q_seasonality" -> ((s, dir) => {
+      // day-of-week seasonality of daily returns across all entities —
+      // calendar-keyed (7-row output), decimal-exact mean
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+      val ret = b.select(col("d"),
+        (col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1)
+          .as("r"))
+        .where(col("r").isNotNull)
+      ret.groupBy(dayofweek(col("d")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n"),
+          round(exactSumD12(col("r")) / count(lit(1)), 6).as("avg_ret"))
+    }),
+
+    "q_benford" -> ((s, dir) =>
+      // Benford first-digit screen on the value column per event type —
+      // digit from the exact DECIMAL string, never float log10
+      Profile.benford(events(s, dir), "value", "event_type")),
+
     "q_bollinger" -> ((s, dir) => {
       // 20-bar Bollinger bands (SMA ± 2σ): the q_volatility recipe on the
       // price itself — decimal-exact window sums, IEEE sqrt, NULL until
@@ -1862,6 +1918,74 @@ object SparkEntry {
         |SELECT user_id,
         |  round((n * srm - sr * sm) / nullif(n * smm - sm * sm, 0), 6) AS beta
         |FROM st""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |ret AS (
+        |  SELECT user_id, d,
+        |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY d), 0) - 1 AS r
+        |  FROM bars),
+        |p AS (
+        |  SELECT user_id, r,
+        |    lag(r) OVER (PARTITION BY user_id ORDER BY d) AS rp
+        |  FROM ret),
+        |p2 AS (SELECT user_id, r, rp FROM p WHERE r IS NOT NULL AND rp IS NOT NULL),
+        |st AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(rp AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(r * r AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(rp * rp AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(r * rp AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM p2 GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+        |  round((n * sxy - s1 * s2) /
+        |    nullif(sqrt(n * sxx - s1 * s1) * sqrt(n * syy - s2 * s2), 0), 6) AS ac1
+        |FROM st""".stripMargin,
+
+    "q_obv" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close,
+        |         count(*) AS volume
+        |  FROM events GROUP BY 1, 2),
+        |signed AS (
+        |  SELECT user_id, d,
+        |    CAST(sign(close - lag(close) OVER (PARTITION BY user_id ORDER BY d))
+        |      AS BIGINT) * volume AS sv
+        |  FROM bars)
+        |SELECT user_id, d,
+        |  CAST(sum(coalesce(sv, 0)) OVER (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        |FROM signed""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |ret AS (
+        |  SELECT d,
+        |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY d), 0) - 1 AS r
+        |  FROM bars)
+        |SELECT dayofweek(d) + 1 AS dow, count(*) AS n,
+        |  round(CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_ret
+        |FROM ret WHERE r IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q_benford" ->
+      """WITH digits AS (
+        |  SELECT event_type,
+        |    regexp_extract(CAST(CAST(value AS DECIMAL(28,6)) AS VARCHAR), '[1-9]') AS first_digit
+        |  FROM events),
+        |counts AS (
+        |  SELECT event_type, first_digit, count(*) AS n
+        |  FROM digits WHERE first_digit <> '' GROUP BY 1, 2)
+        |SELECT event_type, first_digit, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS obs_freq,
+        |  round(ln(1.0 + 1.0 / CAST(first_digit AS DOUBLE)) / ln(10.0), 6) AS benford_freq
+        |FROM counts""".stripMargin,
 
     "q_bollinger" ->
       """WITH bars AS (

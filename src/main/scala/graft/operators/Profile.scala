@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data profiling — the first thing a curation pipeline runs against a new
@@ -46,4 +47,32 @@ object Profile {
       .groupBy(col(keyCol),
         (floor(col(valueCol) / width) * width).cast("double").as("bin_start"))
       .agg(count(lit(1)).as("n"))
+
+  /** Benford first-digit screen per group: observed first-significant-digit
+    * frequencies of `valueCol` against Benford's law log10(1 + 1/d) —
+    * the fabricated-data / unit-drift detector a profiling pass runs on
+    * financial columns. One partial-aggregated groupBy over (key, digit):
+    * the shuffle carries ≤ 9 partials per key per task, never rows.
+    *
+    * The first digit is extracted from the DECIMAL(28,6) string rendering,
+    * not via log10/pow — decimal formatting is exact and engine-identical,
+    * while float log10 at near-power-of-10 inputs is an ULP coin-flip
+    * between libm implementations. Values that render without a nonzero
+    * digit (0 and |v| < 1e-6) carry no first digit and are excluded.
+    */
+  def benford(df: DataFrame, valueCol: String, keyCol: String): DataFrame = {
+    val digit = regexp_extract(
+      col(valueCol).cast("decimal(28,6)").cast("string"), "[1-9]", 0)
+    val perKey = Window.partitionBy(col(keyCol))
+    df
+      .select(col(keyCol), digit.as("first_digit"))
+      .where(col("first_digit") =!= "")
+      .groupBy(col(keyCol), col("first_digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("first_digit"), col("n"),
+        round(col("n").cast("double") / sum(col("n")).over(perKey), 6)
+          .as("obs_freq"),
+        round(log(lit(1.0) + lit(1.0) / col("first_digit").cast("double"))
+          / log(lit(10.0)), 6).as("benford_freq"))
+  }
 }

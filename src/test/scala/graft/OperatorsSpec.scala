@@ -470,4 +470,54 @@ class OperatorsSpec extends SparkSpec {
     assert(autoFlat.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.size === 1)
   }
+
+  test("Profile.benford extracts the first significant digit exactly") {
+    val df = Seq(
+      ("a", 123.45), ("a", 1.0), ("a", 0.5), ("a", 0.0007), ("a", -23.4),
+      ("a", 0.0), ("a", 0.0000001) // 0 and sub-1e-6 render no digit — excluded
+    ).toDF("event_type", "value")
+    val out = Profile.benford(df, "value", "event_type")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // digits: 1 (123.45), 1 (1.0), 5 (0.5), 7 (0.0007), 2 (|−23.4|)
+    assert(out === Map("1" -> 2L, "5" -> 1L, "7" -> 1L, "2" -> 1L))
+    val freqs = Profile.benford(df, "value", "event_type")
+      .agg(sum($"obs_freq")).head().getDouble(0)
+    assert(math.abs(freqs - 1.0) < 1e-6)
+    val b1 = Profile.benford(df, "value", "event_type")
+      .where($"first_digit" === "1").head().getDouble(4)
+    assert(math.abs(b1 - 0.30103) < 1e-5) // Benford's p(1)
+  }
+
+  test("q_obv runs a signed cumulative volume: zero start, sign-consistent steps") {
+    val rows = SparkEntry.queries("q_obv")(spark, sfDir)
+      .orderBy($"user_id", $"d").collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.values.foreach { rs =>
+      assert(rs.head.getLong(2) === 0L) // first day: no prior close, sv = 0
+    }
+    // differential vs an independent recomputation of the final OBV
+    val bars = graft.operators.Ohlc.dailyBars(
+      graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"d")
+    val finals = bars
+      .select($"user_id",
+        (signum($"close" - lag($"close", 1).over(w)).cast("long") * $"volume").as("sv"))
+      .groupBy($"user_id").agg(sum(coalesce($"sv", lit(0L))).as("total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byUser.foreach { case (u, rs) => assert(rs.last.getLong(2) === finals(u)) }
+  }
+
+  test("q_seasonality and q_autocorr hold their structural invariants") {
+    val season = SparkEntry.queries("q_seasonality")(spark, sfDir).collect()
+    assert(season.length <= 7)
+    assert(season.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 7))
+    val ac = SparkEntry.queries("q_autocorr")(spark, sfDir).collect()
+    assert(ac.nonEmpty)
+    ac.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val v = r.getDouble(2)
+        assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"ac1 out of range: $v")
+      }
+    }
+  }
 }
