@@ -156,6 +156,75 @@ object EventsStream {
       .drop("__h")
   }
 
+  /** CDC upsert maintenance via foreachBatch — the continuous face of
+    * [[graft.operators.Cdc.mergeChangelog]]: a changelog stream keeps a
+    * keyed snapshot table current (latest change wins, `deleteOp` rows are
+    * tombstones).
+    *
+    * The snapshot is partitioned by a HASH BUCKET of the key, and each
+    * micro-batch (1) resolves which buckets its keys touch — ≤ `nBuckets`
+    * ints, driver-safe by construction, (2) reads ONLY those buckets back
+    * (partition-pruned scan), (3) merges batch against them — one
+    * row_number shuffle, no join — and (4) dynamically overwrites just
+    * the touched partitions. Per-batch cost is ∝ touched-bucket volume,
+    * never store size: the shape that keeps a 100 TB snapshot current
+    * from a trickle changelog. Replay-idempotent (a crash between write
+    * and checkpoint commit re-merges the same changes onto the already-
+    * merged buckets and converges), so the exactly-once contract holds on
+    * the at-least-once foreachBatch.
+    */
+  def cdcUpsertForeachBatch(changes: DataFrame, snapshotDir: String,
+                            nBuckets: Int = 64,
+                            keyCol: String = "user_id", tsCol: String = "ts",
+                            tieCol: String = "event_id",
+                            opCol: String = "event_type",
+                            deleteOp: String = "error",
+                            valueCols: Seq[String] = Seq("value"))(
+      onBatch: (Long, Int) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(tsCol == "ts", "mergeChangelog emits the merged timestamp as 'ts'")
+    val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int")
+    changes.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val s = batch.sparkSession
+      val chg = batch.toDF()
+      val touched = chg.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0))
+      if (touched.nonEmpty) {
+        val snapCols = (col(keyCol) +: valueCols.map(col)) :+ col(tsCol)
+        val hasStore = {
+          val d = new java.io.File(snapshotDir)
+          d.exists() && Option(d.listFiles()).exists(_.exists(_.getName.startsWith("__bucket=")))
+        }
+        val existing =
+          if (hasStore)
+            s.read.parquet(snapshotDir)
+              .where(col("__bucket").isin(touched.map(Int.box): _*))
+              .select(snapCols: _*)
+          else chg.select(snapCols: _*).limit(0)
+        val merged = graft.operators.Cdc.mergeChangelog(existing, chg, keyCol,
+            tsCol, tieCol, opCol, deleteOp, valueCols)
+          .select(snapCols: _*)
+          .withColumn("__bucket", bucketOf)
+          .persist()
+        merged
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket").parquet(snapshotDir)
+        // dynamic overwrite only rewrites partitions PRESENT in the output:
+        // a tombstone wave that empties a bucket produces no rows for it,
+        // so the stale partition must be dropped explicitly or the deleted
+        // keys resurrect
+        val surviving = merged.select(col("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        merged.unpersist()
+        (touched.toSet -- surviving).foreach { b =>
+          val dir = new java.io.File(s"$snapshotDir/__bucket=$b")
+          if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+        }
+        onBatch(batchId, touched.length)
+      }
+    }
+  }
+
   /** The curation pipeline via foreachBatch — the form that scales the
     * store join (see [[dedupAgainstStoreBatch]]) and re-reads the static
     * frames every micro-batch (fresh file listing, so store appends and

@@ -8,6 +8,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+case class Chg(user_id: Long, ts: Timestamp, event_id: Long,
+               event_type: String, value: Double)
 case class StreamLangDoc(doc_id: Long, ts: Timestamp, lang: String)
 case class StreamVec(vec_id: Long, embedding: Array[Float])
 
@@ -857,5 +859,64 @@ class StreamingSpec extends SparkSpec {
     assert(out.where($"batch" === 0).select("doc_id").as[Long].collect().toSet === admitted1)
     val wave2 = out.where($"batch" === 1).select("doc_id").as[Long].collect().toSet
     assert(wave2 === Set(7777L), s"wave 2 must admit only the new doc, got $wave2")
+  }
+
+  test("cdcUpsertForeachBatch kill-and-restart: upserts win, tombstones delete, buckets converge") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toFile.getAbsolutePath
+    val (ckpt, snap) = (s"$dir/ckpt", s"$dir/snap")
+    val input = MemoryStream[Chg]
+    var batches = Vector.empty[(Long, Int)]
+    def start() = EventsStream.cdcUpsertForeachBatch(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      snap, nBuckets = 8) { (id, n) => batches :+= (id, n) }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      input.addData(
+        Chg(1L, ts("2024-01-01 10:00:00"), 1L, "insert", 1.0),
+        Chg(2L, ts("2024-01-01 10:00:00"), 2L, "insert", 2.0),
+        Chg(3L, ts("2024-01-01 10:00:00"), 3L, "insert", 3.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def state(): Map[Long, Double] = spark.read.parquet(snap)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+    assert(state() === Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+
+    // wave 2 arrives while the query is DOWN: an out-of-order pair for key
+    // 2 (the later ts must win), a tombstone for key 3, a new key 4
+    input.addData(
+      Chg(2L, ts("2024-01-02 10:00:00"), 10L, "update", 9.0),
+      Chg(2L, ts("2024-01-01 12:00:00"), 11L, "update", 7.0), // earlier — loses
+      Chg(3L, ts("2024-01-02 10:00:00"), 12L, "error", 0.0),  // delete
+      Chg(4L, ts("2024-01-02 10:00:00"), 13L, "insert", 4.0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() === Map(1L -> 1.0, 2L -> 9.0, 4L -> 4.0))
+    // the checkpoint resumed batch numbering; each wave reported its buckets
+    assert(batches.map(_._1) === Vector(0L, 1L))
+  }
+
+  test("cdcUpsertForeachBatch drops a bucket its last tombstone empties") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_empty").toFile.getAbsolutePath
+    val (ckpt, snap) = (s"$dir/ckpt", s"$dir/snap")
+    val input = MemoryStream[Chg]
+    val q = EventsStream.cdcUpsertForeachBatch(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      snap, nBuckets = 1)() // one bucket: the delete below EMPTIES it
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Chg(1L, ts("2024-01-01 10:00:00"), 1L, "insert", 1.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(snap).count() === 1)
+      input.addData(Chg(1L, ts("2024-01-02 10:00:00"), 2L, "error", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the emptied partition dir is gone, not a stale survivor
+    val bucketDirs = Option(new java.io.File(snap).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("__bucket="))
+    assert(bucketDirs.isEmpty, s"stale bucket dirs: ${bucketDirs.map(_.getName)}")
   }
 }
