@@ -141,7 +141,7 @@ object ScaleBench {
     "q_domain_stats", "q_scrub_pii", "q_profile", "q_sample_hash",
     "q_split_assign", "q_stratified_sample", "q_corpus_mix",
     "q_mix_temperature", "q_frame_sample", "q_multimodal_features",
-    "q_pmi", "q_kl_divergence")
+    "q_pmi", "q_kl_divergence", "q_percentile_rank")
   /** Every key that reads events — the reference stock surface plus the
     * analytics/streaming-mirror families. Included so the time-series
     * windows (SMA/EWMA/drawdown), as-of joins, funnel/retention and the
@@ -164,7 +164,8 @@ object ScaleBench {
     "q_quantile_bins", "q_psi_drift", "q_zscore",
     "q_distinct_users", "q_approx_distinct", "q_interval_join",
     "q_scd2", "q_cdc_merge", "q_beta", "q_autocorr", "q_obv",
-    "q_seasonality", "q_benford")
+    "q_seasonality", "q_benford", "q_entropy", "q_target_encoding",
+    "q_markov_transition")
 
   private val family = dedupAnn ++ text ++ events
 

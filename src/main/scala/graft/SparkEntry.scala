@@ -457,6 +457,70 @@ object SparkEntry {
       // digit from the exact DECIMAL string, never float log10
       Profile.benford(events(s, dir), "value", "event_type")),
 
+    "q_entropy" -> ((s, dir) => {
+      // per-user Shannon entropy of the event-type mix (behavioral
+      // diversity): one (user, type) aggregate; per-user totals ride a
+      // window over the ≤|type| rows each user owns, so nothing
+      // data-sized shuffles twice; Σ −p·ln p accumulates decimal
+      val counts = events(s, dir)
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+      val perUser = Window.partitionBy(col("user_id"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      counts
+        .withColumn("n", sum(col("c")).over(perUser))
+        .select(col("user_id"), col("n"), (-p * log(p)).as("__term"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          round(sum(col("__term").cast("decimal(28,12)")).cast("double"), 6)
+            .as("entropy"))
+    }),
+
+    "q_target_encoding" -> ((s, dir) => {
+      // smoothed mean target encoding (the categorical→numeric feature
+      // transform): enc = (Σ_cat target + m·global_mean)/(n_cat + m) —
+      // the m=50 prior keeps rare categories near the global mean instead
+      // of memorizing noise. Two aggregates, a one-row broadcast, no
+      // per-row state; decimal-exact sums on both engine sides.
+      val ev = events(s, dir)
+      val m = 50.0
+      val overall = broadcast(ev.agg(
+        (exactSumD(col("value")) / count(lit(1))).as("gmean")))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSumD(col("value")).as("sv"))
+        .crossJoin(overall)
+        .select(col("event_type"), col("n"),
+          round((col("sv") + lit(m) * col("gmean")) /
+            (col("n").cast("double") + lit(m)), 6).as("enc"))
+    }),
+
+    "q_markov_transition" -> ((s, dir) => {
+      // event-type transition matrix (behavioral sequence model): per-user
+      // lag pairs from ONE window pass, then a (from, to) count and
+      // per-from probabilities over the |types|² output — the heavy work
+      // is the single per-user sort, the matrix itself is model-sized
+      val ev = events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .select(lag(col("event_type"), 1).over(w).as("from_state"),
+          col("event_type").as("to_state"))
+        .where(col("from_state").isNotNull)
+      val perFrom = Window.partitionBy(col("from_state"))
+      pairs.groupBy(col("from_state"), col("to_state")).agg(count(lit(1)).as("n"))
+        .select(col("from_state"), col("to_state"), col("n"),
+          round(col("n").cast("double") /
+            sum(col("n")).over(perFrom).cast("double"), 6).as("p"))
+    }),
+
+    "q_percentile_rank" -> ((s, dir) =>
+      // per-source percent_rank of documents by length — the rank-based
+      // curation filter ("keep the top X% per source"); exact window form
+      // (the approximate form at corpus scale is the quantile-gate family)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(percent_rank().over(
+            Window.partitionBy(col("source")).orderBy(col("n_chars"))), 6)
+            .as("pr"))),
+
     "q_bollinger" -> ((s, dir) => {
       // 20-bar Bollinger bands (SMA ± 2σ): the q_volatility recipe on the
       // price itself — decimal-exact window sums, IEEE sqrt, NULL until
@@ -1986,6 +2050,52 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS obs_freq,
         |  round(ln(1.0 + 1.0 / CAST(first_digit AS DOUBLE)) / ln(10.0), 6) AS benford_freq
         |FROM counts""".stripMargin,
+
+    "q_entropy" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+        |withn AS (
+        |  SELECT user_id, c, CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM counts),
+        |terms AS (
+        |  SELECT user_id, n,
+        |    -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+        |  FROM withn)
+        |SELECT user_id, max(n) AS n_events,
+        |  round(CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+        |FROM terms GROUP BY 1""".stripMargin,
+
+    "q_target_encoding" ->
+      """WITH overall AS (
+        |  SELECT CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS gmean
+        |  FROM events),
+        |cats AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((sv + 50.0 * gmean) / (CAST(n AS DOUBLE) + 50.0), 6) AS enc
+        |FROM cats CROSS JOIN overall""".stripMargin,
+
+    "q_markov_transition" ->
+      """WITH pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS from_state,
+        |         event_type AS to_state
+        |  FROM events),
+        |counts AS (
+        |  SELECT from_state, to_state, count(*) AS n
+        |  FROM pairs WHERE from_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE), 6) AS p
+        |FROM counts""".stripMargin,
+
+    "q_percentile_rank" ->
+      """SELECT doc_id, source, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6) AS pr
+        |FROM documents""".stripMargin,
 
     "q_bollinger" ->
       """WITH bars AS (

@@ -507,6 +507,45 @@ class OperatorsSpec extends SparkSpec {
     byUser.foreach { case (u, rs) => assert(rs.last.getLong(2) === finals(u)) }
   }
 
+  test("q_entropy, q_markov_transition, q_target_encoding, q_percentile_rank invariants") {
+    val ents = SparkEntry.queries("q_entropy")(spark, sfDir).collect()
+    val nTypes = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      .select($"event_type").distinct().count()
+    ents.foreach { r =>
+      val h = r.getDouble(2)
+      assert(h >= -1e-9 && h <= math.log(nTypes.toDouble) + 1e-9,
+        s"entropy out of [0, ln k]: $h")
+    }
+    val mk = SparkEntry.queries("q_markov_transition")(spark, sfDir).collect()
+    mk.groupBy(_.getString(0)).values.foreach { rows =>
+      val total = rows.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-4, s"row probs must sum to 1, got $total")
+    }
+    // target encoding is a convex combination of category and global mean
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+    val gmean = ev.agg(avg($"value")).head().getDouble(0)
+    val catMeans = ev.groupBy($"event_type").agg(avg($"value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    SparkEntry.queries("q_target_encoding")(spark, sfDir).collect().foreach { r =>
+      val (cat, enc) = (r.getString(0), r.getDouble(2))
+      val (lo, hi) = (math.min(catMeans(cat), gmean), math.max(catMeans(cat), gmean))
+      assert(enc >= lo - 1e-6 && enc <= hi + 1e-6,
+        s"$cat: enc $enc outside [$lo, $hi]")
+    }
+    val pr = SparkEntry.queries("q_percentile_rank")(spark, sfDir).collect()
+    assert(pr.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    pr.groupBy(_.getString(1)).values.foreach { rows =>
+      assert(rows.map(_.getDouble(3)).min === 0.0)
+      // pr is non-decreasing in n_chars (ties share a rank, so the max
+      // pr is 1.0 only when the longest doc is untied)
+      val sorted = rows.sortBy(_.getLong(2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(3) + 1e-12)
+        case _ =>
+      }
+    }
+  }
+
   test("q_seasonality and q_autocorr hold their structural invariants") {
     val season = SparkEntry.queries("q_seasonality")(spark, sfDir).collect()
     assert(season.length <= 7)
