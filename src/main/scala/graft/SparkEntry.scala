@@ -457,6 +457,109 @@ object SparkEntry {
       // digit from the exact DECIMAL string, never float log10
       Profile.benford(events(s, dir), "value", "event_type")),
 
+    "q_ks_test" -> ((s, dir) => {
+      // exact two-sample Kolmogorov–Smirnov statistic per event type
+      // between the ingest halves — the distribution-free drift test
+      // beside q_psi_drift's binned PSI. One per-type sort: cumulative
+      // counts use the DEFAULT (RANGE, peers-inclusive) frame in both
+      // engines, so ties evaluate the CDF after all equal values — the
+      // textbook D = max|F1−F2| over the pooled sample.
+      val ev = events(s, dir)
+      val half = tsNtz("2024-01-20")
+      val tagged = ev.select(col("event_type"), col("value"),
+        when(col("ts") < half, 1L).otherwise(0L).as("a"))
+      val cumW = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val totW = Window.partitionBy(col("event_type"))
+      tagged
+        .select(col("event_type"),
+          sum(col("a")).over(cumW).as("c1"),
+          sum(lit(1L) - col("a")).over(cumW).as("c2"),
+          sum(col("a")).over(totW).as("n1"),
+          sum(lit(1L) - col("a")).over(totW).as("n2"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          round(max(abs(col("c1").cast("double") / col("n1").cast("double") -
+            col("c2").cast("double") / col("n2").cast("double"))), 6).as("ks"))
+    }),
+
+    "q_trend_decompose" -> ((s, dir) => {
+      // classical additive decomposition (STL-lite): trend = centered
+      // 7-row MA of close, seasonal = per-(entity, weekday) mean of the
+      // detrended series, remainder = the rest. Two window families —
+      // the (user) sort and the (user, dow) means — each one exchange;
+      // frame means accumulate decimal so partial edge windows are exact.
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+      val frame = entityDay.rowsBetween(-3, 3)
+      val trended = b.select(col("user_id"), col("d"), col("close"),
+        (sum(col("close").cast("decimal(28,6)")).over(frame).cast("double") /
+          count(lit(1)).over(frame)).as("trend"))
+      val dowW = Window.partitionBy(col("user_id"), dayofweek(col("d")))
+      val dt = col("close") - col("trend")
+      trended
+        .select(col("user_id"), col("d"), col("close"), col("trend"),
+          (sum(dt.cast("decimal(28,12)")).over(dowW).cast("double") /
+            count(lit(1)).over(dowW)).as("seasonal"))
+        .select(col("user_id"), col("d"), col("close"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("close") - col("trend") - col("seasonal"), 6).as("remainder"))
+    }),
+
+    "q_skew_kurt" -> ((s, dir) => {
+      // per-entity skewness and excess kurtosis of daily returns from
+      // decimal-exact RAW power sums (38,18 so r⁴ keeps headroom); the
+      // central-moment algebra runs on the already-reduced per-key row,
+      // mirrored expression-for-expression in the oracle
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+      val ret = b.select(col("user_id"),
+        (col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1)
+          .as("r"))
+        .where(col("r").isNotNull)
+      def ps(p: Column): Column = sum(p.cast("decimal(38,18)")).cast("double")
+      val st = ret.groupBy(col("user_id")).agg(
+        ps(col("r")).as("s1"), ps(col("r") * col("r")).as("s2"),
+        ps(col("r") * col("r") * col("r")).as("s3"),
+        ps(col("r") * col("r") * col("r") * col("r")).as("s4"),
+        count(lit(1)).cast("double").as("n"))
+      val mean = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - mean * mean
+      val m3 = col("s3") / col("n") - lit(3.0) * mean * (col("s2") / col("n")) +
+        lit(2.0) * mean * mean * mean
+      val m4 = col("s4") / col("n") - lit(4.0) * mean * (col("s3") / col("n")) +
+        lit(6.0) * mean * mean * (col("s2") / col("n")) -
+        lit(3.0) * mean * mean * mean * mean
+      st.select(col("user_id"), col("n").cast("long").as("n_ret"),
+        round(m3 / nullif(sqrt(m2) * m2, lit(0.0)), 6).as("skew"),
+        round(m4 / nullif(m2 * m2, lit(0.0)) - lit(3.0), 6).as("ex_kurt"))
+    }),
+
+    "q_minmax_scale" -> ((s, dir) => {
+      // per-type min-max normalization (the bounded-range feature scaler
+      // beside q_zscore's standardizer): one tiny per-type aggregate
+      // broadcast back over the stream — rows never shuffle
+      val ev = events(s, dir)
+      val ranges = broadcast(ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi")))
+      ev.join(ranges, Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("lo")) /
+            nullif(col("hi") - col("lo"), lit(0.0)), 6).as("scaled"))
+    }),
+
+    "q_lag_features" -> ((s, dir) =>
+      // supervised feature/label matrix for sequence models: lags 1–3,
+      // trailing MA-5 and the NEXT-day label in ONE window pass (all six
+      // functions share the entityDay sort, Catalyst plans one exchange)
+      bars(s, dir).select(
+        col("user_id"), col("d"), col("close"),
+        lag(col("close"), 1).over(entityDay).as("lag1"),
+        lag(col("close"), 2).over(entityDay).as("lag2"),
+        lag(col("close"), 3).over(entityDay).as("lag3"),
+        round(sum(col("close").cast("decimal(28,6)"))
+          .over(entityDay.rowsBetween(-4, 0)).cast("double") /
+          count(lit(1)).over(entityDay.rowsBetween(-4, 0)), 6).as("ma5"),
+        lead(col("close"), 1).over(entityDay).as("label_next"))),
+
     "q_entropy" -> ((s, dir) => {
       // per-user Shannon entropy of the event-type mix (behavioral
       // diversity): one (user, type) aggregate; per-user totals ride a
@@ -2050,6 +2153,99 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS obs_freq,
         |  round(ln(1.0 + 1.0 / CAST(first_digit AS DOUBLE)) / ln(10.0), 6) AS benford_freq
         |FROM counts""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH tagged AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END AS a
+        |  FROM events),
+        |cum AS (
+        |  SELECT event_type,
+        |    CAST(sum(a) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS c1,
+        |    CAST(sum(1 - a) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS c2,
+        |    CAST(sum(a) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+        |    CAST(sum(1 - a) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        |  FROM tagged)
+        |SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+        |  round(max(abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) AS ks
+        |FROM cum GROUP BY 1""".stripMargin,
+
+    "q_trend_decompose" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |trended AS (
+        |  SELECT user_id, d, close,
+        |    CAST(sum(CAST(close AS DECIMAL(28,6))) OVER w7 AS DOUBLE)
+        |      / count(*) OVER w7 AS trend
+        |  FROM bars
+        |  WINDOW w7 AS (PARTITION BY user_id ORDER BY d
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |seas AS (
+        |  SELECT user_id, d, close, trend,
+        |    CAST(sum(CAST(close - trend AS DECIMAL(28,12))) OVER wd AS DOUBLE)
+        |      / count(*) OVER wd AS seasonal
+        |  FROM trended
+        |  WINDOW wd AS (PARTITION BY user_id, dayofweek(d)))
+        |SELECT user_id, d, close, round(trend, 6) AS trend,
+        |  round(seasonal, 6) AS seasonal,
+        |  round(close - trend - seasonal, 6) AS remainder
+        |FROM seas""".stripMargin,
+
+    "q_skew_kurt" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |ret AS (
+        |  SELECT user_id,
+        |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY d), 0) - 1 AS r
+        |  FROM bars),
+        |st AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(r * r * r AS DECIMAL(38,18))) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(r * r * r * r AS DECIMAL(38,18))) AS DOUBLE) AS s4,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM ret WHERE r IS NOT NULL GROUP BY 1),
+        |mom AS (
+        |  SELECT user_id, n, s1 / n AS mean, s2, s3, s4 FROM st),
+        |cm AS (
+        |  SELECT user_id, n,
+        |    s2 / n - mean * mean AS m2,
+        |    s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean AS m3,
+        |    s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n)
+        |      - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM mom)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_ret,
+        |  round(m3 / nullif(sqrt(m2) * m2, 0), 6) AS skew,
+        |  round(m4 / nullif(m2 * m2, 0) - 3.0, 6) AS ex_kurt
+        |FROM cm""".stripMargin,
+
+    "q_minmax_scale" ->
+      """WITH ranges AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, event_type,
+        |  round((value - lo) / nullif(hi - lo, 0), 6) AS scaled
+        |FROM events JOIN ranges USING (event_type)""".stripMargin,
+
+    "q_lag_features" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d, close,
+        |  lag(close, 1) OVER w AS lag1,
+        |  lag(close, 2) OVER w AS lag2,
+        |  lag(close, 3) OVER w AS lag3,
+        |  round(CAST(sum(CAST(close AS DECIMAL(28,6))) OVER w5 AS DOUBLE)
+        |    / count(*) OVER w5, 6) AS ma5,
+        |  lead(close, 1) OVER w AS label_next
+        |FROM bars
+        |WINDOW w AS (PARTITION BY user_id ORDER BY d),
+        |       w5 AS (PARTITION BY user_id ORDER BY d
+        |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_entropy" ->
       """WITH counts AS (

@@ -65,6 +65,25 @@ object Sources {
         .json(path))
   }
 
+  /** CSV corpus ingestion with the same quarantine contract as
+    * [[readJsonlCorpus]]: declared schema (no inference pass — a schema
+    * inference scan reads the corpus TWICE and types drift with the
+    * sample), PERMISSIVE mode, malformed lines land whole in `__corrupt`
+    * instead of silently nulling — the reject-sink split
+    * (Sinks.writeWithRejects) works unchanged on either format.
+    */
+  def readCsvCorpus(spark: SparkSession, path: String, schema: StructType,
+                    header: Boolean = true): DataFrame = {
+    val withCorrupt = schema.add("__corrupt", org.apache.spark.sql.types.StringType)
+    normalizeColumns(
+      spark.read
+        .schema(withCorrupt)
+        .option("header", header.toString)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "__corrupt")
+        .csv(path))
+  }
+
   /** Holdings table ingestion — the create_sector_shares_dataframe cleanup
     * (sector.py:156-173) on a (ticker, weight, shares_held) source: drop the
     * placeholder '-' rows, nulls and tickers containing '6' (the reference's

@@ -546,6 +546,69 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("trend decomposition reassembles; skew/kurt match Spark's builtins") {
+    // additive identity: close = trend + seasonal + remainder
+    SparkEntry.queries("q_trend_decompose")(spark, sfDir).collect().foreach { r =>
+      val (c, t, s2, rem) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(c - (t + s2 + rem)) < 5e-6, s"decomposition broke: $c vs ${t + s2 + rem}")
+    }
+    // differential: decimal power-sum moments vs Spark's skewness()/kurtosis()
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+    val bars = graft.operators.Ohlc.dailyBars(ev)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"d")
+    val ret = bars.select($"user_id",
+        ($"close" / nullif(lag($"close", 1).over(w), lit(0.0)) - 1).as("r"))
+      .where($"r".isNotNull)
+    val ref = ret.groupBy($"user_id")
+      .agg(skewness($"r").as("sk"), kurtosis($"r").as("ku"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("q_skew_kurt")(spark, sfDir).collect().foreach { r =>
+      val (u, sk, ku) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(sk - ref(u)._1) < 1e-3, s"user $u skew: $sk vs ${ref(u)._1}")
+      assert(math.abs(ku - ref(u)._2) < 1e-3, s"user $u kurt: $ku vs ${ref(u)._2}")
+    }
+  }
+
+  test("q_minmax_scale bounds and q_lag_features label alignment") {
+    SparkEntry.queries("q_minmax_scale")(spark, sfDir).collect().foreach { r =>
+      if (!r.isNullAt(2)) {
+        val v = r.getDouble(2)
+        assert(v >= -1e-9 && v <= 1.0 + 1e-9, s"scaled out of [0,1]: $v")
+      }
+    }
+    val lf = SparkEntry.queries("q_lag_features")(spark, sfDir)
+      .orderBy($"user_id", $"d").collect()
+    lf.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(7) === b.getDouble(2)) // label_next = next close
+          assert(b.getDouble(3) === a.getDouble(2)) // lag1 = previous close
+        case _ =>
+      }
+      assert(rows.last.isNullAt(7)) // no label beyond the horizon
+    }
+  }
+
+  test("q_ks_test matches a brute-force KS on the collected sample") {
+    val out = SparkEntry.queries("q_ks_test")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+    val rows = ev.select($"event_type", $"value", ($"ts" < lit("2024-01-20")).as("h1"))
+      .as[(String, Double, Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      val s1 = rs.filter(_._3).map(_._2).sorted
+      val s2 = rs.filterNot(_._3).map(_._2).sorted
+      val xs = (s1 ++ s2).distinct.sorted
+      val d = xs.map { x =>
+        val f1 = s1.count(_ <= x).toDouble / s1.length
+        val f2 = s2.count(_ <= x).toDouble / s2.length
+        math.abs(f1 - f2)
+      }.max
+      assert(math.abs(out(et) - d) < 1e-5, s"$et: ${out(et)} vs brute-force $d")
+    }
+  }
+
   test("q_seasonality and q_autocorr hold their structural invariants") {
     val season = SparkEntry.queries("q_seasonality")(spark, sfDir).collect()
     assert(season.length <= 7)

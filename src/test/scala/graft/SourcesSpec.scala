@@ -118,6 +118,33 @@ class SourcesSpec extends SparkSpec {
     assert(rows === Seq(1.0, 2.0)) // day 1 untouched, day 2 converged
   }
 
+  test("readCsvCorpus: declared schema, malformed rows quarantined, same reject-sink contract") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "shard-000.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("doc_id,text,n_chars")
+    w.println("1,hello world,11")
+    w.println("2,bonjour,7")
+    w.println("3,type drift,not_a_number") // malformed numeric cell
+    w.println("4,ok,2")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    val df = Sources.readCsvCorpus(spark, f.getAbsolutePath, schema).persist()
+    assert(df.where($"__corrupt".isNull).count() === 3)
+    val bad = df.where($"__corrupt".isNotNull)
+    assert(bad.count() === 1)
+    assert(bad.select($"__corrupt").as[String].head.contains("not_a_number"))
+    val cleanDir = new java.io.File(dir, "clean").getAbsolutePath
+    val rejDir = new java.io.File(dir, "rejects").getAbsolutePath
+    val (nClean, nBad) = Sinks.writeWithRejects(df, cleanDir, rejDir)
+    assert(nClean === 3 && nBad === 1)
+    assert(spark.read.parquet(rejDir).select($"raw_line").as[String].head
+      .contains("not_a_number"))
+  }
+
   test("readJsonlCorpus: declared schema, corrupt lines quarantined not dropped") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_jsonl").toFile
