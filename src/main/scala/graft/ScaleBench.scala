@@ -166,7 +166,8 @@ object ScaleBench {
     "q_scd2", "q_cdc_merge", "q_beta", "q_autocorr", "q_obv",
     "q_seasonality", "q_benford", "q_entropy", "q_target_encoding",
     "q_markov_transition", "q_trend_decompose", "q_skew_kurt",
-    "q_minmax_scale", "q_lag_features", "q_ks_test")
+    "q_minmax_scale", "q_lag_features", "q_ks_test",
+    "q_table_diff", "q_user_growth", "q_gap_detect")
 
   private val family = dedupAnn ++ text ++ events
 

@@ -457,6 +457,63 @@ object SparkEntry {
       // digit from the exact DECIMAL string, never float log10
       Profile.benford(events(s, dir), "value", "event_type")),
 
+    "q_table_diff" -> ((s, dir) => {
+      // snapshot reconciliation (the "data diff" a pipeline runs after a
+      // backfill): latest value per key in two ingest windows, full-outer
+      // joined → added / removed / changed / unchanged. One shuffle per
+      // snapshot aggregate + the keyed full outer; AQE skew-splits it.
+      val ev = events(s, dir)
+      def snap(lo: String, hi: String) = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev.where(col("ts") >= tsNtz(lo) && col("ts") < tsNtz(hi))
+          .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+          .select(col("user_id"), col("value"))
+      }
+      val a = snap("2024-01-01", "2024-01-15")
+      val b = snap("2024-01-15", "2024-02-01")
+      a.select(col("user_id"), col("value").as("old_value"))
+        .join(b.select(col("user_id"), col("value").as("new_value")),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("old_value"), col("new_value"),
+          when(col("old_value").isNull, lit("added"))
+            .when(col("new_value").isNull, lit("removed"))
+            .when(col("old_value") === col("new_value"), lit("unchanged"))
+            .otherwise(lit("changed")).as("status"))
+    }),
+
+    "q_user_growth" -> ((s, dir) => {
+      // cumulative-distinct growth curve: windows can't COUNT DISTINCT, so
+      // each user contributes on its FIRST-SEEN day (one keyed min) and
+      // the curve is a running sum over the day-keyed counts — the
+      // standard rewrite that scales (day table is calendar-bounded)
+      val firstSeen = events(s, dir)
+        .groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("d"))
+      val byDay = firstSeen.groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+      byDay.select(col("d"), col("new_users"),
+        sum(col("new_users")).over(
+          Window.orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_users"))
+    }),
+
+    "q_gap_detect" -> ((s, dir) => {
+      // per-entity calendar-gap audit (the missing-days check behind
+      // q_fill_forward): distinct active days, expected span, missing
+      // count and the longest gap from one lag window — integers
+      // throughout, no date spine materialized
+      val days = bars(s, dir).select(col("user_id"), col("d"))
+      val gap = datediff(col("d"), lag(col("d"), 1).over(entityDay))
+      days
+        .select(col("user_id"), col("d"), gap.as("__gap"))
+        .groupBy(col("user_id"))
+        .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"),
+          count(lit(1)).as("n_days"),
+          (datediff(max(col("d")), min(col("d"))) + lit(1) - count(lit(1)))
+            .cast("long").as("n_missing"),
+          coalesce(max(col("__gap")), lit(1)).cast("long").as("max_gap"))
+    }),
+
     "q_ks_test" -> ((s, dir) => {
       // exact two-sample Kolmogorov–Smirnov statistic per event type
       // between the ingest halves — the distribution-free drift test
@@ -2153,6 +2210,55 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS obs_freq,
         |  round(ln(1.0 + 1.0 / CAST(first_digit AS DOUBLE)) / ln(10.0), 6) AS benford_freq
         |FROM counts""".stripMargin,
+
+    "q_table_diff" ->
+      """WITH a AS (
+        |  SELECT user_id, value AS old_value FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15')
+        |  WHERE rn = 1),
+        |b AS (
+        |  SELECT user_id, value AS new_value FROM (
+        |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-02-01')
+        |  WHERE rn = 1)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id, old_value, new_value,
+        |  CASE WHEN old_value IS NULL THEN 'added'
+        |       WHEN new_value IS NULL THEN 'removed'
+        |       WHEN old_value = new_value THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id""".stripMargin,
+
+    "q_user_growth" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS d FROM events GROUP BY 1),
+        |by_day AS (
+        |  SELECT d, count(*) AS new_users FROM first_seen GROUP BY 1)
+        |SELECT d, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM by_day""".stripMargin,
+
+    "q_gap_detect" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d
+        |  FROM events GROUP BY 1, 2),
+        |gaps AS (
+        |  SELECT user_id, d,
+        |    datediff('day', lag(d) OVER (PARTITION BY user_id ORDER BY d), d)
+        |      AS gap
+        |  FROM bars)
+        |SELECT user_id, min(d) AS first_d, max(d) AS last_d,
+        |  count(*) AS n_days,
+        |  CAST(datediff('day', min(d), max(d)) + 1 - count(*) AS BIGINT)
+        |    AS n_missing,
+        |  CAST(coalesce(max(gap), 1) AS BIGINT) AS max_gap
+        |FROM gaps GROUP BY 1""".stripMargin,
 
     "q_ks_test" ->
       """WITH tagged AS (

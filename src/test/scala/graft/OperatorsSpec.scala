@@ -589,6 +589,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_table_diff, q_user_growth, q_gap_detect reconciliation invariants") {
+    val diff = SparkEntry.queries("q_table_diff")(spark, sfDir).collect()
+    diff.foreach { r =>
+      val st = r.getString(3)
+      if (r.isNullAt(1)) assert(st === "added")
+      else if (r.isNullAt(2)) assert(st === "removed")
+      else assert(st === (if (r.getDouble(1) == r.getDouble(2)) "unchanged" else "changed"))
+    }
+    val growth = SparkEntry.queries("q_user_growth")(spark, sfDir)
+      .orderBy($"d").collect()
+    val cums = growth.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a }) // strictly growing
+    val totalUsers = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      .select($"user_id").distinct().count()
+    assert(cums.last === totalUsers)
+    assert(growth.map(_.getLong(1)).sum === totalUsers)
+    SparkEntry.queries("q_gap_detect")(spark, sfDir).collect().foreach { r =>
+      val (nDays, nMissing, maxGap) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        r.getDate(1).toLocalDate, r.getDate(2).toLocalDate) + 1
+      assert(nMissing === span - nDays)
+      assert(nMissing >= 0 && maxGap >= 1 && maxGap <= span)
+    }
+  }
+
   test("q_ks_test matches a brute-force KS on the collected sample") {
     val out = SparkEntry.queries("q_ks_test")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap

@@ -268,4 +268,45 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(qs.contains("graft_text_stats"), qs)
     assert(!qs.contains("regexp_extract_all"), qs)
   }
+
+  test("round-8 session keys keep their scale shapes") {
+    // scd2: both windows share one sort/exchange, no join anywhere
+    val scd = plan("q_scd2")
+    assert(count(scd, "Exchange") === 1, scd)
+    assert(!scd.contains("Join"), scd)
+    // cdc merge resolves by window, never a join — the changelog can be
+    // any size relative to the snapshot
+    val cdc = plan("q_cdc_merge")
+    assert(!cdc.contains("Join"), cdc)
+    // factor joins broadcast their calendar/type-keyed small side; the
+    // big side never sort-merges
+    for (q <- Seq("q_beta", "q_minmax_scale")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+    // target encoding joins a ONE-ROW global-mean frame: a broadcast
+    // nested loop over one row is the sanctioned stats-frame pattern
+    val te = plan("q_target_encoding")
+    assert(te.contains("BroadcastNestedLoopJoin") && !te.contains("SortMergeJoin"), te)
+    // pure window/aggregate keys: no join operator at all
+    for (q <- Seq("q_autocorr", "q_obv", "q_seasonality", "q_benford",
+        "q_entropy", "q_markov_transition", "q_skew_kurt", "q_lag_features",
+        "q_trend_decompose", "q_ks_test", "q_gap_detect", "q_user_growth")) {
+      assert(!plan(q).contains("Join"), s"$q:\n${plan(q)}")
+    }
+    // the growth curve's single-partition window sits above the day-keyed
+    // aggregate (metadata-sized), never above row-level data
+    val growth = plan("q_user_growth")
+    assert(growth.contains("SinglePartition"), growth)
+    assert(count(growth, "HashAggregate") >= 4, growth) // two partial+final pairs below it
+    // table diff full-outers two key-partitioned snapshots — fine to
+    // shuffle, but never a nested-loop or cartesian
+    val td = plan("q_table_diff")
+    assert(!td.contains("BroadcastNestedLoopJoin") && !td.contains("CartesianProduct"), td)
+    // lag features: six window functions share the entityDay sort — the
+    // plan pays ONE window-partition exchange over the bars
+    val lf = plan("q_lag_features")
+    assert(count(lf, "Exchange") === 2, lf) // bars agg + one window exchange
+  }
 }
