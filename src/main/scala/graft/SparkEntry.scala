@@ -457,6 +457,36 @@ object SparkEntry {
       // digit from the exact DECIMAL string, never float log10
       Profile.benford(events(s, dir), "value", "event_type")),
 
+    "q_ab_test" -> ((s, dir) => {
+      // two-proportion z-test between hash-assigned variants (the
+      // experiment-readout primitive): per-user conversion flags from one
+      // keyed aggregate, variant rates from a 2-row aggregate, the z
+      // statistic from the pooled-variance formula — mirrored term for
+      // term in the oracle so the doubles agree bit-for-bit
+      val ev = events(s, dir)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .select(pmod(col("user_id"), lit(2L)).as("variant"), col("converted"))
+      val rates = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("k"))
+      val a = rates.where(col("variant") === 0)
+        .select(col("n").as("n1"), col("k").as("k1"))
+      val b = rates.where(col("variant") === 1)
+        .select(col("n").as("n2"), col("k").as("k2"))
+      val p1 = col("k1").cast("double") / col("n1").cast("double")
+      val p2 = col("k2").cast("double") / col("n2").cast("double")
+      val pp = (col("k1") + col("k2")).cast("double") /
+        (col("n1") + col("n2")).cast("double")
+      a.crossJoin(b).select(
+        col("n1"), col("n2"),
+        round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+        round((p1 - p2) /
+          nullif(sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n1").cast("double") +
+             lit(1.0) / col("n2").cast("double"))), lit(0.0)), 6).as("z"))
+    }),
+
     "q_table_diff" -> ((s, dir) => {
       // snapshot reconciliation (the "data diff" a pipeline runs after a
       // backfill): latest value per key in two ingest windows, full-outer
@@ -1841,6 +1871,27 @@ object SparkEntry {
 
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
 
+    "q_readability" -> ((s, dir) => {
+      // Flesch-style reading-ease score as pure column arithmetic over
+      // three regexp counts (words, sentence terminators, vowel-group
+      // syllable proxy) — scan-speed, codegen'd, no shuffle at all; the
+      // regex classes are dialect-portable so the oracle counts match
+      val text = lower(col("text"))
+      val words = size(regexp_extract_all(text, lit("[a-z0-9']+"), lit(0))).cast("long")
+      val sents = greatest(
+        size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
+      val syll = size(regexp_extract_all(text, lit("[aeiouy]+"), lit(0))).cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+          syll.as("n_syll"))
+        .where(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_sents"),
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sents").cast("double")) -
+            lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")), 6)
+            .as("flesch"))
+    }),
+
     "q_classifier" -> ((s, dir) =>
       // learned quality filter, scorecard AS DATA (the FineWeb-Edu/DCLM
       // distillation loop): heuristic-gate labels → hash 80/20 split →
@@ -2210,6 +2261,43 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6) AS obs_freq,
         |  round(ln(1.0 + 1.0 / CAST(first_digit AS DOUBLE)) / ln(10.0), 6) AS benford_freq
         |FROM counts""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH per_user AS (
+        |  SELECT user_id % 2 AS variant,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id),
+        |rates AS (
+        |  SELECT variant, count(*) AS n, CAST(sum(converted) AS BIGINT) AS k
+        |  FROM per_user GROUP BY 1),
+        |a AS (SELECT n AS n1, k AS k1 FROM rates WHERE variant = 0),
+        |b AS (SELECT n AS n2, k AS k2 FROM rates WHERE variant = 1)
+        |SELECT n1, n2,
+        |  round(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+        |  round(CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2,
+        |  round((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |       - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |    nullif(sqrt((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |      * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 0), 6) AS z
+        |FROM a CROSS JOIN b""".stripMargin,
+
+    "q_readability" ->
+      """WITH counts AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS BIGINT)
+        |      AS n_words,
+        |    greatest(CAST(len(regexp_extract_all(lower(text), '[.!?]+')) AS BIGINT),
+        |      1) AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents,
+        |  round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+        |    AS flesch
+        |FROM counts WHERE n_words > 0""".stripMargin,
 
     "q_table_diff" ->
       """WITH a AS (

@@ -614,6 +614,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_ab_test counts match a collected recount; q_readability matches java-regex recount") {
+    val ab = SparkEntry.queries("q_ab_test")(spark, sfDir).head()
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val byUser = ev.groupBy(_._1).toSeq.map { case (u, rs) =>
+      (u % 2, rs.exists(_._2 == "purchase")) }
+    val (v0, v1) = byUser.partition(_._1 == 0L)
+    assert(ab.getLong(0) === v0.length && ab.getLong(1) === v1.length)
+    assert(math.abs(ab.getDouble(2) - v0.count(_._2).toDouble / v0.length) < 1e-6)
+    assert(math.abs(ab.getDouble(3) - v1.count(_._2).toDouble / v1.length) < 1e-6)
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().take(20).toMap
+    val rd = SparkEntry.queries("q_readability")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    docs.foreach { case (id, text) =>
+      val t = text.toLowerCase
+      def cnt(p: String) = p.r.findAllIn(t).length.toLong
+      val (w, s2, sy) = (cnt("[a-z0-9']+"), math.max(cnt("[.!?]+"), 1L), cnt("[aeiouy]+"))
+      if (w > 0) {
+        val (qw, qs, qf) = rd(id)
+        assert(qw === w && qs === s2, s"doc $id: counts $qw/$qs vs $w/$s2")
+        val expect = 206.835 - 1.015 * (w.toDouble / s2) - 84.6 * (sy.toDouble / w)
+        assert(math.abs(qf - expect) < 1e-5, s"doc $id: $qf vs $expect")
+      }
+    }
+  }
+
   test("q_ks_test matches a brute-force KS on the collected sample") {
     val out = SparkEntry.queries("q_ks_test")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
