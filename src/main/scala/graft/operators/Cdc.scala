@@ -61,6 +61,13 @@ object Cdc {
   def mergeChangelog(snapshot: DataFrame, changes: DataFrame, keyCol: String,
                      tsCol: String, tieCol: String, opCol: String,
                      deleteOp: String, valueCols: Seq[String]): DataFrame = {
+    // the tie-break column must be numeric: a non-numeric tie would cast
+    // to NULL below and equal-ts changes would resolve arbitrarily —
+    // fail loudly instead (the engine's unsafe-shape discipline)
+    require(changes.schema(tieCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"mergeChangelog tie column '$tieCol' must be numeric " +
+        s"(got ${changes.schema(tieCol).dataType.simpleString}) — equal-timestamp " +
+        "changes need a total order to resolve deterministically")
     val base: Seq[Column] = (col(keyCol) +: valueCols.map(col)) :+ col(tsCol)
     val snap = snapshot.select(base ++ Seq(
       lit("__snap").as(opCol), lit(0).as("__pri"), lit(-1L).as("__tie")): _*)

@@ -191,8 +191,10 @@ object EventsStream {
       if (touched.nonEmpty) {
         val snapCols = (col(keyCol) +: valueCols.map(col)) :+ col(tsCol)
         val hasStore = {
-          val d = new java.io.File(snapshotDir)
-          d.exists() && Option(d.listFiles()).exists(_.exists(_.getName.startsWith("__bucket=")))
+          val p = new org.apache.hadoop.fs.Path(snapshotDir)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.exists(p) && fs.listStatus(p)
+            .exists(_.getPath.getName.startsWith("__bucket="))
         }
         val existing =
           if (hasStore)
@@ -216,9 +218,13 @@ object EventsStream {
         val surviving = merged.select(col("__bucket")).distinct()
           .collect().map(_.getInt(0)).toSet
         merged.unpersist()
+        // Hadoop FileSystem API, not java.io: the snapshot can live on any
+        // supported scheme (HDFS, object store), not just the local disk
+        val conf = s.sparkContext.hadoopConfiguration
         (touched.toSet -- surviving).foreach { b =>
-          val dir = new java.io.File(s"$snapshotDir/__bucket=$b")
-          if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+          val p = new org.apache.hadoop.fs.Path(s"$snapshotDir/__bucket=$b")
+          val fs = p.getFileSystem(conf)
+          if (fs.exists(p)) fs.delete(p, true)
         }
         onBatch(batchId, touched.length)
       }

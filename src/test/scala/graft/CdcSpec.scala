@@ -72,6 +72,17 @@ class CdcSpec extends SparkSpec {
       Seq((1L, 7.0)))
   }
 
+  test("Cdc.mergeChangelog rejects a non-numeric tie column loudly") {
+    val snap = Seq((1L, 1.0, ts("2024-01-10 00:00:00"))).toDF("user_id", "value", "ts")
+    val chg = Seq((1L, 7.0, ts("2024-01-20 00:00:00"), "ev-5", "update"))
+      .toDF("user_id", "value", "ts", "event_id", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.mergeChangelog(snap, chg, "user_id", "ts", "event_id",
+        "event_type", "error", Seq("value"))
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
+
   test("pmiCollocations ranks the glued pair above independent pairs") {
     // "alpha beta" always co-occur; filler words pair randomly
     val docs = (0 until 40).map { i =>
