@@ -118,6 +118,35 @@ class SourcesSpec extends SparkSpec {
     assert(rows === Seq(1.0, 2.0)) // day 1 untouched, day 2 converged
   }
 
+  test("writeZOrdered clusters BOTH dimensions: per-file spans shrink vs an unordered write") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+    val dir = Files.createTempDirectory("graft_zorder").toFile.getAbsolutePath
+    val ev = Tables.events(spark, sfDir).select($"user_id", $"value")
+    // average per-file span of a column, as a fraction of its global span
+    def meanSpanFrac(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+      val glob = df.agg(fmax(col(c)).cast("double") - fmin(col(c)).cast("double"))
+        .head().getDouble(0)
+      val spans = df.groupBy(input_file_name())
+        .agg((fmax(col(c)).cast("double") - fmin(col(c)).cast("double")).as("s"))
+        .select($"s").as[Double].collect()
+      spans.sum / spans.length / glob
+    }
+    Sinks.writeZOrdered(ev, s"$dir/z", "user_id", "value", numFiles = 16)
+    ev.repartition(16).write.parquet(s"$dir/plain") // baseline: hash-scattered
+    // z-ordered files cover a small window of each dimension; hash
+    // partitioning makes every file span ~the whole domain
+    val (zu, zv) = (meanSpanFrac(s"$dir/z", "user_id"), meanSpanFrac(s"$dir/z", "value"))
+    val (pu, pv) = (meanSpanFrac(s"$dir/plain", "user_id"), meanSpanFrac(s"$dir/plain", "value"))
+    assert(zu < pu * 0.6, s"user_id span: z=$zu plain=$pu")
+    assert(zv < pv * 0.6, s"value span: z=$zv plain=$pv")
+    // rows survive the round trip and predicates still push down
+    assert(spark.read.parquet(s"$dir/z").count() === ev.count())
+    val plan = spark.read.parquet(s"$dir/z").where($"user_id" === 3)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,3)]"), plan)
+  }
+
   test("readCsvCorpus: declared schema, malformed rows quarantined, same reject-sink contract") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_csv").toFile
