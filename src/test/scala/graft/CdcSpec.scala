@@ -83,6 +83,52 @@ class CdcSpec extends SparkSpec {
     assert(e.getMessage.contains("must be numeric"))
   }
 
+  test("randomized differential: mergeChangelog ≡ a brute-force fold, scd2 ≡ run collapse") {
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val base = ts("2024-01-01 00:00:00").getTime
+      def randTs() = new java.sql.Timestamp(base + rnd.nextInt(100) * 3600_000L)
+      // --- mergeChangelog vs reference fold ---
+      val snapRows = (1L to 6L).map(k => (k, rnd.nextInt(100).toDouble,
+        ts("2023-12-31 00:00:00")))
+      val chgRows = (0 until 40).map { i =>
+        (rnd.nextInt(10).toLong + 1L, rnd.nextInt(100).toDouble, randTs(),
+          i.toLong, if (rnd.nextInt(5) == 0) "error" else "update")
+      }
+      val out = Cdc.mergeChangelog(
+        snapRows.toDF("user_id", "value", "ts"),
+        chgRows.toDF("user_id", "value", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type", "error", Seq("value"))
+        .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+      // reference: per key, latest change by (ts, event_id) wins over the
+      // snapshot; tombstone deletes; untouched keys keep the snapshot row
+      val lastChg = chgRows.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.maxBy(r => (r._3.getTime, r._4)) }
+      val expect = (snapRows.map(r => r._1 -> r._2).toMap ++
+        lastChg.collect { case (k, r) if r._5 != "error" => k -> r._2 })
+        .filter { case (k, _) => !lastChg.get(k).exists(_._5 == "error") }
+      assert(out === expect, s"seed $seed: merge mismatch")
+      // --- scd2 vs reference run collapse ---
+      val evRows = (0 until 60).map { i =>
+        (rnd.nextInt(4).toLong + 1L, i.toLong, randTs(),
+          Seq("A", "B", "C")(rnd.nextInt(3)))
+      }
+      val scd = Cdc.scd2(evRows.toDF("user_id", "event_id", "ts", "event_type"),
+          "user_id", "event_type", "ts", "event_id")
+        .select($"user_id", $"event_type", $"valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+        .sortBy(r => (r._1, r._3))
+      val refRuns = evRows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val ordered = rs.sortBy(r => (r._3.getTime, r._2))
+        ordered.zipWithIndex.collect {
+          case ((_, _, t, v), i) if i == 0 || ordered(i - 1)._4 != v =>
+            (k, v, t.getTime)
+        }
+      }.sortBy(r => (r._1, r._3))
+      assert(scd.toSeq === refRuns, s"seed $seed: scd2 mismatch")
+    }
+  }
+
   test("pmiCollocations ranks the glued pair above independent pairs") {
     // "alpha beta" always co-occur; filler words pair randomly
     val docs = (0 until 40).map { i =>
