@@ -337,6 +337,31 @@ object EventsStream {
     }
   }
 
+  /** Streaming grid-KS drift monitor — [[psiMonitor]]'s sup-norm sibling
+    * ([[graft.operators.Quantiles.ksAgainst]]): each micro-batch's
+    * empirical CDF is compared against the LANDED reference's quantile
+    * grid at the grid points, where the reference CDF is i/k by
+    * construction — so scoring a batch never touches reference rows, only
+    * the model-sized broadcast bounds. PSI reacts to mass reallocation
+    * between bins; KS bounds the worst single CDF gap — a narrow shift
+    * that PSI smears across two bins still moves the sup-norm. Same
+    * build-once contract: bounds materialize at query build, a batch must
+    * never re-run the landed quantiles.
+    */
+  def ksMonitor(stream: DataFrame, reference: DataFrame,
+                keyCol: String = "event_type", valueCol: String = "value",
+                k: Int = 10)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Quantiles
+    val (bounds, _) = Quantiles.psiReference(reference, keyCol, valueCol, k)
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(Quantiles.ksAgainst(batch.toDF(), keyCol, valueCol, k, bounds)
+          .withColumn("batch_id", lit(batchId)), batchId)
+        ()
+    }
+  }
+
   /** Streaming benchmark decontamination — the continuous face of
     * `Dedup.decontaminate`. The batch shape (explode grams → semi-join →
     * doc-level anti-join) needs a stream-derived dirty-id set joined back

@@ -786,6 +786,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ksMonitor: identical batch scores ~0, a shifted batch's sup-norm is large") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (1 to 200).map(i => ("click", i.toDouble)).toDF("event_type", "value")
+    val input = MemoryStream[Ev]
+    val scores = scala.collection.mutable.Map[Long, Double]()
+    val query = EventsStream.ksMonitor(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")), ref) { (ks, id) =>
+      ks.collect().foreach(r => scores(id) = r.getDouble(2))
+      ()
+    }.start()
+    try {
+      input.addData((1 to 200).map(i =>
+        Ev(i.toLong, ts("2024-01-01 10:00:00"), "click", i.toDouble)).toSeq: _*)
+      query.processAllAvailable()
+      // +150 shifts 3/4 of the mass past the old p75 — the exact KS is
+      // 0.75 and the k=10 grid sees it within 1/k
+      input.addData((1 to 200).map(i =>
+        Ev(1000L + i, ts("2024-01-01 11:00:00"), "click", i.toDouble + 150)).toSeq: _*)
+      query.processAllAvailable()
+      assert(scores(0L) < 0.05, s"identical batch must score ~0: $scores")
+      assert(scores(1L) > 0.6, s"shifted batch sup-norm must be large: $scores")
+    } finally query.stop()
+  }
+
   test("decontaminator enforces its broadcastable-suite precondition") {
     val bench = Tables.documents(spark, sfDir).limit(5).select($"doc_id", $"text")
     val bg = EventsStream.benchmarkGrams(bench)
