@@ -814,6 +814,18 @@ object SparkEntry {
         Seq("click", "error", "purchase", "signup", "view"),
         "value", exactSumD)),
 
+    "q_unpivot" -> ((s, dir) =>
+      // melt ∘ pivot round trip: the wide frame stacks back to exactly
+      // the (user, type) combinations the long form had — the inverse
+      // relational op beside q_pivot_wide, checked against the DIRECT
+      // long aggregate as the oracle
+      PivotOps.melt(
+        PivotOps.pivotAgg(events(s, dir), "user_id", "event_type",
+          Seq("click", "error", "purchase", "signup", "view"),
+          "value", exactSumD),
+        "user_id", Seq("click", "error", "purchase", "signup", "view"),
+        keyName = "event_type", valueName = "total")),
+
     "q_weighted_price" -> ((s, dir) =>
       Analytics.weightedPrice(Tables.lineitem(s, dir), Tables.part(s, dir))),
 
@@ -2648,6 +2660,11 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
         | CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS "view"
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT user_id, event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_weighted_price" ->
       """SELECT p_brand,

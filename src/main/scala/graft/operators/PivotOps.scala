@@ -34,6 +34,22 @@ object PivotOps {
     df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Unpivot (melt): the inverse of [[pivotAgg]] — wide columns back to
+    * (key, value) rows via one `stack` projection. Narrow, codegen'd, no
+    * shuffle: each input row expands to ≤ |valueCols| output rows in
+    * place. NULL cells (combinations the wide row never had) drop, so
+    * melt(pivotAgg(df)) reproduces exactly the combinations present in
+    * the long form — spec'd as a round trip.
+    */
+  def melt(df: DataFrame, idCol: String, valueCols: Seq[String],
+           keyName: String = "key", valueName: String = "value"): DataFrame = {
+    val stackArgs = valueCols
+      .map(c => s"'${c.replace("'", "''")}', `$c`").mkString(", ")
+    df.select(col(idCol),
+        expr(s"stack(${valueCols.size}, $stackArgs) as (`$keyName`, `$valueName`)"))
+      .where(col(valueName).isNotNull)
+  }
+
   /** Dynamic-vocabulary pivot (vocabulary discovered from the data) — the
     * built-in two-phase path, for when the value set is genuinely unknown.
     */

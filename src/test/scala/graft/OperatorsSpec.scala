@@ -589,6 +589,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PivotOps.melt inverts pivotAgg, dropping never-present cells") {
+    val long = Seq((1L, "a", 2.0), (1L, "a", 3.0), (1L, "b", 4.0), (2L, "b", 5.0))
+      .toDF("user_id", "k", "v")
+    val wide = PivotOps.pivotAgg(long, "user_id", "k", Seq("a", "b", "c"), "v",
+      c => sum(c.cast("decimal(28,6)")).cast("double"))
+    val back = PivotOps.melt(wide, "user_id", Seq("a", "b", "c"),
+        keyName = "k", valueName = "v")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // user 1 never had 'c', user 2 never had 'a' or 'c' — those cells drop
+    assert(back === Map((1L, "a") -> 5.0, (1L, "b") -> 4.0, (2L, "b") -> 5.0))
+  }
+
   test("q_table_diff, q_user_growth, q_gap_detect reconciliation invariants") {
     val diff = SparkEntry.queries("q_table_diff")(spark, sfDir).collect()
     diff.foreach { r =>
