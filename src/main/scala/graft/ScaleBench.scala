@@ -169,7 +169,7 @@ object ScaleBench {
     "q_markov_transition", "q_trend_decompose", "q_skew_kurt",
     "q_minmax_scale", "q_lag_features", "q_ks_test",
     "q_table_diff", "q_user_growth", "q_gap_detect", "q_ab_test",
-    "q_rolling_outliers", "q_unpivot")
+    "q_rolling_outliers", "q_unpivot", "q_vwap", "q_lead_lag")
 
   private val family = dedupAnn ++ text ++ events
 

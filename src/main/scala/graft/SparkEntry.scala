@@ -375,6 +375,49 @@ object SparkEntry {
             .as("corr_close"))
     }),
 
+    "q_vwap" -> ((s, dir) =>
+      // per-entity-day VWAP over the raw ticks (each event = one trade at
+      // `value`): decimal-exact price×1 sums — the intraday execution
+      // benchmark beside the (open+close)/2 proxy in q_dollar_volume.
+      // One partial-combined aggregate; the shuffle carries day rows.
+      events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_trades"),
+          round(exactSumD(col("value")) / count(lit(1)), 6).as("vwap"))),
+
+    "q_lead_lag" -> ((s, dir) => {
+      // lead–lag cross-correlation: corr(r_a[t], r_b[t−1]) over the top-10
+      // active entities — does yesterday's B move predict today's A? The
+      // q_corr_pairs recipe with ONE extra lag window; pair space stays
+      // N²·days with N ranked top-10, decimal-exact moments.
+      val b = bars(s, dir)
+      val top = b.groupBy(col("user_id")).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("user_id")).limit(10).select("user_id")
+      val ret = b.join(broadcast(top), Seq("user_id"))
+        .select(col("user_id"), col("d"),
+          (col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1)
+            .as("r"))
+        .where(col("r").isNotNull)
+      val lagged = ret.select(col("user_id").as("u2"), col("d"),
+        lag(col("r"), 1).over(Window.partitionBy(col("user_id")).orderBy(col("d")))
+          .as("rb"))
+        .where(col("rb").isNotNull)
+      val pairs = ret.select(col("user_id").as("u1"), col("d"), col("r").as("ra"))
+        .join(broadcast(lagged), Seq("d"))
+        .where(col("u1") =!= col("u2"))
+      pairs.groupBy(col("u1"), col("u2"))
+        .agg(exactSumD12(col("ra")).as("s1"), exactSumD12(col("rb")).as("s2"),
+          exactSumD12(col("ra") * col("ra")).as("sxx"),
+          exactSumD12(col("rb") * col("rb")).as("syy"),
+          exactSumD12(col("ra") * col("rb")).as("sxy"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("u1"), col("u2"),
+          round((col("n") * col("sxy") - col("s1") * col("s2")) /
+            nullif(sqrt(col("n") * col("sxx") - col("s1") * col("s1")) *
+              sqrt(col("n") * col("syy") - col("s2") * col("s2")), lit(0.0)), 6)
+            .as("leadlag_corr"))
+    }),
+
     "q_beta" -> ((s, dir) => {
       // per-entity market beta: OLS slope of the entity's daily return on
       // the equal-weighted market return. Returns are a lag window per
@@ -2219,6 +2262,47 @@ object SparkEntry {
         |SELECT u1, u2,
         |  round((n * sxy - s1 * s2) /
         |    nullif(sqrt(n * sxx - s1 * s1) * sqrt(n * syy - s2 * s2), 0), 6) AS corr_close
+        |FROM st""".stripMargin,
+
+    "q_vwap" ->
+      """SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_trades,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+        |    AS vwap
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_lead_lag" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |top AS (
+        |  SELECT user_id FROM bars GROUP BY user_id
+        |  ORDER BY count(*) DESC, user_id LIMIT 10),
+        |ret AS (
+        |  SELECT b.user_id, b.d,
+        |    b.close / nullif(lag(b.close) OVER (PARTITION BY b.user_id ORDER BY b.d), 0) - 1 AS r
+        |  FROM bars b JOIN top USING (user_id)),
+        |r2 AS (SELECT user_id, d, r FROM ret WHERE r IS NOT NULL),
+        |lagged AS (
+        |  SELECT user_id AS u2, d,
+        |    lag(r) OVER (PARTITION BY user_id ORDER BY d) AS rb
+        |  FROM r2),
+        |l2 AS (SELECT u2, d, rb FROM lagged WHERE rb IS NOT NULL),
+        |p AS (
+        |  SELECT a.user_id AS u1, l2.u2, a.r AS ra, l2.rb
+        |  FROM r2 a JOIN l2 ON a.d = l2.d AND a.user_id <> l2.u2),
+        |st AS (
+        |  SELECT u1, u2,
+        |    CAST(sum(CAST(ra AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(rb AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(ra * ra AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(rb * rb AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(ra * rb AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM p GROUP BY 1, 2)
+        |SELECT u1, u2,
+        |  round((n * sxy - s1 * s2) /
+        |    nullif(sqrt(n * sxx - s1 * s1) * sqrt(n * syy - s2 * s2), 0), 6)
+        |    AS leadlag_corr
         |FROM st""".stripMargin,
 
     "q_beta" ->

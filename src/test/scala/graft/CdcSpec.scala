@@ -166,6 +166,31 @@ class CdcSpec extends SparkSpec {
     assert(out("c")._2 > 0.0)
   }
 
+  test("q_vwap equals per-day mean trade price; q_lead_lag stays in [-1,1] and is paired") {
+    val vw = SparkEntry.queries("q_vwap")(spark, sfDir).collect()
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      .select($"user_id", to_date($"ts").as("d"), $"value")
+      .as[(Long, java.sql.Date, Double)].collect()
+    val ref = ev.groupBy(r => (r._1, r._2.toString))
+      .map { case (k, rs) => k -> rs.map(_._3).sum / rs.length }
+    vw.foreach { r =>
+      val k = (r.getLong(0), r.getDate(1).toString)
+      assert(math.abs(r.getDouble(3) - ref(k)) < 1e-5, s"$k: ${r.getDouble(3)} vs ${ref(k)}")
+    }
+    val ll = SparkEntry.queries("q_lead_lag")(spark, sfDir).collect()
+    assert(ll.nonEmpty)
+    ll.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val v = r.getDouble(2)
+        assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9)
+      }
+    }
+    // directional statistic, but the RANKED pair set is symmetric: both
+    // orientations of every top-10 pair are present
+    val dirs = ll.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dirs.forall { case (a, b2) => dirs.contains((b2, a)) })
+  }
+
   test("q_beta agrees with the covar/var regression slope at 4dp") {
     // differential: the decimal-exact cross-moment formula vs Spark's own
     // covar_pop/var_pop — independent float paths, same statistic
