@@ -699,6 +699,47 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("entropy, markov, target encoding recount exactly from collected events") {
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      // NTZ collects as LocalDateTime; a double epoch keeps microsecond
+      // order for the pairing without the java.time plumbing
+      .select($"user_id", $"ts".cast("timestamp").cast("double"), $"event_id",
+        $"event_type", $"value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // entropy: −Σ p ln p per user
+    val entGot = SparkEntry.queries("q_entropy")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    ev.groupBy(_._1).foreach { case (u, rs) =>
+      val n = rs.length.toDouble
+      val h = -rs.groupBy(_._4).values.map { g =>
+        val p = g.length / n; p * math.log(p)
+      }.sum
+      assert(math.abs(entGot(u) - h) < 1e-5, s"user $u entropy")
+    }
+    // markov: transition probabilities per from-state
+    val mkGot = SparkEntry.queries("q_markov_transition")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val pairs = ev.groupBy(_._1).values.flatMap { rs =>
+      val ordered = rs.sortBy(r => (r._2, r._3))
+      ordered.zip(ordered.tail).map { case (a, b2) => (a._4, b2._4) }
+    }.toSeq
+    val byFrom = pairs.groupBy(_._1)
+    pairs.groupBy(identity).foreach { case ((f, t), ps) =>
+      val (gn, gp) = mkGot((f, t))
+      assert(gn === ps.length.toLong, s"$f->$t count")
+      assert(math.abs(gp - ps.length.toDouble / byFrom(f).length) < 1e-5, s"$f->$t prob")
+    }
+    // target encoding: (sum + 50*gmean)/(n + 50) per category
+    val gmean = ev.map(_._5).sum / ev.length
+    val teGot = SparkEntry.queries("q_target_encoding")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    ev.groupBy(_._4).foreach { case (cat, rs) =>
+      val expect = (rs.map(_._5).sum + 50.0 * gmean) / (rs.length + 50.0)
+      assert(math.abs(teGot(cat) - expect) < 1e-4, s"$cat: ${teGot(cat)} vs $expect")
+    }
+  }
+
   test("q_seasonality and q_autocorr hold their structural invariants") {
     val season = SparkEntry.queries("q_seasonality")(spark, sfDir).collect()
     assert(season.length <= 7)
