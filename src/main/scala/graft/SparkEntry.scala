@@ -46,6 +46,13 @@ object SparkEntry {
 
   private val entityDay = Window.partitionBy(col("user_id")).orderBy(col("d"))
 
+  // close-to-close daily return over entityDay, zero-close-guarded —
+  // shared by every return-statistic key (volatility, beta, autocorr,
+  // seasonality, skew/kurt, lead-lag) so the guard and the lag tie
+  // semantics cannot drift between them or their mirrored oracles
+  private def dailyReturn: Column =
+    col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1
+
   // q_macd truncation depths: 60 lags leave < 1% tail weight on the
   // 26-span EMA ((25/27)^60 ≈ 0.0098), 15 on the 9-span signal. Shared
   // with the oracle generator so the lag terms mirror 1:1.
@@ -334,7 +341,7 @@ object SparkEntry {
       // decimal-exact, the final sqrt is IEEE — so a rolling stddev
       // hash-matches the oracle without trusting anyone's float
       // accumulation order. NULL until the frame holds 20 returns.
-      val r = col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1
+      val r = dailyReturn
       val win = entityDay.rowsBetween(-19, Window.currentRow)
       val full = row_number().over(entityDay) >= 21
       val s1 = sum(r.cast("decimal(38,12)")).over(win).cast("double")
@@ -395,7 +402,7 @@ object SparkEntry {
         .orderBy(col("__n").desc, col("user_id")).limit(10).select("user_id")
       val ret = b.join(broadcast(top), Seq("user_id"))
         .select(col("user_id"), col("d"),
-          (col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1)
+          dailyReturn
             .as("r"))
         .where(col("r").isNotNull)
       val lagged = ret.select(col("user_id").as("u2"), col("d"),
@@ -427,7 +434,7 @@ object SparkEntry {
       // against a single common factor, so the pair space is N·days, not N².
       val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
       val ret = b.select(col("user_id"), col("d"),
-        (col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1)
+        dailyReturn
           .as("r"))
         .where(col("r").isNotNull)
       val mkt = ret.groupBy(col("d"))
@@ -450,7 +457,7 @@ object SparkEntry {
       // pairs, one keyed aggregate of decimal-exact moments — no join at all
       val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
       val ret = b.select(col("user_id"), col("d"),
-        (col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1)
+        dailyReturn
           .as("r"))
       val pairs = ret
         .select(col("user_id"), col("r"), lag(col("r"), 1).over(entityDay).as("rp"))
@@ -487,7 +494,7 @@ object SparkEntry {
       // calendar-keyed (7-row output), decimal-exact mean
       val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
       val ret = b.select(col("d"),
-        (col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1)
+        dailyReturn
           .as("r"))
         .where(col("r").isNotNull)
       ret.groupBy(dayofweek(col("d")).cast("long").as("dow"))
@@ -616,8 +623,9 @@ object SparkEntry {
       // textbook D = max|F1−F2| over the pooled sample.
       val ev = events(s, dir)
       val half = tsNtz("2024-01-20")
-      val tagged = ev.select(col("event_type"), col("value"),
-        when(col("ts") < half, 1L).otherwise(0L).as("a"))
+      val tagged = ev.where(col("value").isNotNull)
+        .select(col("event_type"), col("value"),
+          when(col("ts") < half, 1L).otherwise(0L).as("a"))
       val cumW = Window.partitionBy(col("event_type")).orderBy(col("value"))
       val totW = Window.partitionBy(col("event_type"))
       tagged
@@ -662,7 +670,7 @@ object SparkEntry {
       // mirrored expression-for-expression in the oracle
       val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
       val ret = b.select(col("user_id"),
-        (col("close") / nullif(lag(col("close"), 1).over(entityDay), lit(0.0)) - 1)
+        dailyReturn
           .as("r"))
         .where(col("r").isNotNull)
       def ps(p: Column): Column = sum(p.cast("decimal(38,18)")).cast("double")
@@ -2523,7 +2531,7 @@ object SparkEntry {
       """WITH tagged AS (
         |  SELECT event_type, value,
         |    CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END AS a
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |cum AS (
         |  SELECT event_type,
         |    CAST(sum(a) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS c1,

@@ -78,7 +78,7 @@ object Cdc {
     snap.unionByName(chg)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && col(opCol) =!= lit(deleteOp))
-      .select((col(keyCol) +: valueCols.map(col)) :+ col(tsCol).as("ts") :+
+      .select((col(keyCol) +: valueCols.map(col)) :+ col(tsCol).as(tsCol) :+
         (col("__pri") === 1).as("from_changelog"): _*)
   }
 }

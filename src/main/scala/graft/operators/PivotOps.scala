@@ -43,8 +43,16 @@ object PivotOps {
     */
   def melt(df: DataFrame, idCol: String, valueCols: Seq[String],
            keyName: String = "key", valueName: String = "value"): DataFrame = {
+    // Spark lexes adjacent string literals as CONCATENATION, so the
+    // SQL-standard doubled-quote escape would silently drop the quote
+    // ('it''s' reads back as "its") — escape with backslash instead, and
+    // double backticks inside the quoted identifier
     val stackArgs = valueCols
-      .map(c => s"'${c.replace("'", "''")}', `$c`").mkString(", ")
+      .map { c =>
+        val lit0 = c.replace("\\", "\\\\").replace("'", "\\'")
+        val ident = c.replace("`", "``")
+        s"'$lit0', `$ident`"
+      }.mkString(", ")
     df.select(col(idCol),
         expr(s"stack(${valueCols.size}, $stackArgs) as (`$keyName`, `$valueName`)"))
       .where(col(valueName).isNotNull)

@@ -575,11 +575,17 @@ object TextAnalysis {
     * partition-order-independent.
     */
   def corpusDivergence(docs: DataFrame, sliceCol: String = "source",
-                       textCol: String = "text"): DataFrame = {
-    val sc = docs
+                       textCol: String = "text",
+                       persistAggregate: Boolean = true): DataFrame = {
+    // cache ownership: the persisted (slice, token) aggregate lives until
+    // the session evicts it (LRU; vocab×slices-sized, so pressure is
+    // modest). A caller invoking this repeatedly in one session who wants
+    // zero cache footprint passes persistAggregate = false and pays the
+    // 4× corpus re-scan instead.
+    val scBase = docs
       .select(col(sliceCol).as("slice"), explode(Dedup.tokens(textCol)).as("token"))
       .groupBy(col("slice"), col("token")).agg(count(lit(1)).as("c_s"))
-      .persist()
+    val sc = if (persistAggregate) scBase.persist() else scBase
     val cc = sc.groupBy(col("token")).agg(sum(col("c_s")).as("c_all"))
     val perSlice = broadcast(
       sc.groupBy(col("slice")).agg(sum(col("c_s")).cast("double").as("n_s")))

@@ -140,6 +140,17 @@ object Sinks {
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     numFiles: Int = 32): Unit = {
+    // a non-numeric key would cast to NULL in the grid below and
+    // greatest() would swallow it into cell 0 — a silently UNordered
+    // write that still reports success; fail loudly instead
+    Seq(colA, colB).foreach { c =>
+      require(df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"writeZOrdered key '$c' must be numeric " +
+          s"(got ${df.schema(c).dataType.simpleString}) — a non-numeric key " +
+          "grid-cells to a constant and the layout silently loses all " +
+          "clustering on that dimension")
+    }
     val stats = broadcast(df.agg(
       min(col(colA)).cast("double").as("__amin"),
       max(col(colA)).cast("double").as("__amax"),

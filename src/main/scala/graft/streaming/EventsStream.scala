@@ -181,7 +181,6 @@ object EventsStream {
                             deleteOp: String = "error",
                             valueCols: Seq[String] = Seq("value"))(
       onBatch: (Long, Int) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(tsCol == "ts", "mergeChangelog emits the merged timestamp as 'ts'")
     val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int")
     changes.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
       val s = batch.sparkSession
@@ -207,17 +206,24 @@ object EventsStream {
           .select(snapCols: _*)
           .withColumn("__bucket", bucketOf)
           .persist()
+        // materialize the cache BEFORE the overwrite: the merge reads the
+        // very store the write below replaces, and a lazy persist only
+        // fills during the write — a cache loss after the overwrite would
+        // recompute against the replaced files (FileNotFound, or a wrong
+        // surviving set under ignoreMissingFiles). Collecting the
+        // surviving buckets first closes that window and is the same
+        // model-sized collect either way.
+        val surviving = merged.select(col("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
         merged
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__bucket").parquet(snapshotDir)
+        merged.unpersist()
         // dynamic overwrite only rewrites partitions PRESENT in the output:
         // a tombstone wave that empties a bucket produces no rows for it,
         // so the stale partition must be dropped explicitly or the deleted
         // keys resurrect
-        val surviving = merged.select(col("__bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        merged.unpersist()
         // Hadoop FileSystem API, not java.io: the snapshot can live on any
         // supported scheme (HDFS, object store), not just the local disk
         val conf = s.sparkContext.hadoopConfiguration

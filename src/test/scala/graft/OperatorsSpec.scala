@@ -599,6 +599,13 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
     // user 1 never had 'c', user 2 never had 'a' or 'c' — those cells drop
     assert(back === Map((1L, "a") -> 5.0, (1L, "b") -> 4.0, (2L, "b") -> 5.0))
+    // a quote in the column name survives the stack literal round trip —
+    // Spark concatenates ADJACENT string literals, so the SQL-standard
+    // doubled-quote escape would silently emit "its"
+    val quoted = Seq((1L, 2.0)).toDF("id", "it's")
+    val qback = PivotOps.melt(quoted, "id", Seq("it's"), "k", "v")
+      .select($"k").as[String].collect()
+    assert(qback.toSeq === Seq("it's"))
   }
 
   test("q_table_diff, q_user_growth, q_gap_detect reconciliation invariants") {
