@@ -292,6 +292,25 @@ object ScaleBench {
         s""","lsh_diag":{"base":{"n_vectors":$nb,"candidates":$cb,"confirmed":$fb},""" +
           s""""scaled":{"n_vectors":$ns,"candidates":$cs,"confirmed":$fs}}"""
       }
+    // q_dedup_embedding's tall ratio at the deep rungs is defended as
+    // output growth (the exact τ=0.4 pair set is quadratic in n on a
+    // decorrelated corpus — see the header CAVEAT); emit the pair count
+    // per rung so the defense is artifact data, not SURVEY prose.
+    val embDiag =
+      if (!okFamily.contains("q_dedup_embedding")) ""
+      else {
+        def d(dir: String): (Long, Long) = {
+          val emb = Tables.embeddings(spark, dir)
+          (emb.count(),
+            graft.operators.Similarity.cosinePairsExact(emb, 0.40).count())
+        }
+        val (nb, pb) = d(base)
+        val (ns, ps) = d(out)
+        System.err.println(s"[scale] embedding diag base n=$nb pairs=$pb; " +
+          s"scaled n=$ns pairs=$ps")
+        s""","embedding_diag":{"base":{"n_vectors":$nb,"exact_pairs":$pb},""" +
+          s""""scaled":{"n_vectors":$ns,"exact_pairs":$ps}}"""
+      }
     val fixedSuite =
       if (!okFamily.contains("q_curation_stream")) ""
       else {
@@ -310,7 +329,7 @@ object ScaleBench {
       s"""{"metric":"scale","mult":$mult,"base_sf":"$base","scaled_dir":"$out",
          |"base_total_sec":$bt,"scaled_total_sec":$st,
          |"total_ratio":${math.round(st / bt * 100) / 100.0},
-         |"failed":$errJson,"n_failed":${errors.size}$lshDiag$fixedSuite,
+         |"failed":$errJson,"n_failed":${errors.size}$lshDiag$embDiag$fixedSuite,
          |"queries":$rows}""".stripMargin
         .replace("\n", "")
     try {

@@ -658,9 +658,13 @@ object SparkEntry {
           (sum(dt.cast("decimal(28,12)")).over(dowW).cast("double") /
             count(lit(1)).over(dowW)).as("seasonal"))
         .select(col("user_id"), col("d"), col("close"),
-          round(col("trend"), 6).as("trend"),
-          round(col("seasonal"), 6).as("seasonal"),
-          round(col("close") - col("trend") - col("seasonal"), 6).as("remainder"))
+          (round(col("trend"), 6) + lit(0.0)).as("trend"),
+          (round(col("seasonal"), 6) + lit(0.0)).as("seasonal"),
+          // + 0.0 folds IEEE -0.0 to +0.0: DuckDB's round() preserves the
+          // sign of a difference that rounds to zero from below, Spark's
+          // does not — both sides normalize so the byte hash agrees
+          (round(col("close") - col("trend") - col("seasonal"), 6) + lit(0.0))
+            .as("remainder"))
     }),
 
     "q_skew_kurt" -> ((s, dir) => {
@@ -2139,7 +2143,7 @@ object SparkEntry {
         |  FROM events WHERE ts >= TIMESTAMP '2024-01-20'),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY pri DESC, ts DESC, tie DESC) AS rn FROM u)
+        |    ORDER BY ts DESC, pri DESC, tie DESC) AS rn FROM u)
         |SELECT user_id, value, ts, (pri = 1) AS from_changelog
         |FROM r WHERE rn = 1 AND op <> 'error'""".stripMargin,
 
@@ -2561,9 +2565,9 @@ object SparkEntry {
         |      / count(*) OVER wd AS seasonal
         |  FROM trended
         |  WINDOW wd AS (PARTITION BY user_id, dayofweek(d)))
-        |SELECT user_id, d, close, round(trend, 6) AS trend,
-        |  round(seasonal, 6) AS seasonal,
-        |  round(close - trend - seasonal, 6) AS remainder
+        |SELECT user_id, d, close, round(trend, 6) + 0.0 AS trend,
+        |  round(seasonal, 6) + 0.0 AS seasonal,
+        |  round(close - trend - seasonal, 6) + 0.0 AS remainder
         |FROM seas""".stripMargin,
 
     "q_skew_kurt" ->
@@ -2756,7 +2760,8 @@ object SparkEntry {
     "q_unpivot" ->
       """SELECT user_id, event_type,
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events GROUP BY 1, 2
+        |HAVING total IS NOT NULL""".stripMargin,
 
     "q_weighted_price" ->
       """SELECT p_brand,

@@ -48,15 +48,21 @@ object Cdc {
   }
 
   /** Merge a changelog into a keyed snapshot (the MERGE INTO shape):
-    * the latest change per key wins over the snapshot row; a change whose
-    * `opCol` equals `deleteOp` is a tombstone and removes the key; keys
-    * untouched by the changelog keep their snapshot row.
+    * per key, EVENT TIME governs — the newest row by `tsCol` wins whether
+    * it comes from the snapshot or the changelog, so a late-arriving
+    * change older than already-merged state can never regress it (and a
+    * stale tombstone cannot delete newer data). A change whose `opCol`
+    * equals `deleteOp` is a tombstone and removes the key; keys untouched
+    * by the changelog keep their snapshot row.
     *
     * Snapshot and changelog are unioned with a priority bit and resolved
     * by ONE row_number window — a single shuffle on the key, no join, so
     * AQE's skew split applies directly and the changelog never needs to
-    * be broadcast-sized. Ties inside the changelog resolve by (ts, tie)
-    * descending, so replaying the same changelog is idempotent.
+    * be broadcast-sized. Ordering is (ts, priority, tie) descending:
+    * priority breaks exact-ts ties in the changelog's favor, which is
+    * what makes REPLAY idempotent — a replayed change ties the merged
+    * snapshot row's ts and still wins on priority, converging to the same
+    * state; equal-ts changes resolve by `tieCol` descending.
     */
   def mergeChangelog(snapshot: DataFrame, changes: DataFrame, keyCol: String,
                      tsCol: String, tieCol: String, opCol: String,
@@ -74,7 +80,7 @@ object Cdc {
     val chg = changes.select(base ++ Seq(
       col(opCol), lit(1).as("__pri"), col(tieCol).cast("long").as("__tie")): _*)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__pri").desc, col(tsCol).desc, col("__tie").desc)
+      .orderBy(col(tsCol).desc, col("__pri").desc, col("__tie").desc)
     snap.unionByName(chg)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && col(opCol) =!= lit(deleteOp))

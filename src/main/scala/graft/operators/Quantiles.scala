@@ -477,9 +477,20 @@ object Quantiles {
         val vlo = stats((k, lo))
         // integral positions return the order statistic DIRECTLY — the
         // interpolation form would turn an infinite endpoint into
-        // Inf − Inf = NaN where percentile()/quantile_cont return ±Inf
+        // Inf − Inf = NaN where percentile()/quantile_cont return ±Inf.
+        // Fractional positions use the SYMMETRIC lerp (1−f)·lo + f·hi —
+        // the exact float sequence DuckDB's quantile_cont evaluates
+        // (verified bitwise over 495 group×quantile cases at sf0.1).
+        // The asymmetric lo + f·(hi−lo) differs by 1 ulp on some inputs
+        // (even when lo == hi, where it is exact and the symmetric form
+        // is not) — and a bound 1 ulp off flips every row whose value
+        // sits exactly on it into the neighboring bin, which surfaced as
+        // a PSI mismatch at sf0.1.
         if (lo == hi) vlo
-        else vlo + (pos - lo) * (stats((k, hi)) - vlo)
+        else {
+          val frac = pos - lo
+          (1.0 - frac) * vlo + frac * stats((k, hi))
+        }
       }
       Row.fromSeq((if (k == EncNull) null else k.substring(1)) +: vals)
     }

@@ -158,8 +158,9 @@ object EventsStream {
 
   /** CDC upsert maintenance via foreachBatch — the continuous face of
     * [[graft.operators.Cdc.mergeChangelog]]: a changelog stream keeps a
-    * keyed snapshot table current (latest change wins, `deleteOp` rows are
-    * tombstones).
+    * keyed snapshot table current (event time governs — the newest row by
+    * ts wins, so a late batch carrying older changes cannot regress
+    * already-merged state; `deleteOp` rows are tombstones).
     *
     * The snapshot is partitioned by a HASH BUCKET of the key, and each
     * micro-batch (1) resolves which buckets its keys touch — ≤ `nBuckets`
@@ -333,11 +334,17 @@ object EventsStream {
     import graft.operators.Quantiles
     val spark = reference.sparkSession
     val (bounds, props) = Quantiles.psiReference(reference, keyCol, valueCol, k)
+    // BOTH reference frames collapse to local relations at build time —
+    // passing the lazy `bounds` plan through would re-run the landed
+    // quantile aggregation inside every micro-batch (and silently shift
+    // the baseline if the reference path grows between batches)
+    val boundsLocal = spark.createDataFrame(
+      spark.sparkContext.parallelize(bounds.collect().toSeq, 1), bounds.schema)
     val propsLocal = spark.createDataFrame(
       spark.sparkContext.parallelize(props.collect().toSeq, 1), props.schema)
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(Quantiles.psiAgainst(batch.toDF(), keyCol, valueCol, k, bounds, propsLocal)
+        sink(Quantiles.psiAgainst(batch.toDF(), keyCol, valueCol, k, boundsLocal, propsLocal)
           .withColumn("batch_id", lit(batchId)), batchId)
         ()
     }
@@ -359,10 +366,15 @@ object EventsStream {
                 k: Int = 10)(sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Quantiles
+    val spark = reference.sparkSession
     val (bounds, _) = Quantiles.psiReference(reference, keyCol, valueCol, k)
+    // materialize at build time (same contract as psiMonitor): a lazy
+    // bounds plan would re-execute the reference quantiles every batch
+    val boundsLocal = spark.createDataFrame(
+      spark.sparkContext.parallelize(bounds.collect().toSeq, 1), bounds.schema)
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(Quantiles.ksAgainst(batch.toDF(), keyCol, valueCol, k, bounds)
+        sink(Quantiles.ksAgainst(batch.toDF(), keyCol, valueCol, k, boundsLocal)
           .withColumn("batch_id", lit(batchId)), batchId)
         ()
     }

@@ -59,6 +59,26 @@ class CdcSpec extends SparkSpec {
       Seq((1L, 1.0, false), (2L, 9.0, true), (4L, 4.0, true)))
   }
 
+  test("Cdc.mergeChangelog: event time governs — a late older change cannot regress state") {
+    // the snapshot row IS newer merged state (e.g. produced by a previous
+    // micro-batch); a late-arriving change and a stale tombstone both
+    // carry older timestamps and must lose
+    val snap = Seq(
+      (1L, 5.0, ts("2024-02-01 00:00:00")),
+      (2L, 6.0, ts("2024-02-01 00:00:00"))
+    ).toDF("user_id", "value", "ts")
+    val chg = Seq(
+      (1L, 1.0, ts("2024-01-15 00:00:00"), 50L, "update"), // stale update
+      (2L, 0.0, ts("2024-01-16 00:00:00"), 51L, "error")   // stale tombstone
+    ).toDF("user_id", "value", "ts", "event_id", "event_type")
+    val out = Cdc.mergeChangelog(snap, chg, "user_id", "ts", "event_id",
+        "event_type", deleteOp = "error", valueCols = Seq("value"))
+      .orderBy($"user_id")
+      .select($"user_id", $"value", $"from_changelog").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq ===
+      Seq((1L, 5.0, false), (2L, 6.0, false)))
+  }
+
   test("Cdc.mergeChangelog is idempotent: replaying the changelog converges") {
     val snap = Seq((1L, 1.0, ts("2024-01-10 00:00:00"))).toDF("user_id", "value", "ts")
     val chg = Seq((1L, 7.0, ts("2024-01-20 00:00:00"), 5L, "update"))
@@ -89,8 +109,11 @@ class CdcSpec extends SparkSpec {
       val base = ts("2024-01-01 00:00:00").getTime
       def randTs() = new java.sql.Timestamp(base + rnd.nextInt(100) * 3600_000L)
       // --- mergeChangelog vs reference fold ---
+      // snapshot timestamps OVERLAP the changelog's range: half the keys
+      // carry state newer than some changes, exercising the event-time
+      // contract (an older change must lose to newer merged state)
       val snapRows = (1L to 6L).map(k => (k, rnd.nextInt(100).toDouble,
-        ts("2023-12-31 00:00:00")))
+        if (k % 2 == 0) randTs() else ts("2023-12-31 00:00:00")))
       val chgRows = (0 until 40).map { i =>
         (rnd.nextInt(10).toLong + 1L, rnd.nextInt(100).toDouble, randTs(),
           i.toLong, if (rnd.nextInt(5) == 0) "error" else "update")
@@ -100,13 +123,16 @@ class CdcSpec extends SparkSpec {
         chgRows.toDF("user_id", "value", "ts", "event_id", "event_type"),
         "user_id", "ts", "event_id", "event_type", "error", Seq("value"))
         .select($"user_id", $"value").as[(Long, Double)].collect().toMap
-      // reference: per key, latest change by (ts, event_id) wins over the
-      // snapshot; tombstone deletes; untouched keys keep the snapshot row
-      val lastChg = chgRows.groupBy(_._1).map { case (k, rs) =>
-        k -> rs.maxBy(r => (r._3.getTime, r._4)) }
-      val expect = (snapRows.map(r => r._1 -> r._2).toMap ++
-        lastChg.collect { case (k, r) if r._5 != "error" => k -> r._2 })
-        .filter { case (k, _) => !lastChg.get(k).exists(_._5 == "error") }
+      // reference: per key the newest row by (ts, priority, tie) wins,
+      // snapshot rows at (pri=0, tie=-1); a winning tombstone deletes
+      val snapMap = snapRows.map(r => r._1 -> r).toMap
+      val expect = (snapRows.map(_._1) ++ chgRows.map(_._1)).distinct.flatMap { k =>
+        val cand =
+          snapMap.get(k).map(r => (r._3.getTime, 0, -1L, r._2, "__snap")).toSeq ++
+          chgRows.filter(_._1 == k).map(r => (r._3.getTime, 1, r._4, r._2, r._5))
+        val win = cand.maxBy(c => (c._1, c._2, c._3))
+        if (win._5 == "error") None else Some(k -> win._4)
+      }.toMap
       assert(out === expect, s"seed $seed: merge mismatch")
       // --- scd2 vs reference run collapse ---
       val evRows = (0 until 60).map { i =>

@@ -191,7 +191,8 @@ class PropertySpec extends SparkSpec {
       def q(vs: IndexedSeq[Double], p: Double): Double = {
         val pos = p * (vs.length - 1)
         val lo = pos.toInt
-        if (lo == pos) vs(lo) else vs(lo) + (pos - lo) * (vs(lo + 1) - vs(lo))
+        if (lo == pos) vs(lo)
+        else { val f = pos - lo; (1.0 - f) * vs(lo) + f * vs(lo + 1) }
       }
       data.groupBy(_._1).foreach { case (k, rows) =>
         val vs = rows.map(_._2).sorted.toIndexedSeq
@@ -221,7 +222,8 @@ class PropertySpec extends SparkSpec {
       def q(vs: IndexedSeq[Double], p: Double): Double = {
         val pos = p * (vs.length - 1)
         val lo = pos.toInt
-        if (lo == pos) vs(lo) else vs(lo) + (pos - lo) * (vs(lo + 1) - vs(lo))
+        if (lo == pos) vs(lo)
+        else { val f = pos - lo; (1.0 - f) * vs(lo) + f * vs(lo + 1) }
       }
       val curByK = cur.groupBy(_._1)
       ref.groupBy(_._1).foreach { case (k, rrows) =>

@@ -92,7 +92,7 @@ class QuantilesSpec extends SparkSpec {
         val lo = math.floor(pos).toInt
         val hi = math.ceil(pos).toInt
         val expect = if (lo == hi) sorted(lo)
-          else sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+          else { val f = pos - lo; (1.0 - f) * sorted(lo) + f * sorted(hi) }
         assert(got.getDouble(i + 1) === expect, s"seed $seed q $q")
       }
     }
@@ -173,7 +173,8 @@ class QuantilesSpec extends SparkSpec {
       val vs = rows.map(_._2).sorted.toIndexedSeq
       val pos = 0.5 * (vs.length - 1)
       val lo = pos.toInt
-      k -> (if (lo == pos) vs(lo) else vs(lo) + (pos - lo) * (vs(lo + 1) - vs(lo)))
+      k -> (if (lo == pos) vs(lo)
+        else { val f = pos - lo; (1.0 - f) * vs(lo) + f * vs(lo + 1) })
     }
     assert(got.size === 30)
     for ((k, v) <- ref) assert(got(k) === v, s"group $k")
@@ -190,7 +191,8 @@ class QuantilesSpec extends SparkSpec {
     def q(p: Double): Double = {
       val pos = p * (sorted.length - 1)
       val lo = pos.toInt
-      if (lo == pos) sorted(lo) else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+      if (lo == pos) sorted(lo)
+      else { val f = pos - lo; (1.0 - f) * sorted(lo) + f * sorted(lo + 1) }
     }
     val (blo, bhi) = (q(0.1), q(0.9))
     val clipped = vals.map(v => math.max(blo, math.min(bhi, v)))

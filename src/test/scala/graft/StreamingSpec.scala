@@ -810,6 +810,95 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("psiMonitor kill-and-restart: baseline frozen at build time, committed batches don't re-fire") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_psi_restart").toFile.getAbsolutePath
+    val (ckpt, refDir, outDir) = (s"$dir/ckpt", s"$dir/ref", s"$dir/out")
+    (1 to 200).map(i => ("click", i.toDouble)).toDF("event_type", "value")
+      .write.mode("overwrite").parquet(refDir)
+    val input = MemoryStream[Ev]
+    val fires = scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = EventsStream.psiMonitor(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      spark.read.parquet(refDir)) { (psi, id) =>
+      fires += id
+      psi.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      ()
+    }.option("checkpointLocation", ckpt).start()
+    def score(id: Int): Double = spark.read.parquet(s"$outDir/batch=$id")
+      .select("psi").as[Double].head()
+    val q1 = start()
+    try {
+      input.addData((1 to 200).map(i =>
+        Ev(i.toLong, ts("2024-01-01 10:00:00"), "click", i.toDouble)).toSeq: _*)
+      q1.processAllAvailable()
+      // GROW the landed reference mid-flight: a +1000 block that would move
+      // every bin bound if any batch re-resolved the reference plan
+      (1 to 200).map(i => ("click", i.toDouble + 1000)).toDF("event_type", "value")
+        .write.mode("append").parquet(refDir)
+      input.addData((1 to 200).map(i =>
+        Ev(1000L + i, ts("2024-01-01 11:00:00"), "click", i.toDouble)).toSeq: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // batch 1 binned against the BUILD-TIME baseline: same in-distribution
+    // score as batch 0, not the alarm the mutated reference would produce
+    assert(score(0) < 0.1, s"in-distribution: ${score(0)}")
+    assert(score(1) === score(0), "baseline must not shift within a query's lifetime")
+    // wave 3 lands while the query is DOWN; the restart rebuilds the
+    // baseline from the grown corpus (the documented refresh point) and
+    // must score ONLY the pending batch — committed ids don't re-fire
+    input.addData((1 to 200).map(i =>
+      Ev(2000L + i, ts("2024-01-01 12:00:00"), "click", i.toDouble)).toSeq: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(fires.toSeq === Seq(0L, 1L, 2L),
+      s"restart must resume numbering and not re-fire committed batches: $fires")
+    // proof the restart DID re-resolve: the same wave now alarms (half the
+    // rebuilt reference's mass sits in the +1000 block the wave never hits)
+    assert(score(2) > 0.25, s"rebuilt baseline must alarm: ${score(2)}")
+  }
+
+  test("ksMonitor kill-and-restart: bounds frozen at build time, alarms don't double-fire") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ks_restart").toFile.getAbsolutePath
+    val (ckpt, refDir, outDir) = (s"$dir/ckpt", s"$dir/ref", s"$dir/out")
+    (1 to 200).map(i => ("click", i.toDouble)).toDF("event_type", "value")
+      .write.mode("overwrite").parquet(refDir)
+    val input = MemoryStream[Ev]
+    val fires = scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = EventsStream.ksMonitor(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      spark.read.parquet(refDir)) { (ks, id) =>
+      fires += id
+      ks.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      ()
+    }.option("checkpointLocation", ckpt).start()
+    def score(id: Int): Double = spark.read.parquet(s"$outDir/batch=$id")
+      .select("ks").as[Double].head()
+    val q1 = start()
+    try {
+      input.addData((1 to 200).map(i =>
+        Ev(i.toLong, ts("2024-01-01 10:00:00"), "click", i.toDouble)).toSeq: _*)
+      q1.processAllAvailable()
+      (1 to 200).map(i => ("click", i.toDouble + 1000)).toDF("event_type", "value")
+        .write.mode("append").parquet(refDir)
+      input.addData((1 to 200).map(i =>
+        Ev(1000L + i, ts("2024-01-01 11:00:00"), "click", i.toDouble)).toSeq: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(score(0) < 0.05, s"identical batch must score ~0: ${score(0)}")
+    assert(score(1) === score(0), "bounds must not shift within a query's lifetime")
+    input.addData((1 to 200).map(i =>
+      Ev(2000L + i, ts("2024-01-01 12:00:00"), "click", i.toDouble)).toSeq: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(fires.toSeq === Seq(0L, 1L, 2L),
+      s"restart must resume numbering and not re-fire committed batches: $fires")
+    // rebuilt bounds: the wave covers only the lower half of the grown
+    // reference — sup-norm ≈ 0.5 at the median bound
+    assert(score(2) > 0.4, s"rebuilt bounds must alarm: ${score(2)}")
+  }
+
   test("decontaminator enforces its broadcastable-suite precondition") {
     val bench = Tables.documents(spark, sfDir).limit(5).select($"doc_id", $"text")
     val bg = EventsStream.benchmarkGrams(bench)

@@ -4,6 +4,7 @@ then execute each oracle SQL in DuckDB over the same parquet tables and
 compare (columns sorted by name, rows sorted, exact values)."""
 import json, subprocess, sys, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -56,9 +57,42 @@ def main():
             # fall through to value compare anyway
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
-            results[name] = f"OK:{len(s)}"
         except AssertionError as e:
             results[name] = "VALUE_MISMATCH: " + str(e).replace("\n", " | ")[:500]
+            continue
+        # the driver hashes raw bytes, so -0.0 vs 0.0 (equal under pandas)
+        # is a real failure there — compare float columns bitwise
+        bit_bad = []
+        for c in s.columns:
+            sc, oc = s[c], o[c]
+            if sc.dtype.kind == "f" and oc.dtype.kind == "f":
+                sv = sc.to_numpy(dtype="float64")
+                ov = oc.to_numpy(dtype="float64")
+                neq = sv.view("uint64") != ov.view("uint64")
+                # NaN == NaN bitwise only if same payload; treat any NaN pair as equal
+                neq &= ~(np.isnan(sv) & np.isnan(ov))
+                if neq.any():
+                    i = int(np.argmax(neq))
+                    bit_bad.append(f"{c}[row {i}]: spark={sv[i]!r} oracle={ov[i]!r}")
+        if bit_bad:
+            results[name] = "BITWISE_MISMATCH: " + "; ".join(bit_bad[:4])
+            continue
+        # flag signed zeros on EITHER side even when both sides agree —
+        # a -0.0 that both engines happen to emit today is one engine
+        # version away from a hash mismatch
+        nz = []
+        for c in s.columns:
+            for side, df_ in (("spark", s), ("oracle", o)):
+                col_ = df_[c]
+                if col_.dtype.kind == "f":
+                    v = col_.to_numpy(dtype="float64")
+                    cnt = int(((v == 0.0) & (np.signbit(v))).sum())
+                    if cnt:
+                        nz.append(f"{side}.{c}:{cnt}")
+        if nz:
+            results[name] = "SIGNED_ZERO: " + ", ".join(nz)
+            continue
+        results[name] = f"OK:{len(s)}"
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows_only")))
     for k, v in sorted(results.items()):
         print(f"{k:25s} {v}")
