@@ -115,6 +115,29 @@ object ScaleBench {
     ()
   }
 
+  /** Scaled part table for the record-linkage keys: copy k shifts
+    * p_partkey into a fresh id range while keeping p_name AS IS — the
+    * linkage workload's honest 100 TB shape is more RECORDS over the same
+    * vocabulary (names, symbols, domains don't grow with data volume), so
+    * the fuzzy keys' cost past the first aggregate must stay flat and the
+    * pair output must not grow at all. Own marker: corpora generated
+    * before this existed gain part without a rebuild.
+    */
+  private def generatePart(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
+    val marker = new java.io.File(s"$out/_GENERATED_PART")
+    if (marker.exists()) return
+    val pt = Tables.part(spark, base)
+    val nPart = pt.agg(max(col("p_partkey")).cast("long")).head().getLong(0) + 1
+    (0 until mult).map { k =>
+      pt.withColumn("p_partkey", col("p_partkey") + lit(k.toLong * nPart))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
+
   /** Every key that reads only documents/embeddings — the full LLM-data
     * surface, including the quality diagnostics (recall must SURVIVE the
     * scale-up, not just finish). Grouped for the report; timed flat.
@@ -122,7 +145,7 @@ object ScaleBench {
   private val dedupAnn = Seq(
     "q_dedup_exact", "q_dedup_keep", "q_dedup_minhash", "q_ngram_jaccard",
     "q_dedup_simhash", "q_dedup_cluster", "q_dedup_near_keep",
-    "q_dedup_incremental_near", "q_winnow_overlap", "q_semdedup",
+    "q_dedup_incremental_near", "q_winnow_overlap", "q_semdedup", "q_containment",
     "q_dedup_embedding", "q_dedup_embedding_keep",
     "q_ann_topk", "q_ann_batch", "q_ann_lsh", "q_ann_ivf",
     "q_ann_ivf_indexed", "q_ann_ivfpq_indexed", "q_ann_ivf_append",
@@ -171,7 +194,10 @@ object ScaleBench {
     "q_table_diff", "q_user_growth", "q_gap_detect", "q_ab_test",
     "q_rolling_outliers", "q_unpivot", "q_vwap", "q_lead_lag")
 
-  private val family = dedupAnn ++ text ++ events
+  /** Record-linkage keys (read the scaled part table). */
+  private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup")
+
+  private val family = dedupAnn ++ text ++ events ++ linkage
 
   /** Optional comma-separated key subset (SPARK_GRAFT_KEYS) — the 30×/100×
     * rungs run a representative slice instead of the whole surface so a
@@ -250,6 +276,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, base, out, mult)
     generateEvents(spark, base, out, mult)
+    generatePart(spark, base, out, mult)
     // warmup (JIT + codegen) on the smallest sf, then interleaved passes
     // (min-of-N rejects this host's throttle windows, like Bench)
     runPass(spark, "/root/testdata/sf0.001", 0)

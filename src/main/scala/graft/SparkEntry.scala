@@ -1358,6 +1358,29 @@ object SparkEntry {
     // ---- LLM-training-data operators ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
 
+    "q_containment" -> ((s, dir) =>
+      // doc-in-doc detection: 5-gram containment |A∩B|/min(|A|,|B|) over
+      // rare-gram-blocked candidates (df ∈ [2,5] postings — deterministic
+      // blocking, so unlike the LSH keys the oracle replays it exactly
+      // and the pair set is hash-verified)
+      Dedup.containmentPairs(Tables.documents(s, dir), 0.5)),
+
+    "q_fuzzy_match" -> ((s, dir) =>
+      // record linkage discovery: distinct part-name pairs within edit
+      // distance 3 under a 2-char prefix block — Levenshtein runs on the
+      // VOCABULARY (one groupBy collapses records first), never on record
+      // pairs, so cost is vocab²-within-block at any record count
+      Dedup.fuzzyValuePairs(Tables.part(s, dir), "p_name", 3)),
+
+    "q_fuzzy_dedup" -> ((s, dir) =>
+      // entity resolution end-to-end: fuzzy value pairs → connected
+      // components in value space → every record rewritten to its
+      // cluster's canonical spelling (min-record-id value). The oracle
+      // replays the clustering with a recursive-CTE transitive closure,
+      // so the canonical labels are hash-verified.
+      Dedup.fuzzyCanonicalize(Tables.part(s, dir), "p_partkey", "p_name", 3)
+        .select("p_partkey", "p_name", "canonical")),
+
     "q_dedup_keep" -> ((s, dir) => Dedup.deduplicate(Tables.documents(s, dir))
       .select("doc_id", "lang", "source", "n_chars")),
 
@@ -3388,6 +3411,68 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+
+    "q_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |                       i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS gs
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(gs) AS g FROM gr),
+        |rare AS (SELECT g FROM post GROUP BY g HAVING count(*) BETWEEN 2 AND 5),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM post a JOIN rare USING (g) JOIN post b ON a.g = b.g
+        |  WHERE a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b,
+        |    len(list_intersect(ga.gs, gb.gs)) AS inter,
+        |    least(len(ga.gs), len(gb.gs)) AS mn
+        |  FROM cand c
+        |  JOIN gr ga ON ga.doc_id = c.id_a
+        |  JOIN gr gb ON gb.doc_id = c.id_b)
+        |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / mn, 6) AS containment
+        |FROM pairs WHERE round(CAST(inter AS DOUBLE) / mn, 6) >= 0.5""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH names AS (SELECT p_name AS nm, count(*) AS n FROM part GROUP BY 1)
+        |SELECT a.nm AS name_a, b.nm AS name_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM names a JOIN names b
+        |  ON substr(a.nm, 1, 2) = substr(b.nm, 1, 2)
+        | AND a.nm < b.nm
+        | AND abs(len(a.nm) - len(b.nm)) <= 3
+        |WHERE levenshtein(a.nm, b.nm) <= 3""".stripMargin,
+
+    "q_fuzzy_dedup" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name AS nm, min(p_partkey) AS nid FROM part GROUP BY 1),
+        |p AS (
+        |  SELECT a.nid AS id_a, b.nid AS id_b
+        |  FROM names a JOIN names b
+        |    ON substr(a.nm, 1, 2) = substr(b.nm, 1, 2)
+        |   AND a.nm < b.nm
+        |   AND abs(len(a.nm) - len(b.nm)) <= 3
+        |  WHERE levenshtein(a.nm, b.nm) <= 3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |canon AS (
+        |  SELECT n.nm, coalesce(n2.nm, n.nm) AS canonical
+        |  FROM names n
+        |  LEFT JOIN comp c ON n.nid = c.id
+        |  LEFT JOIN names n2 ON c.component = n2.nid)
+        |SELECT pt.p_partkey, pt.p_name, cn.canonical
+        |FROM part pt JOIN canon cn ON pt.p_name = cn.nm""".stripMargin,
 
     "q_boilerplate" ->
       """WITH synth AS (

@@ -830,4 +830,131 @@ object Dedup {
         lit(0).as("hamming"))
     small.union(collapsed).distinct()
   }
+
+  /** N-gram CONTAINMENT near-dup pairs — the asymmetric measure Jaccard
+    * misses: a short document embedded verbatim in a long one has
+    * containment |A∩B| / min(|A|,|B|) = 1.0 while its Jaccard can be
+    * arbitrarily small, so quote-heavy and template-wrapped corpora need
+    * this pass beside the MinHash one (Broder's resemblance/containment
+    * pair).
+    *
+    * Candidates come from a RARE-GRAM inverted index, not LSH: a pair is
+    * compared iff it shares at least one n-gram whose document frequency
+    * is in [2, maxDf]. That is DETERMINISTIC (no hash geometry), so the
+    * DuckDB oracle replays the exact same blocking and the output is
+    * hash-verified — unlike the LSH-candidate keys, which are rows-only
+    * by nature. It is also the scale contract: every posting bucket holds
+    * ≤ maxDf docs, so the self-join emits ≤ maxDf²/2 pairs per gram —
+    * nothing can go quadratic in corpus size; what grows is the number of
+    * rare grams (∝ corpus), each a bounded constant of work. The recall
+    * trade is explicit: a pair sharing only POPULAR grams (df > maxDf) is
+    * not compared — at web scale those grams are boilerplate, and the
+    * boilerplate/span-dedup passes own that signal.
+    *
+    * Output: (id_a, id_b, containment) with id_a < id_b, containment
+    * rounded to 6dp, thresholded.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 5,
+                       maxDf: Int = 5, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf) — a df-1 gram cannot pair")
+    // gram sets are consumed three times (postings + both pair sides) and
+    // their lineage re-tokenizes the corpus — materialize once
+    val g = materialize(docs
+      .select(col(idCol).as("gid"), tokens(textCol).as("__toks"))
+      .select(col("gid"), ngramsOfTokens("__toks", n).as("gs")))
+    val post = g.select(col("gid"), explode(col("gs")).as("g"))
+    val rare = post.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("g")
+    val rarePost = post.join(rare, "g")
+    val candPairs = rarePost.as("a")
+      .join(rarePost.as("b"),
+        col("a.g") === col("b.g") && col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("id_a"), col("b.gid").as("id_b"))
+      .distinct()
+    candPairs
+      .join(g.select(col("gid").as("id_a"), col("gs").as("gs_a")), "id_a")
+      .join(g.select(col("gid").as("id_b"), col("gs").as("gs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("gs_a"), col("gs_b"))).cast("double") /
+          least(size(col("gs_a")), size(col("gs_b"))).cast("double"), 6)
+          .as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** Fuzzy record linkage over a string column: all DISTINCT-value pairs
+    * within edit distance `maxDist`, candidate-blocked by a shared
+    * `blockPrefix`-char prefix. The reference's symbol rewrite
+    * (functions.py:144-150) fixes a KNOWN list of variant spellings; this
+    * is the discovery side — the variants nobody listed.
+    *
+    * Scale shape: Levenshtein runs on the distinct-VALUE table, never on
+    * record pairs — the first aggregate collapses N records to the
+    * vocabulary (model-sized for any column worth linking: names, symbols,
+    * domains), and everything after is vocabulary × vocabulary WITHIN a
+    * prefix block. The block join is a plain hash-shuffle equi-join on the
+    * prefix; the length-band conjunct |len a − len b| ≤ maxDist is implied
+    * by the metric (each edit moves length by ≤ 1), so it is a free
+    * pre-filter that cuts candidates before the O(len²) distance runs.
+    * Both `levenshtein` and the blocking are codegen'd built-ins — no UDF.
+    * The prefix block is part of the CONTRACT (pairs differing in their
+    * first `blockPrefix` chars are not linked), not a recall accident:
+    * linkage keys are normalized so the head is stable, and the oracle
+    * replays the same block.
+    *
+    * Output: (name_a, name_b, dist, n_a, n_b) with name_a < name_b, the
+    * record count behind each value — ranked linkage candidates.
+    */
+  def fuzzyValuePairs(df: DataFrame, strCol: String, maxDist: Int,
+                      blockPrefix: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1 (got $maxDist)")
+    require(blockPrefix >= 1, s"blockPrefix must be >= 1 (got $blockPrefix)")
+    val names = df.where(col(strCol).isNotNull)
+      .groupBy(col(strCol).as("__name")).agg(count(lit(1)).as("__n"))
+    val a = names.select(col("__name").as("name_a"), col("__n").as("n_a"),
+      substring(col("__name"), 1, blockPrefix).as("__blk"),
+      length(col("__name")).as("__la"))
+    val b = names.select(col("__name").as("name_b"), col("__n").as("n_b"),
+      substring(col("__name"), 1, blockPrefix).as("__blk"),
+      length(col("__name")).as("__lb"))
+    a.join(b, Seq("__blk"))
+      .where(col("name_a") < col("name_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+        col("n_a"), col("n_b"))
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Entity resolution on top of [[fuzzyValuePairs]]: fuzzy-linked values
+    * collapse to one canonical spelling per connected component, and every
+    * RECORD maps to its value's canonical form. The component graph lives
+    * in value space (each distinct value gets the min record id bearing it
+    * as its node id), so [[connectedComponents]] runs on a vocabulary-sized
+    * edge list regardless of record count, and the canonical spelling is
+    * the component root's value — deterministic, no training. Records whose
+    * value linked to nothing keep their spelling (left join + coalesce).
+    * The record-side mapping is one broadcast-sized join: the rewrite table
+    * is |vocabulary| rows by construction.
+    */
+  def fuzzyCanonicalize(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int, blockPrefix: Int = 2): DataFrame = {
+    val nameIds = df.where(col(strCol).isNotNull)
+      .groupBy(col(strCol).as("__name")).agg(min(col(idCol)).as("__nid"))
+    val pairs = fuzzyValuePairs(df, strCol, maxDist, blockPrefix)
+      .join(nameIds.select(col("__name").as("name_a"), col("__nid").as("id_a")), "name_a")
+      .join(nameIds.select(col("__name").as("name_b"), col("__nid").as("id_b")), "name_b")
+      .select("id_a", "id_b")
+    val comp = connectedComponents(pairs)
+    val canonical = nameIds
+      .join(comp.withColumnRenamed("id", "__nid"), Seq("__nid"), "left")
+      .join(broadcast(nameIds.select(col("__nid").as("component"),
+        col("__name").as("__canon"))), Seq("component"), "left")
+      .select(col("__name"),
+        coalesce(col("__canon"), col("__name")).as("canonical"))
+    df.join(broadcast(canonical), df(strCol) === canonical("__name"), "left")
+      .select(df("*"),
+        coalesce(col("canonical"), df(strCol)).as("canonical"))
+  }
 }

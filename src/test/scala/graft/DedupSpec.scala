@@ -410,4 +410,100 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(keptBig.isEmpty, keptBig.mkString(","))
   }
+
+  test("containmentPairs finds doc-in-doc embeddings Jaccard misses") {
+    // doc 2 is doc 1's text embedded in a much longer wrapper: containment
+    // of the small side is 1.0 while Jaccard is far below any dedup
+    // threshold — the asymmetric measure is the point
+    val core = "the quick brown fox jumps over the lazy dog tonight"
+    val wrapper = (1 to 12).map(i => s"filler$i section with many words here").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, s"$wrapper $core $wrapper extra tail"),
+      (3L, "completely unrelated text about something else entirely now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, 0.5, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(out.head._3 === 1.0) // every 5-gram of the core appears in the wrap
+    // sanity: the same pair's JACCARD is small (the wrapper dominates)
+    val g = docs.select($"doc_id", graft.plans.Exprs.wordNgrams(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lower($"text"), "\\s+"), 5).as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val jac = g(1L).intersect(g(2L)).size.toDouble / g(1L).union(g(2L)).size
+    assert(jac < 0.25, s"jaccard $jac should be small where containment is 1.0")
+  }
+
+  test("containmentPairs: the rare-gram df window is the candidate contract") {
+    // four identical docs: every shared gram has df 4 — OUTSIDE a [2,3]
+    // window, so no candidates form (popular-gram pairs are the
+    // boilerplate passes' job); inside [2,5] the family pairs fully
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (1L to 4L).map(i => (i, t)).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(docs, 0.5, maxDf = 3).count() === 0)
+    assert(Dedup.containmentPairs(docs, 0.5, maxDf = 5).count() === 6) // C(4,2)
+  }
+
+  test("fuzzyValuePairs links edit-distance variants; the prefix block is the contract") {
+    val df = Seq(
+      (1L, "acme corp"), (2L, "acme corp"), (3L, "acme corp."), // dist 1, n=2 vs 1
+      (4L, "acmi corp"),                                        // dist 1 from acme corp
+      (5L, "zcme corp"),                                        // dist 1 BUT prefix-2 differs — not linked
+      (6L, "unrelated name")
+    ).toDF("id", "name")
+    val pairs = Dedup.fuzzyValuePairs(df, "name", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys === Set(
+      ("acme corp", "acme corp."), ("acme corp", "acmi corp"),
+      ("acme corp.", "acmi corp")))
+    // record counts ride along: "acme corp" backs 2 records
+    val n = pairs.find(p => p._1 == "acme corp" && p._2 == "acme corp.").get
+    assert(n._3 === 1L && n._4 === 2L && n._5 === 1L)
+    // "zcme corp" is 1 edit away but outside the block — the contract, not a bug
+    assert(!pairs.exists(p => p._1.startsWith("zcme") || p._2.startsWith("zcme")))
+  }
+
+  test("fuzzyCanonicalize: transitive clusters collapse to the min-record-id spelling") {
+    // a ~ b (1), b ~ c (1), a ~ c (2): one component even at maxDist=1
+    // only via transitivity; canonical = value of the min record id (id 1)
+    val df = Seq(
+      (1L, "color"), (2L, "colour"), (3L, "colouur"),
+      (4L, "different"), (5L, Option.empty[String].orNull)
+    ).toDF("id", "name")
+    val out = Dedup.fuzzyCanonicalize(df, "id", "name", 1)
+      .select($"id", $"canonical").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("color"))
+    assert(out(2L) === Some("color"))
+    assert(out(3L) === Some("color")) // linked only through "colour"
+    assert(out(4L) === Some("different"))
+    assert(out(5L) === None) // a NULL value stays NULL, not canonical-anything
+  }
+
+  test("randomized differential: fuzzyValuePairs equals the brute-force reference") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seed <- Seq(13, 57)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("ring", "rang", "rings", "widget", "widgit", "wedget", "bolt", "bold")
+      val rows = (1 to 120).map(i => (i.toLong, vocab(rnd.nextInt(vocab.size))))
+      val got = Dedup.fuzzyValuePairs(rows.toDF("id", "name"), "name", 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val names = rows.map(_._2).distinct.sorted
+      val expect = (for {
+        a <- names; b <- names
+        if a < b && a.take(2) == b.take(2) &&
+          math.abs(a.length - b.length) <= 2 && lev(a, b) <= 2
+      } yield (a, b, lev(a, b).toLong)).toSet
+      assert(got === expect, s"seed $seed")
+    }
+  }
 }
