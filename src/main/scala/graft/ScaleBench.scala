@@ -145,7 +145,8 @@ object ScaleBench {
   private val dedupAnn = Seq(
     "q_dedup_exact", "q_dedup_keep", "q_dedup_minhash", "q_ngram_jaccard",
     "q_dedup_simhash", "q_dedup_cluster", "q_dedup_near_keep",
-    "q_dedup_incremental_near", "q_winnow_overlap", "q_semdedup", "q_containment",
+    "q_dedup_incremental_near", "q_winnow_overlap", "q_semdedup",
+    "q_containment", "q_dedup_containment_keep",
     "q_dedup_embedding", "q_dedup_embedding_keep",
     "q_ann_topk", "q_ann_batch", "q_ann_lsh", "q_ann_ivf",
     "q_ann_ivf_indexed", "q_ann_ivfpq_indexed", "q_ann_ivf_append",
@@ -192,7 +193,8 @@ object ScaleBench {
     "q_markov_transition", "q_trend_decompose", "q_skew_kurt",
     "q_minmax_scale", "q_lag_features", "q_ks_test",
     "q_table_diff", "q_user_growth", "q_gap_detect", "q_ab_test",
-    "q_rolling_outliers", "q_unpivot", "q_vwap", "q_lead_lag")
+    "q_rolling_outliers", "q_unpivot", "q_vwap", "q_lead_lag",
+    "q_rolling_corr")
 
   /** Record-linkage keys (read the scaled part table). */
   private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup")

@@ -475,6 +475,37 @@ object SparkEntry {
             .as("ac1"))
     }),
 
+    "q_rolling_corr" -> ((s, dir) => {
+      // rolling market correlation: each entity's trailing-30-row Pearson
+      // correlation with the equal-weighted market return — q_beta's
+      // cross-moments moved into a BOUNDED frame (five decimal window
+      // sums + a count share one sort/exchange), so per-row state is the
+      // 30-row frame, never the series; warm-up rows (n < 10) emit NULL.
+      // The -0.0 a near-zero correlation can round to is normalized on
+      // both sides (+ 0.0), the q_trend_decompose lesson.
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+      val ret = b.select(col("user_id"), col("d"), dailyReturn.as("r"))
+        .where(col("r").isNotNull)
+      val mkt = ret.groupBy(col("d"))
+        .agg((exactSumD12(col("r")) / count(lit(1))).as("mr"))
+      val f = entityDay.rowsBetween(-29, 0)
+      def ws(c: Column) = sum(c.cast("decimal(28,12)")).over(f).cast("double")
+      ret.join(broadcast(mkt), Seq("d"))
+        .select(col("user_id"), col("d"),
+          ws(col("r")).as("sr"), ws(col("mr")).as("sm"),
+          ws(col("r") * col("mr")).as("srm"),
+          ws(col("r") * col("r")).as("srr"),
+          ws(col("mr") * col("mr")).as("smm"),
+          count(lit(1)).over(f).cast("double").as("n"))
+        .select(col("user_id"), col("d"),
+          when(col("n") >= 10,
+            round((col("n") * col("srm") - col("sr") * col("sm")) /
+              nullif(sqrt(col("n") * col("srr") - col("sr") * col("sr")) *
+                sqrt(col("n") * col("smm") - col("sm") * col("sm")), lit(0.0)), 6)
+              + lit(0.0))
+            .as("roll_corr"))
+    }),
+
     "q_obv" -> ((s, dir) => {
       // on-balance volume: running sum of sign(Δclose)·volume per entity —
       // integer arithmetic throughout (sign is exact, volume is a count),
@@ -1364,6 +1395,22 @@ object SparkEntry {
       // blocking, so unlike the LSH keys the oracle replays it exactly
       // and the pair set is hash-verified)
       Dedup.containmentPairs(Tables.documents(s, dir), 0.5)),
+
+    "q_dedup_containment_keep" -> ((s, dir) => {
+      // containment dedup end-to-end: doc-in-doc pairs → connected
+      // components → keep the min-id doc per cluster (+ singletons) —
+      // the q_dedup_embedding_keep shape on the deterministic rare-gram
+      // blocking, so the oracle's recursive-CTE closure hash-verifies
+      // the component labels here too
+      val losers = Dedup.connectedComponents(
+          Dedup.containmentPairs(Tables.documents(s, dir), 0.5)
+            .select(col("id_a"), col("id_b")))
+        .where(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      Tables.documents(s, dir)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }),
 
     "q_fuzzy_match" -> ((s, dir) =>
       // record linkage discovery: distinct part-name pairs within edit
@@ -2407,6 +2454,37 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
         |FROM signed""".stripMargin,
 
+    "q_rolling_corr" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |ret AS (
+        |  SELECT user_id, d,
+        |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY d), 0) - 1 AS r
+        |  FROM bars),
+        |ret2 AS (SELECT * FROM ret WHERE r IS NOT NULL),
+        |mkt AS (
+        |  SELECT d, CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mr
+        |  FROM ret2 GROUP BY d),
+        |j AS (SELECT ret2.user_id, ret2.d, ret2.r, mkt.mr FROM ret2 JOIN mkt USING (d)),
+        |wsum AS (
+        |  SELECT user_id, d,
+        |    CAST(sum(CAST(r AS DECIMAL(28,12))) OVER w AS DOUBLE) AS sr,
+        |    CAST(sum(CAST(mr AS DECIMAL(28,12))) OVER w AS DOUBLE) AS sm,
+        |    CAST(sum(CAST(r * mr AS DECIMAL(28,12))) OVER w AS DOUBLE) AS srm,
+        |    CAST(sum(CAST(r * r AS DECIMAL(28,12))) OVER w AS DOUBLE) AS srr,
+        |    CAST(sum(CAST(mr * mr AS DECIMAL(28,12))) OVER w AS DOUBLE) AS smm,
+        |    CAST(count(*) OVER w AS DOUBLE) AS n
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY d
+        |               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, d,
+        |  CASE WHEN n >= 10 THEN
+        |    round((n * srm - sr * sm) /
+        |      nullif(sqrt(n * srr - sr * sr) * sqrt(n * smm - sm * sm), 0), 6) + 0.0
+        |  END AS roll_corr
+        |FROM wsum""".stripMargin,
+
     "q_seasonality" ->
       """WITH bars AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
@@ -3437,6 +3515,39 @@ object SparkEntry {
         |  JOIN gr gb ON gb.doc_id = c.id_b)
         |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / mn, 6) AS containment
         |FROM pairs WHERE round(CAST(inter AS DOUBLE) / mn, 6) >= 0.5""".stripMargin,
+
+    "q_dedup_containment_keep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |                       i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS gs
+        |  FROM toks),
+        |post AS (SELECT doc_id, unnest(gs) AS g FROM gr),
+        |rare AS (SELECT g FROM post GROUP BY g HAVING count(*) BETWEEN 2 AND 5),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM post a JOIN rare USING (g) JOIN post b ON a.g = b.g
+        |  WHERE a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN gr ga ON ga.doc_id = c.id_a
+        |  JOIN gr gb ON gb.doc_id = c.id_b
+        |  WHERE round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+        |          / least(len(ga.gs), len(gb.gs)), 6) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (
+        |  SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id) t
+        |  WHERE id <> comp)""".stripMargin,
 
     "q_fuzzy_match" ->
       """WITH names AS (SELECT p_name AS nm, count(*) AS n FROM part GROUP BY 1)

@@ -217,6 +217,52 @@ class CdcSpec extends SparkSpec {
     assert(dirs.forall { case (a, b2) => dirs.contains((b2, a)) })
   }
 
+  test("q_rolling_corr equals a driver-side rolling Pearson at 4dp, inside [-1,1]") {
+    val got = SparkEntry.queries("q_rolling_corr")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // reference: same bars → returns → market mean → trailing-30 Pearson,
+    // plain double arithmetic on the driver
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+    val bars = graft.operators.Ohlc.dailyBars(ev)
+      .select($"user_id", $"d", $"close")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+    val byUser = bars.groupBy(_._1).map { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      u -> sorted.zipWithIndex.drop(1).flatMap { case ((_, d, c), i) =>
+        val prev = sorted(i - 1)._3
+        if (prev == 0.0) None else Some(d -> (c / prev - 1))
+      }
+    }
+    val mkt = byUser.values.flatten.groupBy(_._1)
+      .map { case (d, rs) => d -> rs.map(_._2).sum / rs.size }
+    var checked = 0
+    byUser.foreach { case (u, series) =>
+      val rm = series.map { case (d, r) => (d, r, mkt(d)) }
+      rm.indices.foreach { i =>
+        val w = rm.slice(math.max(0, i - 29), i + 1)
+        val n = w.size
+        val expect = if (n < 10) None else {
+          val (sr, sm) = (w.map(_._2).sum, w.map(_._3).sum)
+          val srm = w.map(t => t._2 * t._3).sum
+          val srr = w.map(t => t._2 * t._2).sum
+          val smm = w.map(t => t._3 * t._3).sum
+          val den = math.sqrt(n * srr - sr * sr) * math.sqrt(n * smm - sm * sm)
+          if (den == 0.0 || den.isNaN) None else Some((n * srm - sr * sm) / den)
+        }
+        (got((u, w.last._1)), expect) match {
+          case (Some(g), Some(e)) =>
+            assert(math.abs(g - e) < 5e-4, s"user $u day ${w.last._1}: $g vs $e")
+            assert(g >= -1.0 - 1e-9 && g <= 1.0 + 1e-9)
+            checked += 1
+          case (None, None) => ()
+          case (g, e) => fail(s"user $u day ${w.last._1}: got $g expect $e")
+        }
+      }
+    }
+    assert(checked > 100, s"too few windows checked: $checked")
+  }
+
   test("q_beta agrees with the covar/var regression slope at 4dp") {
     // differential: the decimal-exact cross-moment formula vs Spark's own
     // covar_pop/var_pop — independent float paths, same statistic

@@ -309,4 +309,33 @@ class PlanInvariantsSpec extends SparkSpec {
     val lf = plan("q_lag_features")
     assert(count(lf, "Exchange") === 2, lf) // bars agg + one window exchange
   }
+
+  test("round-9 operators keep their scale shapes") {
+    // rolling corr: the five decimal frame sums + count share ONE window
+    // exchange; the day-keyed market frame comes back by broadcast only
+    val rc = plan("q_rolling_corr")
+    assert(rc.contains("BroadcastHashJoin"), rc)
+    assert(!rc.contains("SortMergeJoin"), rc)
+    // three windows: the five frame sums + count SHARE one (the point of
+    // the invariant), and the return-lag window appears twice because the
+    // market branch recomputes it — a bars-sized subtree whose identical
+    // exchanges AQE's ReuseExchange collapses at runtime (q_beta ships
+    // the same shape); a FOURTH window would mean the frame sums split
+    assert(count(rc, "Window \\[") === 3, rc)
+    assert(count(rc, "Window \\[sum") === 1, rc) // frame sums stay fused
+    // fuzzy linkage: Levenshtein runs above the distinct-VALUE aggregate —
+    // the record table is scanned once, aggregated, and everything
+    // downstream is vocabulary-sized; no nested-loop pair generator
+    val fm = plan("q_fuzzy_match")
+    assert(!fm.contains("BroadcastNestedLoopJoin") && !fm.contains("CartesianProduct"), fm)
+    assert(fm.contains("levenshtein"), fm)
+    // canonicalize maps records through a BROADCAST rewrite table — the
+    // record-sized side never shuffles for the final join
+    val fd = plan("q_fuzzy_dedup")
+    assert(fd.contains("BroadcastHashJoin"), fd)
+    // containment: candidates come from the rare-gram equi-join — hash
+    // joins only, never a cross/nested-loop pair step
+    val cp = plan("q_containment")
+    assert(!cp.contains("BroadcastNestedLoopJoin") && !cp.contains("CartesianProduct"), cp)
+  }
 }
