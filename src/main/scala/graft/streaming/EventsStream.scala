@@ -300,6 +300,40 @@ object EventsStream {
     * silently distorted by another group's tails; refresh the bounds via
     * foreachBatch re-resolution when live refresh matters.
     */
+  /** Stream-static entity resolution — the continuous face of
+    * [[graft.operators.Dedup.fuzzyCanonicalize]] and the discovery-side
+    * complement of the reference's FIXED symbol rewrite
+    * (functions.py:144-150): the rewrite table (value → canonical
+    * spelling) is resolved ONCE at query build from the landed reference
+    * corpus, collapsed to a local relation (vocabulary-sized by the
+    * linkage contract, gated), and broadcast-joined per batch at scan
+    * speed — zero state, zero per-batch jobs against the reference.
+    * Values the landed vocabulary never saw pass through unchanged
+    * (`resolved` = own spelling), the same unseen-entity contract as
+    * winsorizeStream; rebuild the query when the landed corpus should
+    * refresh the vocabulary.
+    */
+  def canonicalizeStream(stream: DataFrame, reference: DataFrame,
+                         idCol: String, strCol: String,
+                         maxDist: Int = 2): DataFrame = {
+    import graft.operators.Dedup
+    val spark = reference.sparkSession
+    val cap = spark.conf.get("spark.graft.linkage.maxVocab", "1000000").toLong
+    val rewrite = Dedup.fuzzyCanonicalize(reference, idCol, strCol, maxDist)
+      .select(col(strCol).as("__from"), col("canonical")).distinct()
+      .limit((cap + 1).toInt)
+    val rows = rewrite.collect()
+    require(rows.length <= cap,
+      s"canonicalizeStream ships the rewrite table as a broadcast — more than $cap " +
+        s"distinct values in '$strCol'; raise spark.graft.linkage.maxVocab or " +
+        "canonicalize in foreachBatch with the batch-side join")
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), rewrite.schema)
+    stream.join(broadcast(local), stream(strCol) === col("__from"), "left")
+      .withColumn("resolved", coalesce(col("canonical"), stream(strCol)))
+      .drop("__from", "canonical")
+  }
+
   def winsorizeStream(stream: DataFrame, bounds: DataFrame,
                       keyCol: String = "event_type",
                       valueCol: String = "value"): DataFrame =

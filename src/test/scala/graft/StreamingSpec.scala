@@ -810,6 +810,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("canonicalizeStream resolves stream values against the landed vocabulary") {
+    implicit val sqlCtx = spark.sqlContext
+    // landed corpus: "acme corp" dominates (min record id), with two
+    // fuzzy variants; stream rows carry a variant, the canonical form,
+    // and a value the landed corpus never saw
+    val landed = Seq(
+      (1L, "acme corp"), (2L, "acme corp"), (3L, "acme corp."),
+      (4L, "acmi corp"), (5L, "other name")
+    ).toDF("id", "event_type")
+    val input = MemoryStream[Ev]
+    val out = EventsStream.canonicalizeStream(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      landed, "id", "event_type")
+    val query = out.writeStream.format("memory").queryName("canon_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(10L, ts("2024-01-01 10:00:00"), "acme corp.", 1.0), // variant → canonical
+        Ev(11L, ts("2024-01-01 10:00:01"), "acme corp", 2.0),  // already canonical
+        Ev(12L, ts("2024-01-01 10:00:02"), "brand new", 3.0))  // unseen → unchanged
+      query.processAllAvailable()
+      val rows = spark.table("canon_stream")
+        .select($"user_id", $"resolved").as[(Long, String)].collect().toMap
+      assert(rows(10L) === "acme corp")
+      assert(rows(11L) === "acme corp")
+      assert(rows(12L) === "brand new")
+    } finally query.stop()
+    // the vocabulary gate fails loudly, naming the foreachBatch escape hatch
+    spark.conf.set("spark.graft.linkage.maxVocab", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        EventsStream.canonicalizeStream(
+          input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+          landed, "id", "event_type")
+      }
+      assert(e.getMessage.contains("maxVocab"))
+    } finally spark.conf.unset("spark.graft.linkage.maxVocab")
+  }
+
   test("psiMonitor kill-and-restart: baseline frozen at build time, committed batches don't re-fire") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_psi_restart").toFile.getAbsolutePath
