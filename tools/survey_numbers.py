@@ -102,14 +102,43 @@ def selfcheck_block(log_path):
             f"{rows_only} rows-only, {bad} failing ({tail})."]
 
 
+def prev_block(rev):
+    import subprocess
+    if not rev:
+        return []
+    raw = subprocess.run(["git", "show", f"{rev}:bench_out.json"],
+                         capture_output=True, text=True, cwd=REPO).stdout
+    if not raw:
+        return [f"- prev bench at {rev}: MISSING"]
+    prev = json.loads(raw.splitlines()[0])
+    with open(os.path.join(REPO, "bench_out.json")) as f:
+        cur = json.loads(f.readline())
+    qp, qc = prev["queries"], cur["queries"]
+    real = [k for k in set(qp) & set(qc) if qp[k] >= 0.3]
+    sp, sc = sum(qp[k] for k in real), sum(qc[k] for k in real)
+    worst = max(real, key=lambda k: qc[k] / qp[k])
+    new = {k: qc[k] for k in qc if k not in qp}
+    return [
+        f"- **vs {rev}**: {len(real)} shared real-cost keys (≥0.3 s) subtotal "
+        f"{sp:.1f} → {sc:.1f} s (**{sc/sp:.2f}×**); worst shared ratio "
+        f"{qc[worst]/qp[worst]:.2f}× ({worst}); {len(new)} new keys cost "
+        f"{sum(new.values()):.1f} s combined, max "
+        f"{max(new.values()):.2f} s." if new else
+        f"- **vs {rev}**: {len(real)} shared real-cost keys subtotal "
+        f"{sp:.1f} → {sc:.1f} s ({sc/sp:.2f}×)."
+    ]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--selfcheck", default=None,
                     help="path to a tools/selfcheck.py output log")
+    ap.add_argument("--prev", default=None,
+                    help="git rev whose bench_out.json to compare against")
     args = ap.parse_args()
     print("<!-- generated by tools/survey_numbers.py — do not hand-edit -->")
     for line in (tests_block() + selfcheck_block(args.selfcheck)
-                 + bench_block() + scale_block()):
+                 + bench_block() + prev_block(args.prev) + scale_block()):
         print(line)
 
 
