@@ -194,7 +194,7 @@ object ScaleBench {
     "q_minmax_scale", "q_lag_features", "q_ks_test",
     "q_table_diff", "q_user_growth", "q_gap_detect", "q_ab_test",
     "q_rolling_outliers", "q_unpivot", "q_vwap", "q_lead_lag",
-    "q_rolling_corr")
+    "q_rolling_corr", "q_stochastic", "q_cusum")
 
   /** Record-linkage keys (read the scaled part table). */
   private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup")

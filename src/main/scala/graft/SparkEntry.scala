@@ -835,6 +835,61 @@ object SparkEntry {
         round(when(full, mid - lit(2.0) * sd), 6).as("bb_dn"))
     }),
 
+    "q_stochastic" -> ((s, dir) => {
+      // 14-bar stochastic oscillator: %K = 100·(close − low14)/(hi14 −
+      // low14), %D = 3-bar mean of %K. min/max over a bounded frame are
+      // EXACT (no float accumulation), %K is one double division, %D
+      // decimal-averages three %K values — all four windows share the
+      // entityDay sort, one exchange. NULL until the %K frame holds 14
+      // bars (and %D additionally needs 3 full %K rows); a flat 14-bar
+      // window (hi = lo) yields NULL via the zero-range guard.
+      val kWin = entityDay.rowsBetween(-13, Window.currentRow)
+      val kFull = row_number().over(entityDay) >= 14
+      val hi = max(col("close")).over(kWin)
+      val lo = min(col("close")).over(kWin)
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+      val withK = b.select(col("user_id"), col("d"), col("close"),
+        when(kFull, lit(100.0) * (col("close") - lo) / nullif(hi - lo, lit(0.0)))
+          .as("__k"))
+      val dWin = entityDay.rowsBetween(-2, Window.currentRow)
+      val dFull = row_number().over(entityDay) >= 16 // 14 + 2: three full %K rows
+      withK.select(col("user_id"), col("d"),
+        round(col("__k"), 6).as("pct_k"),
+        round(when(dFull,
+          sum(col("__k").cast("decimal(28,12)")).over(dWin).cast("double") / lit(3.0)), 6)
+          .as("pct_d"))
+    }),
+
+    "q_cusum" -> ((s, dir) => {
+      // one-sided CUSUM changepoint alarm per entity — the classic
+      // sequential drift detector, in its CLOSED scan form: S_t =
+      // max(0, S_{t-1} + d_t) unrolls to prefix_t − min(0, min_{j≤t}
+      // prefix_j), so the recursion becomes a decimal-exact cumulative
+      // sum plus a running min over it — two windows sharing one
+      // entityDay exchange, no iteration, no UDF. d_t = close − μ with μ
+      // the entity's decimal-exact mean (one keyed aggregate, broadcast
+      // back); the alarm fires when S_t clears 4σ (same power sums).
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+      val stats = b.groupBy(col("user_id")).agg(
+        (exactSumD12(col("close")) / count(lit(1))).as("mu"),
+        exactSumD12(col("close") * col("close")).as("s2"),
+        count(lit(1)).cast("double").as("n"))
+        .select(col("user_id"), col("mu"),
+          sqrt((col("s2") - col("n") * col("mu") * col("mu")) /
+            nullif(col("n") - lit(1.0), lit(0.0))).as("sigma"))
+      val cumW = entityDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cs = sum((col("close") - col("mu")).cast("decimal(28,12)"))
+        .over(cumW).cast("double")
+      b.join(broadcast(stats), Seq("user_id"))
+        .select(col("user_id"), col("d"), col("mu"), col("sigma"), cs.as("__cs"))
+        .select(col("user_id"), col("d"),
+          (col("__cs") - least(min(col("__cs")).over(cumW), lit(0.0))).as("__s"),
+          col("sigma"))
+        .select(col("user_id"), col("d"),
+          (round(col("__s"), 6) + lit(0.0)).as("cusum"),
+          (col("__s") > lit(4.0) * col("sigma")).as("alarm"))
+    }),
+
     "q_rsi" -> ((s, dir) => {
       // 14-bar RSI on simple (Cutler) averages: Wilder's recursive smooth
       // is an infinite-lookback EWMA — the SMA form is the standard
@@ -2790,6 +2845,57 @@ object SparkEntry {
         |  round(CASE WHEN rn >= 20
         |    THEN s1 / 20.0 - 2.0 * sqrt((s2 - s1 * s1 / 20.0) / (20.0 - 1.0)) END, 6) AS bb_dn
         |FROM sums""".stripMargin,
+
+    "q_stochastic" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |k AS (
+        |  SELECT user_id, d,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY d) >= 14
+        |      THEN 100.0 * (close - min(close) OVER fr)
+        |           / nullif(max(close) OVER fr - min(close) OVER fr, 0)
+        |    END AS pk
+        |  FROM bars
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY d
+        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, d, round(pk, 6) AS pct_k,
+        |  round(CASE WHEN rn >= 16
+        |    THEN CAST(sum(CAST(pk AS DECIMAL(28,12))) OVER dw AS DOUBLE) / 3.0
+        |  END, 6) AS pct_d
+        |FROM k
+        |WINDOW dw AS (PARTITION BY user_id ORDER BY d
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_cusum" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(close AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mu,
+        |    sqrt((CAST(sum(CAST(close * close AS DECIMAL(28,12))) AS DOUBLE)
+        |          - count(*) * (CAST(sum(CAST(close AS DECIMAL(28,12))) AS DOUBLE) / count(*))
+        |                     * (CAST(sum(CAST(close AS DECIMAL(28,12))) AS DOUBLE) / count(*)))
+        |         / nullif(count(*) - 1.0, 0)) AS sigma
+        |  FROM bars GROUP BY user_id),
+        |cs AS (
+        |  SELECT b.user_id, b.d, st.sigma,
+        |    CAST(sum(CAST(b.close - st.mu AS DECIMAL(28,12)))
+        |         OVER cum AS DOUBLE) AS c
+        |  FROM bars b JOIN stats st ON b.user_id = st.user_id
+        |  WINDOW cum AS (PARTITION BY b.user_id ORDER BY b.d
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT user_id, d, sigma,
+        |    c - least(min(c) OVER cum, 0.0) AS sv
+        |  FROM cs
+        |  WINDOW cum AS (PARTITION BY user_id ORDER BY d
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, d, round(sv, 6) + 0.0 AS cusum,
+        |  (sv > 4.0 * sigma) AS alarm
+        |FROM s""".stripMargin,
 
     "q_rsi" ->
       """WITH bars AS (

@@ -263,6 +263,43 @@ class CdcSpec extends SparkSpec {
     assert(checked > 100, s"too few windows checked: $checked")
   }
 
+  test("q_cusum's closed form equals the recursive CUSUM definition; q_stochastic stays in [0,100]") {
+    // the scan form S_t = cs_t − min(0, min_{j≤t} cs_j) must equal the
+    // textbook recursion S_t = max(0, S_{t−1} + (x_t − μ)) row for row
+    val got = SparkEntry.queries("q_cusum")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(2)).toMap
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+    val bars = graft.operators.Ohlc.dailyBars(ev)
+      .select($"user_id", $"d", $"close")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+    var checked = 0
+    bars.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val mu = sorted.map(_._3).sum / sorted.size
+      var s = 0.0
+      sorted.foreach { case (_, d, c) =>
+        s = math.max(0.0, s + (c - mu))
+        assert(math.abs(got((u, d)) - s) < 1e-4, s"user $u day $d: ${got((u, d))} vs $s")
+        checked += 1
+      }
+    }
+    assert(checked > 300, s"too few rows checked: $checked")
+    val st = SparkEntry.queries("q_stochastic")(spark, sfDir).collect()
+    var nK = 0
+    st.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val k = r.getDouble(2)
+        assert(k >= -1e-9 && k <= 100.0 + 1e-9, s"pct_k out of range: $k")
+        nK += 1
+      }
+      if (!r.isNullAt(3)) {
+        val dd = r.getDouble(3)
+        assert(dd >= -1e-9 && dd <= 100.0 + 1e-9, s"pct_d out of range: $dd")
+      }
+    }
+    assert(nK > 100, s"too few %K rows: $nK")
+  }
+
   test("q_beta agrees with the covar/var regression slope at 4dp") {
     // differential: the decimal-exact cross-moment formula vs Spark's own
     // covar_pop/var_pop — independent float paths, same statistic
