@@ -483,6 +483,78 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) === None) // a NULL value stays NULL, not canonical-anything
   }
 
+  test("randomized differential: containmentPairs equals the brute-force reference") {
+    for (seed <- Seq(19, 83)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+        "iota", "kappa")
+      // docs built from a small vocabulary so rare-gram candidates and
+      // real containment structure both occur; some docs embed others
+      val bases = (0 until 20).map { i =>
+        (0 until (5 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val docs = bases.zipWithIndex.map { case (t, i) =>
+        val text = if (i % 5 == 4) s"${bases(rnd.nextInt(i + 1))} $t" else t // embed an earlier doc
+        (i.toLong, text)
+      }
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"), 0.4,
+          n = 3, maxDf = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // reference: same gram construction, df window, and containment
+      def grams(t: String): Set[String] = {
+        val toks = t.trim.toLowerCase.split("\\s+").toVector
+        if (toks.size < 3) Set(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val gs = docs.map { case (id, t) => id -> grams(t) }.toMap
+      val df_ = gs.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+      val rare = df_.collect { case (g, c) if c >= 2 && c <= 3 => g }.toSet
+      val expect = (for {
+        (a, ga) <- gs.toSeq; (b, gb) <- gs.toSeq
+        if a < b && ga.intersect(gb).exists(rare)
+        c = math.rint(ga.intersect(gb).size.toDouble / math.min(ga.size, gb.size) * 1e6) / 1e6
+        if c >= 0.4
+      } yield (a, b, c)).toSet
+      assert(got === expect, s"seed $seed")
+    }
+  }
+
+  test("randomized differential: fuzzyCanonicalize ≡ brute-force transitive closure") {
+    for (seed <- Seq(29, 71)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("ring", "rang", "rung", "rings", "bolt", "bold", "bolts",
+        "widget", "widgit", "unrelated")
+      val rows = (1 to 80).map(i => (i.toLong, vocab(rnd.nextInt(vocab.size))))
+      val got = Dedup.fuzzyCanonicalize(rows.toDF("id", "name"), "id", "name", 1)
+        .select("id", "canonical")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // reference: union-find over distinct-name pairs (lev<=1, prefix-2
+      // block), canonical = name of the min record id in the component
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val nameId = rows.groupBy(_._2).map { case (nm, rs) => nm -> rs.map(_._1).min }
+      val names = nameId.keys.toSeq.sorted
+      val parent = scala.collection.mutable.Map(names.map(n => n -> n): _*)
+      def find(x: String): String =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      for (a <- names; b <- names
+           if a < b && a.take(2) == b.take(2) &&
+             math.abs(a.length - b.length) <= 1 && lev(a, b) <= 1) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(if (nameId(ra) < nameId(rb)) rb else ra) =
+          if (nameId(ra) < nameId(rb)) ra else rb
+      }
+      val expect = rows.map { case (id, nm) => id -> find(nm) }.toMap
+      assert(got === expect, s"seed $seed")
+    }
+  }
+
   test("randomized differential: fuzzyValuePairs equals the brute-force reference") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
