@@ -890,6 +890,77 @@ object SparkEntry {
           (col("__s") > lit(4.0) * col("sigma")).as("alarm"))
     }),
 
+    "q_sharpe" -> ((s, dir) => {
+      // per-entity annualized Sharpe ratio of daily close-to-close
+      // returns — THE portfolio-screening statistic over the bar store:
+      // one keyed aggregate of decimal-exact return power sums (the
+      // q_volatility recipe without the window), sample σ, ×√252. The
+      // shuffle carries three partials per entity; σ=0 entities NULL via
+      // the guard, near-zero ratios normalize signed zero on both sides.
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+        .select(col("user_id"), dailyReturn.as("r"))
+        .where(col("r").isNotNull)
+      b.groupBy(col("user_id")).agg(
+          exactSumD12(col("r")).as("s1"),
+          exactSumD12(col("r") * col("r")).as("s2"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("user_id"),
+          (col("s1") / col("n")).as("mu"),
+          sqrt((col("s2") - col("n") * (col("s1") / col("n")) * (col("s1") / col("n"))) /
+            nullif(col("n") - lit(1.0), lit(0.0))).as("sigma"),
+          col("n").cast("long").as("n_days"))
+        .select(col("user_id"), col("n_days"),
+          (round(col("mu") / nullif(col("sigma"), lit(0.0)) * sqrt(lit(252.0)), 6)
+            + lit(0.0)).as("sharpe"))
+    }),
+
+    "q_donchian" -> ((s, dir) => {
+      // 20-bar Donchian channel + breakout flag — the rolling-extremes
+      // band (turtle-trading entry signal) beside Bollinger's moment
+      // band: upper/lower are EXACT frame max/min (no float
+      // accumulation), mid one halving, breakout compares close to the
+      // PRIOR bar's channel (a new 20-bar high, the causal form — the
+      // current channel already contains today's close). Three frame
+      // windows + one lag share the entityDay sort: one exchange. NULL
+      // until 20 bars.
+      val w20 = entityDay.rowsBetween(-19, Window.currentRow)
+      val full = row_number().over(entityDay) >= 20
+      val up = when(full, max(col("high")).over(w20))
+      val dn = when(full, min(col("low")).over(w20))
+      bars(s, dir).select(col("user_id"), col("d"), col("close"),
+          up.as("__up"), dn.as("__dn"))
+        .select(col("user_id"), col("d"), col("close"),
+          col("__up").as("dc_up"), col("__dn").as("dc_dn"),
+          round((col("__up") + col("__dn")) / lit(2.0), 6).as("dc_mid"),
+          (col("close") > lag(col("__up"), 1).over(entityDay)).as("breakout_up"),
+          (col("close") < lag(col("__dn"), 1).over(entityDay)).as("breakout_dn"))
+    }),
+
+    "q_atr" -> ((s, dir) => {
+      // 14-bar Average True Range — the gap-aware volatility band input
+      // (Keltner/position-sizing unit): TR = greatest(high−low,
+      // |high−prevClose|, |low−prevClose|) so overnight gaps count where
+      // high−low alone misses them; ATR is the 14-bar SMA of TR
+      // (Cutler-style, same bounded-frame choice as q_rsi — Wilder's
+      // recursive smooth is an infinite-lookback EWMA), decimal-exact
+      // frame sum. TR needs a prior close, so rows 2..15 warm up: NULL
+      // until rn ≥ 15. One lag + one frame window share the entityDay
+      // sort — one exchange.
+      val prevClose = lag(col("close"), 1).over(entityDay)
+      val tr = greatest(col("high") - col("low"),
+        abs(col("high") - prevClose), abs(col("low") - prevClose))
+      val w14 = entityDay.rowsBetween(-13, Window.currentRow)
+      val full = row_number().over(entityDay) >= 15
+      bars(s, dir).select(col("user_id"), col("d"),
+          col("high"), col("low"), col("close"),
+          when(prevClose.isNotNull, tr).as("__tr"))
+        .select(col("user_id"), col("d"),
+          round(col("__tr"), 6).as("tr"),
+          round(when(full,
+            sum(col("__tr").cast("decimal(28,12)")).over(w14).cast("double") / lit(14.0)), 6)
+            .as("atr"))
+    }),
+
     "q_rsi" -> ((s, dir) => {
       // 14-bar RSI on simple (Cutler) averages: Wilder's recursive smooth
       // is an infinite-lookback EWMA — the SMA form is the standard
@@ -2896,6 +2967,67 @@ object SparkEntry {
         |SELECT user_id, d, round(sv, 6) + 0.0 AS cusum,
         |  (sv > 4.0 * sigma) AS alarm
         |FROM s""".stripMargin,
+
+    "q_sharpe" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id,
+        |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY d), 0) - 1 AS r
+        |  FROM bars),
+        |agg AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(r * r AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM r WHERE r IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_days,
+        |  round((s1 / n) / nullif(sqrt((s2 - n * (s1 / n) * (s1 / n))
+        |                               / nullif(n - 1.0, 0)), 0)
+        |        * sqrt(252.0), 6) + 0.0 AS sharpe
+        |FROM agg""".stripMargin,
+
+    "q_donchian" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, max(value) AS high,
+        |    min(value) AS low, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |ch AS (
+        |  SELECT user_id, d, close,
+        |    CASE WHEN row_number() OVER w >= 20 THEN max(high) OVER fr END AS up,
+        |    CASE WHEN row_number() OVER w >= 20 THEN min(low) OVER fr END AS dn
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY d),
+        |         fr AS (PARTITION BY user_id ORDER BY d
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, d, close, up AS dc_up, dn AS dc_dn,
+        |  round((up + dn) / 2.0, 6) AS dc_mid,
+        |  (close > lag(up) OVER (PARTITION BY user_id ORDER BY d)) AS breakout_up,
+        |  (close < lag(dn) OVER (PARTITION BY user_id ORDER BY d)) AS breakout_dn
+        |FROM ch""".stripMargin,
+
+    "q_atr" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, max(value) AS high,
+        |    min(value) AS low, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |trs AS (
+        |  SELECT user_id, d,
+        |    row_number() OVER w AS rn,
+        |    CASE WHEN lag(close) OVER w IS NOT NULL THEN
+        |      greatest(high - low, abs(high - lag(close) OVER w),
+        |               abs(low - lag(close) OVER w))
+        |    END AS tr
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY d))
+        |SELECT user_id, d, round(tr, 6) AS tr,
+        |  round(CASE WHEN rn >= 15
+        |    THEN CAST(sum(CAST(tr AS DECIMAL(28,12))) OVER fr AS DOUBLE) / 14.0
+        |  END, 6) AS atr
+        |FROM trs
+        |WINDOW fr AS (PARTITION BY user_id ORDER BY d
+        |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_rsi" ->
       """WITH bars AS (

@@ -320,4 +320,89 @@ class CdcSpec extends SparkSpec {
     assert(q.keySet === ref.keySet)
     q.foreach { case (u, b) => assert(math.abs(b - ref(u)) < 5e-4, s"user $u: $b vs ${ref(u)}") }
   }
+
+  test("q_sharpe equals a driver-side mean/sd·√252 recount; q_atr equals a TR SMA-14 recount") {
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+    val bars = graft.operators.Ohlc.dailyBars(ev)
+      .select($"user_id", $"d", $"high", $"low", $"close")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val byUser = bars.groupBy(_._1).map { case (u, rs) => u -> rs.sortBy(_._2) }
+
+    val sharpe = SparkEntry.queries("q_sharpe")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    var checkedS = 0
+    byUser.foreach { case (u, rs) =>
+      val closes = rs.map(_._5)
+      val ret = closes.sliding(2).collect { case Array(a, b) if a != 0.0 => b / a - 1 }.toArray
+      if (ret.nonEmpty) {
+        val (nD, got) = sharpe(u)
+        assert(nD === ret.length, s"user $u n_days: $nD vs ${ret.length}")
+        val mu = ret.sum / ret.length
+        val sd = if (ret.length < 2) 0.0
+          else math.sqrt(ret.map(r => (r - mu) * (r - mu)).sum / (ret.length - 1))
+        if (sd > 0) {
+          val e = mu / sd * math.sqrt(252.0)
+          assert(math.abs(got.get - e) < 5e-4, s"user $u sharpe: ${got.get} vs $e")
+          checkedS += 1
+        }
+      }
+    }
+    assert(checkedS > 5, s"too few entities checked: $checkedS")
+
+    val atr = SparkEntry.queries("q_atr")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    var checkedA = 0
+    byUser.foreach { case (u, rs) =>
+      val trs = rs.sliding(2).collect { case Array((_, _, _, _, pc), (_, d, h, l, _)) =>
+        (d, math.max(h - l, math.max(math.abs(h - pc), math.abs(l - pc))))
+      }.toArray
+      trs.zipWithIndex.foreach { case ((d, _), i) =>
+        val got = atr((u, d))
+        if (i >= 13) {
+          val e = trs.slice(i - 13, i + 1).map(_._2).sum / 14.0
+          assert(math.abs(got.get - e) < 1e-4, s"user $u day $d atr: ${got.get} vs $e")
+          checkedA += 1
+        } else assert(got.isEmpty, s"user $u day $d: warm-up row must be NULL")
+      }
+    }
+    assert(checkedA > 100, s"too few ATR rows checked: $checkedA")
+  }
+
+  test("q_donchian: channel equals trailing-20 extremes, breakout flags are causal") {
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+    val bars = graft.operators.Ohlc.dailyBars(ev)
+      .select($"user_id", $"d", $"high", $"low", $"close")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val got = SparkEntry.queries("q_donchian")(spark, sfDir)
+      .collect().map { r =>
+        (r.getLong(0), r.getDate(1).toString) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Double]),
+           Option(r.get(4)).map(_.asInstanceOf[Double]),
+           Option(r.get(6)).map(_.asInstanceOf[Boolean]))
+      }.toMap
+    var checked = 0
+    bars.groupBy(_._1).foreach { case (u, rs) =>
+      val s = rs.sortBy(_._2)
+      s.zipWithIndex.foreach { case ((_, d, _, _, close), i) =>
+        val (up, dn, bu) = got((u, d))
+        if (i >= 19) {
+          val w = s.slice(i - 19, i + 1)
+          assert(up.get === w.map(_._3).max, s"user $u day $d dc_up")
+          assert(dn.get === w.map(_._4).min, s"user $u day $d dc_dn")
+          if (i >= 20) {
+            // causal: breakout compares to the PRIOR bar's channel
+            val prevUp = s.slice(i - 20, i).map(_._3).max
+            assert(bu.get === (close > prevUp), s"user $u day $d breakout_up")
+            checked += 1
+          }
+        } else {
+          assert(up.isEmpty && dn.isEmpty, s"user $u day $d: warm-up must be NULL")
+        }
+      }
+    }
+    assert(checked > 50, s"too few channel rows checked: $checked")
+  }
 }
