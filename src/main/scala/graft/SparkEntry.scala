@@ -671,6 +671,78 @@ object SparkEntry {
             col("c2").cast("double") / col("n2").cast("double"))), 6).as("ks"))
     }),
 
+    "q_chi_square" -> ((s, dir) => {
+      // chi-square independence screen between event type and day-of-week
+      // (the categorical drift test beside q_ks_test's continuous one),
+      // decomposed per type: each row is one type's Σ(o−e)²/e against the
+      // pooled dow profile (the global statistic is their sum). One
+      // (type, dow) contingency aggregate — the shuffle carries ≤
+      // |types|·7 partials — margins from windows over the contingency
+      // table itself (metadata-sized by construction), terms
+      // decimal-summed so the statistic is partition-order-independent
+      val ev = events(s, dir)
+      val cells = ev.groupBy(col("event_type"),
+          dayofweek(col("ts")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rowW = Window.partitionBy(col("event_type"))
+      val colW = Window.partitionBy(col("dow"))
+      val allW = Window.partitionBy()
+      val e = sum(col("o")).over(rowW).cast("double") *
+        sum(col("o")).over(colW).cast("double") /
+        sum(col("o")).over(allW).cast("double")
+      val terms = cells.select(col("event_type"), col("dow"), col("o"),
+        e.as("e"),
+        ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+          .as("term"),
+        count(lit(1)).over(rowW).as("__rc"))
+      terms.groupBy(col("event_type"))
+        .agg(sum(col("o")).as("n"),
+          round(sum(col("term").cast("decimal(38,18)")).cast("double"), 6)
+            .as("chi2"),
+          (max(col("__rc")) - lit(1)).cast("long").as("dof"))
+    }),
+
+    "q_mannwhitney" -> ((s, dir) => {
+      // Mann-Whitney U (Wilcoxon rank-sum) per event type between the
+      // ingest halves — the rank-based location drift test beside
+      // q_ks_test's sup-norm: tie-averaged ranks from ONE per-type sort
+      // (rank() + half the peer count), U from the rank sum, z from the
+      // tie-corrected normal approximation. Rank sums are multiples of ½
+      // far below 2⁵³ so double addition is exact in any order; the tie
+      // term Σ(t³−t) accumulates decimal.
+      val ev = events(s, dir)
+      val half = tsNtz("2024-01-20")
+      val tagged = ev.where(col("value").isNotNull)
+        .select(col("event_type"), col("value"),
+          when(col("ts") < half, 1L).otherwise(0L).as("a"))
+      val ordW = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val peerW = Window.partitionBy(col("event_type"), col("value"))
+      val ranked = tagged.select(col("event_type"), col("a"),
+        (rank().over(ordW).cast("double") +
+          (count(lit(1)).over(peerW).cast("double") - lit(1.0)) / lit(2.0))
+          .as("avg_rank"),
+        count(lit(1)).over(peerW).as("t"))
+      val st = ranked.groupBy(col("event_type")).agg(
+        sum(col("a")).cast("double").as("n1"),
+        sum(lit(1L) - col("a")).cast("double").as("n2"),
+        sum(when(col("a") === 1L, col("avg_rank")).otherwise(lit(0.0)))
+          .as("r1"),
+        // each (type, value) peer group contributes t³−t once; the per-row
+        // share is (t³−t)/t = t²−1, computed in doubles so a billion-row
+        // peer group can't overflow integer arithmetic
+        sum((col("t").cast("double") * col("t").cast("double") - lit(1.0))
+          .cast("decimal(38,6)")).cast("double").as("ties"))
+      val n = col("n1") + col("n2")
+      val u1 = col("r1") - col("n1") * (col("n1") + lit(1.0)) / lit(2.0)
+      val mu = col("n1") * col("n2") / lit(2.0)
+      val sigma = sqrt(col("n1") * col("n2") / lit(12.0) *
+        ((n + lit(1.0)) - col("ties") / (n * (n - lit(1.0)))))
+      st.select(col("event_type"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        round(u1, 6).as("u1"),
+        round((u1 - mu) / nullif(sigma, lit(0.0)), 6).as("z"))
+    }),
+
     "q_trend_decompose" -> ((s, dir) => {
       // classical additive decomposition (STL-lite): trend = centered
       // 7-row MA of close, seasonal = per-(entity, weekday) mean of the
@@ -1512,6 +1584,38 @@ object SparkEntry {
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
         ordersNtz(s, dir), Tables.lineitem(s, dir), "ASIA")),
 
+    "q_fk_integrity" -> ((s, dir) => {
+      // referential-integrity audit across the warehouse's declared FK
+      // edges (the data-quality gate a pipeline runs after every load):
+      // per edge, child row count + orphan count via one left-anti join
+      // against the parent's key projection — small parents broadcast,
+      // the lineitem→orders edge shuffles on the uniform key; output is
+      // one metadata-sized row per edge
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+        val keys = parent.select(col(pk)).distinct()
+        val orphans = child.join(
+          if (bcast) broadcast(keys) else keys,
+          child(ck) === keys(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_rows")).crossJoin(
+          orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+      }
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val supp = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      val part = Tables.part(s, dir)
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey", bcast = false)
+        .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey", bcast = true))
+        .unionAll(edge("orders.o_custkey->customer", ord, "o_custkey", cust, "c_custkey", bcast = true))
+        .unionAll(edge("customer.c_nationkey->nation", cust, "c_nationkey", nat, "n_nationkey", bcast = true))
+        .unionAll(edge("supplier.s_nationkey->nation", supp, "s_nationkey", nat, "n_nationkey", bcast = true))
+        .unionAll(edge("nation.n_regionkey->region", nat, "n_regionkey", reg, "r_regionkey", bcast = true))
+    }),
+
     // ---- LLM-training-data operators ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
 
@@ -2003,6 +2107,22 @@ object SparkEntry {
       // decimal-exact winsorized mean and the clipped count per type —
       // the quantile machinery in its pipeline role, oracle-checked
       Quantiles.winsorize(events(s, dir), "event_type", "value")),
+
+    "q_robust_scale" -> ((s, dir) => {
+      // robust scaler (the outlier-immune companion to q_zscore and
+      // q_minmax_scale): (x − median)/IQR per type, median and quartiles
+      // from the bounded-memory bisection evaluated in DuckDB's exact
+      // interpolation arithmetic; bounds are a per-type one-row frame
+      // broadcast back, so event rows never shuffle
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val bounds = Quantiles.quantileCont(ev, "event_type", "value",
+        Seq(0.25 -> "__q1", 0.5 -> "__med", 0.75 -> "__q3"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          (round((col("value") - col("__med")) /
+            nullif(col("__q3") - col("__q1"), lit(0.0)), 6) + lit(0.0))
+            .as("scaled"))
+    }),
 
     "q_psi_drift" -> ((s, dir) => {
       // drift monitor: PSI of each event type's value distribution, even
@@ -2774,6 +2894,51 @@ object SparkEntry {
         |  round(max(abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
         |    - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) AS ks
         |FROM cum GROUP BY 1""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT event_type, dow, o,
+        |    CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      * CAST(sum(o) OVER (PARTITION BY dow) AS DOUBLE)
+        |      / CAST(sum(o) OVER () AS DOUBLE) AS e,
+        |    count(*) OVER (PARTITION BY event_type) AS rc
+        |  FROM cells)
+        |SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |    / e AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2,
+        |  CAST(max(rc) - 1 AS BIGINT) AS dof
+        |FROM terms GROUP BY 1""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH tagged AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END AS a
+        |  FROM events WHERE value IS NOT NULL),
+        |ranked AS (
+        |  SELECT event_type, a,
+        |    CAST(rank() OVER (PARTITION BY event_type ORDER BY value) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY event_type, value) AS DOUBLE)
+        |         - 1.0) / 2.0 AS avg_rank,
+        |    count(*) OVER (PARTITION BY event_type, value) AS t
+        |  FROM tagged),
+        |st AS (
+        |  SELECT event_type,
+        |    CAST(sum(a) AS DOUBLE) AS n1,
+        |    CAST(sum(1 - a) AS DOUBLE) AS n2,
+        |    sum(CASE WHEN a = 1 THEN avg_rank ELSE 0.0 END) AS r1,
+        |    CAST(sum(CAST(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) - 1.0
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS ties
+        |  FROM ranked GROUP BY 1)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round(r1 - n1 * (n1 + 1.0) / 2.0, 6) AS u1,
+        |  round((r1 - n1 * (n1 + 1.0) / 2.0 - n1 * n2 / 2.0)
+        |    / nullif(sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1.0)
+        |        - ties / ((n1 + n2) * (n1 + n2 - 1.0)))), 0), 6) AS z
+        |FROM st""".stripMargin,
 
     "q_trend_decompose" ->
       """WITH bars AS (
@@ -4063,6 +4228,49 @@ object SparkEntry {
         |FROM events e JOIN q USING (event_type)
         |WHERE e.value IS NOT NULL
         |GROUP BY e.event_type, q.lo, q.hi""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.5) AS med,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - q.med) / nullif(q.q3 - q.q1, 0), 6) + 0.0 AS scaled
+        |FROM events e JOIN q USING (event_type)
+        |WHERE e.value IS NOT NULL""".stripMargin,
+
+    "q_fk_integrity" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk,
+        |  (SELECT count(*) FROM lineitem) AS n_rows,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |     (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |     (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation',
+        |  (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |     (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |UNION ALL
+        |SELECT 'nation.n_regionkey->region',
+        |  (SELECT count(*) FROM nation),
+        |  (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |     (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))""".stripMargin,
 
     "q_psi_drift" ->
       """WITH ref AS (

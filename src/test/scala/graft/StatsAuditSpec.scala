@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-side recounts for the statistical-audit keys (q_chi_square,
+  * q_mannwhitney, q_robust_scale, q_fk_integrity): each differential
+  * recomputes the statistic from collected rows with independent scalar
+  * arithmetic, so a formula transcription error on the Spark side can't
+  * hide behind an identically-wrong oracle.
+  */
+class StatsAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventRows(): Array[(String, java.time.LocalDateTime, Option[Double])] = {
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+    ev.select($"event_type", $"ts", $"value").collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+  }
+
+  test("q_chi_square equals a driver-side contingency recount; contributions sum to the global statistic") {
+    val got = SparkEntry.queries("q_chi_square")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+
+    // independent recount: java.time weekday mapped to Spark's 1=Sunday base
+    val rows = eventRows()
+    val cells = rows.groupBy { case (t, ts, _) =>
+      val dow = ts.getDayOfWeek.getValue % 7 + 1 // Mon=1..Sun=7 -> Sun=1..Sat=7
+      (t, dow)
+    }.map { case (k, rs) => k -> rs.length.toLong }
+    val rowTot = cells.groupBy(_._1._1).map { case (t, cs) => t -> cs.values.sum }
+    val colTot = cells.groupBy(_._1._2).map { case (d, cs) => d -> cs.values.sum }
+    val n = cells.values.sum.toDouble
+    val chi2ByType = cells.groupBy(_._1._1).map { case (t, cs) =>
+      t -> cs.map { case ((_, d), o) =>
+        val e = rowTot(t).toDouble * colTot(d).toDouble / n
+        (o - e) * (o - e) / e
+      }.sum
+    }
+    assert(got.keySet === chi2ByType.keySet)
+    chi2ByType.foreach { case (t, expected) =>
+      val (nGot, chi2, dof) = got(t)
+      assert(nGot === rowTot(t), s"type $t n")
+      assert(math.abs(chi2 - expected) < 5e-4, s"type $t chi2: $chi2 vs $expected")
+      assert(dof === cells.keys.count(_._1 == t) - 1, s"type $t dof")
+      assert(chi2 >= 0.0)
+    }
+  }
+
+  test("q_mannwhitney equals a brute-force tie-averaged rank recount") {
+    val got = SparkEntry.queries("q_mannwhitney")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+
+    val half = java.time.LocalDateTime.parse("2024-01-20T00:00:00")
+    val rows = eventRows().collect { case (t, ts, Some(v)) => (t, v, ts.isBefore(half)) }
+    val byType = rows.groupBy(_._1)
+    assert(got.keySet === byType.keySet)
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // tie-averaged ranks: average of the 1-based positions of each value run
+      val ranks = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Double)]
+      var i = 0
+      var tieSum = 0.0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+        val avg = (i + 1 + j).toDouble / 2.0 // mean of positions i+1 .. j
+        val tlen = (j - i).toDouble
+        tieSum += tlen * tlen * tlen - tlen
+        (i until j).foreach(k => ranks += ((sorted(k)._3, avg)))
+        i = j
+      }
+      val n1 = ranks.count(_._1).toDouble
+      val n2 = ranks.length - n1
+      val r1 = ranks.collect { case (true, r) => r }.sum
+      val u1 = r1 - n1 * (n1 + 1.0) / 2.0
+      val nn = n1 + n2
+      val sigma = math.sqrt(n1 * n2 / 12.0 * ((nn + 1.0) - tieSum / (nn * (nn - 1.0))))
+      val (gn1, gn2, gu1, gz) = got(t)
+      assert(gn1 === n1.toLong && gn2 === n2.toLong, s"type $t counts")
+      assert(math.abs(gu1 - u1) < 1e-6, s"type $t u1: $gu1 vs $u1")
+      if (sigma > 0) {
+        val z = (u1 - n1 * n2 / 2.0) / sigma
+        assert(math.abs(gz.get - z) < 5e-4, s"type $t z: ${gz.get} vs $z")
+      }
+    }
+  }
+
+  test("q_robust_scale centers the median at zero and matches a driver quartile recount") {
+    val out = SparkEntry.queries("q_robust_scale")(spark, sfDir)
+      .select($"event_type", $"scaled").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+
+    val rows = eventRows().collect { case (t, _, Some(v)) => (t, v) }
+    // DuckDB quantile_cont interpolation: (1-f)*lo + f*hi at rank q*(n-1)
+    def qc(sorted: Array[Double], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = sorted(pos.toInt)
+      val hi = sorted(math.ceil(pos).toInt)
+      val f = pos - math.floor(pos)
+      if (lo == hi) lo else (1 - f) * lo + f * hi
+    }
+    val byType = rows.groupBy(_._1).map { case (t, rs) =>
+      val sorted = rs.map(_._2).sorted
+      t -> (qc(sorted, 0.25), qc(sorted, 0.5), qc(sorted, 0.75), rs.map(_._2))
+    }
+    byType.foreach { case (t, (q1, med, q3, vals)) =>
+      val expected = vals.map(v =>
+        if (q3 - q1 == 0.0) None else Some((v - med) / (q3 - q1)))
+      val gotVals = out.collect { case (`t`, s) => s }
+      assert(gotVals.length === vals.length, s"type $t row count")
+      // compare as sorted multisets (row order differs); the query rounds
+      // to 6dp, so mirror that and allow an ulp of quartile disagreement
+      val e = expected.map(_.map(x => math.rint(x * 1e6) / 1e6)).sortBy(_.getOrElse(Double.NaN))
+      val g = gotVals.sortBy(_.getOrElse(Double.NaN))
+      assert(e.count(_.isEmpty) === g.count(_.isEmpty), s"type $t null count")
+      e.zip(g).foreach {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) < 1e-5, s"type $t scaled: $a vs $b")
+        case (a, b) => assert(a.isEmpty === b.isEmpty)
+      }
+    }
+  }
+
+  test("q_fk_integrity orphan counts equal a driver set-difference recount") {
+    val got = SparkEntry.queries("q_fk_integrity")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size === 6)
+
+    def keys(df: org.apache.spark.sql.DataFrame, c: String): (Long, Set[Long]) =
+      (df.count(), df.select(col(c).cast("long")).where(col(c).isNotNull)
+        .distinct().as[Long].collect().toSet)
+    def childKeys(df: org.apache.spark.sql.DataFrame, c: String): Array[Option[Long]] =
+      df.select(col(c).cast("long")).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+
+    val cases = Seq(
+      ("lineitem.l_orderkey->orders", Tables.lineitem(spark, sfDir), "l_orderkey",
+        Tables.orders(spark, sfDir), "o_orderkey"),
+      ("orders.o_custkey->customer", Tables.orders(spark, sfDir), "o_custkey",
+        Tables.customer(spark, sfDir), "c_custkey"),
+      ("nation.n_regionkey->region", Tables.nation(spark, sfDir), "n_regionkey",
+        Tables.region(spark, sfDir), "r_regionkey"))
+    cases.foreach { case (name, child, ck, parent, pk) =>
+      val (nRows, parents) = (child.count(), keys(parent, pk)._2)
+      val orphans = childKeys(child, ck).count(k => k.isEmpty || !parents.contains(k.get))
+      val (gn, go) = got(name)
+      assert(gn === nRows, s"$name n_rows")
+      assert(go === orphans.toLong, s"$name n_orphans: $go vs $orphans")
+    }
+  }
+}
