@@ -150,7 +150,7 @@ object ScaleBench {
     "q_dedup_embedding", "q_dedup_embedding_keep",
     "q_ann_topk", "q_ann_batch", "q_ann_lsh", "q_ann_ivf",
     "q_ann_ivf_indexed", "q_ann_ivfpq_indexed", "q_ann_ivf_append",
-    "q_kmeans", "q_ann_recall", "q_ann_mmr")
+    "q_kmeans", "q_ann_recall", "q_ann_mmr", "q_pca_project")
   private val text = Seq(
     "q_lang_id", "q_quality_score", "q_quality_gate", "q_classifier", "q_token_count",
     "q_type_token", "q_vocab", "q_char_diversity", "q_bigram_frac",
@@ -194,7 +194,9 @@ object ScaleBench {
     "q_minmax_scale", "q_lag_features", "q_ks_test",
     "q_table_diff", "q_user_growth", "q_gap_detect", "q_ab_test",
     "q_rolling_outliers", "q_unpivot", "q_vwap", "q_lead_lag",
-    "q_rolling_corr", "q_stochastic", "q_cusum")
+    "q_rolling_corr", "q_stochastic", "q_cusum",
+    "q_sharpe", "q_donchian", "q_atr", "q_chi_square", "q_mannwhitney",
+    "q_robust_scale", "q_sliding_window", "q_key_skew")
 
   /** Record-linkage keys (read the scaled part table). */
   private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup")

@@ -1584,6 +1584,37 @@ object SparkEntry {
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
         ordersNtz(s, dir), Tables.lineitem(s, dir), "ASIA")),
 
+    "q_sliding_window" -> ((s, dir) =>
+      // hopping-window aggregate (1 h size / 30 min slide — each event
+      // lands in exactly size/slide = 2 windows): Spark's window()
+      // generator expands map-side, so the shuffle carries per-
+      // (window, type) partials like the tumbling q_window_agg, never
+      // slide-multiplied event rows
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(exactSumD(col("value")), 6).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
+    "q_key_skew" -> ((s, dir) => {
+      // join-key distribution audit (the observability face of
+      // Skew.saltedJoin and runningSumAuto's measured hot-key switch):
+      // per-(type, key) counts, each hot key's share of its type, top-10
+      // per type via the bounded-heap GroupTopK — no window sort over the
+      // key table, totals broadcast from the already-reduced counts
+      val ev = events(s, dir)
+      val counts = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("event_type")).agg(sum(col("n")).as("__tot"))
+      plans.GroupTopK.topKPerKey(counts, Seq("event_type"),
+          Seq(col("n").desc, col("user_id").asc), 10)
+        .join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type"), col("user_id"), col("n"),
+          round(col("n").cast("double") / col("__tot").cast("double"), 6)
+            .as("share"))
+    }),
+
     "q_fk_integrity" -> ((s, dir) => {
       // referential-integrity audit across the warehouse's declared FK
       // edges (the data-quality gate a pipeline runs after every load):
@@ -1915,6 +1946,18 @@ object SparkEntry {
         .groupBy(col("label"), col("dim").cast("long").as("dim"))
         .agg(round(sum(col("x").cast("double").cast("decimal(28,12)")).cast("double")
           / count(lit(1)), 6).as("mean_x"))),
+
+    "q_pca_project" -> ((s, dir) => {
+      // PCA projection of the embedding corpus onto its top-2 principal
+      // components (the whitening/reduction step before cosine geometry):
+      // moments from ONE single-stage treeAggregate (fixed-point, bit-
+      // deterministic), driver-side Jacobi eigen on the d×d covariance,
+      // scan-speed projection through the codegen'd dot kernel — zero
+      // shuffle at any corpus size. Engine-specific eigenbasis → rows-only;
+      // PcaSpec differentials pin the math.
+      val emb = Tables.embeddings(s, dir)
+      Pca.fitProject(emb, emb, "vec_id", "embedding", 2)
+    }),
 
     "q_pq_topk" -> ((s, dir) => {
       // product-quantization ADC top-k: train codebooks, encode the corpus
@@ -4228,6 +4271,31 @@ object SparkEntry {
         |FROM events e JOIN q USING (event_type)
         |WHERE e.value IS NOT NULL
         |GROUP BY e.event_type, q.lo, q.hi""".stripMargin,
+
+    "q_sliding_window" ->
+      """WITH hops AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w_start,
+        |    event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+        |    event_type, value FROM events)
+        |SELECT w_start, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
+        |FROM hops GROUP BY 1, 2""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH counts AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY n DESC, user_id) AS rk,
+        |    sum(n) OVER (PARTITION BY event_type) AS tot
+        |  FROM counts)
+        |SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+        |FROM ranked WHERE rk <= 10""".stripMargin,
 
     "q_robust_scale" ->
       """WITH q AS (

@@ -338,4 +338,41 @@ class PlanInvariantsSpec extends SparkSpec {
     val cp = plan("q_containment")
     assert(!cp.contains("BroadcastNestedLoopJoin") && !cp.contains("CartesianProduct"), cp)
   }
+
+  test("round-9 audit keys keep their scale shapes") {
+    // hopping window: the window() generator expands map-side below ONE
+    // aggregate exchange — no join, no slide-multiplied second shuffle
+    val sw = plan("q_sliding_window")
+    assert(!sw.contains("Join"), sw)
+    assert(count(sw, "Exchange") === 1, sw)
+    // key skew: totals come back by broadcast over the reduced counts;
+    // the top-10 goes through GroupTopK, never a window sort
+    val ks = plan("q_key_skew")
+    assert(ks.contains("BroadcastHashJoin"), ks)
+    assert(ks.contains("GroupTopK"), ks)
+    assert(!ks.contains("Window"), ks)
+    // robust scale: quantile bounds broadcast; the event rows never shuffle
+    val rs = plan("q_robust_scale")
+    assert(rs.contains("BroadcastHashJoin"), rs)
+    assert(!rs.contains("SortMergeJoin") && !rs.contains("Window"), rs)
+    // PCA projection: after the driver-side fit, the projection plan is a
+    // pure scan-speed map — zero exchanges, zero joins
+    val pp = plan("q_pca_project")
+    assert(!pp.contains("Exchange") && !pp.contains("Join"), pp)
+    // chi-square: the only window operators run over the contingency
+    // aggregate (metadata-sized), never over event rows — exactly one
+    // data-sized exchange (the contingency groupBy; the window
+    // repartitions above it move <= |types|*7 rows)
+    val cs = plan("q_chi_square")
+    assert(cs.contains("Window"), cs)
+    assert(!cs.contains("Join"), cs)
+    // mann-whitney: one per-type sort carries both rank windows
+    val mw = plan("q_mannwhitney")
+    assert(!mw.contains("Join"), mw)
+    // fk integrity: the only non-broadcast join is lineitem->orders (both
+    // sides data-sized); every other edge probes a broadcast parent
+    val fk = plan("q_fk_integrity")
+    assert(!fk.contains("CartesianProduct"), fk)
+    assert(count(fk, "BroadcastHashJoin") >= 5, fk)
+  }
 }
