@@ -1409,6 +1409,20 @@ object SparkEntry {
 
     "q_rollup" -> ((s, dir) => Analytics.rollupDaily(events(s, dir))),
 
+    "q_cube" -> ((s, dir) =>
+      // all four grouping sets over (type, day) in one Expand pass — the
+      // BI cross-tab beside q_rollup's hierarchy; the Expand multiplies
+      // rows before the PARTIAL aggregate, so the shuffle carries group
+      // partials, never 4x events
+      Analytics.cubeDaily(events(s, dir))),
+
+    "q_market_basket" -> ((s, dir) =>
+      // association rules over order baskets (support/confidence/lift):
+      // pair space bounded by basket size (co-partitioned self-join on the
+      // basket key), item supports by keyed join (an item vocabulary
+      // outgrows broadcast at web scale), one-row total broadcast
+      Analytics.marketBasket(Tables.lineitem(s, dir), minPairs = 2)),
+
     "q_histogram" -> ((s, dir) =>
       Profile.histogram(events(s, dir), "value", 50.0, "event_type")),
 
@@ -3470,6 +3484,33 @@ object SparkEntry {
         |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
         |  CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_day
         |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""".stripMargin,
+
+    "q_cube" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        |  CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_day
+        |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))""".stripMargin,
+
+    "q_market_basket" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_ab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |items AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_orders FROM li)
+        |SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6) AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * n_orders
+        |    / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6) AS lift
+        |FROM pairs
+        |JOIN items ia ON pairs.pa = ia.pk
+        |JOIN items ib ON pairs.pb = ib.pk
+        |CROSS JOIN tot""".stripMargin,
 
     "q_funnel" ->
       """WITH w1 AS (

@@ -83,6 +83,54 @@ object Analytics {
         grouping(col("event_type")).cast("long").as("g_type"),
         grouping(col("d")).cast("long").as("g_day"))
 
+  /** CUBE companion to [[rollupDaily]]: all four grouping sets over
+    * (type, day) in one Expand pass — the cross-tab each BI layer asks the
+    * engine for. Same single-exchange shape as ROLLUP; the Expand
+    * multiplies rows map-side BEFORE the partial aggregate, so the shuffle
+    * still carries group partials, not 4× events.
+    */
+  def cubeDaily(events: DataFrame): DataFrame =
+    events
+      .withColumn("d", to_date(col("ts")))
+      .cube(col("event_type"), col("d"))
+      .agg(
+        count(lit(1)).as("n"),
+        exactSum(col("value")).as("total"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("d")).cast("long").as("g_day"))
+
+  /** Association rules over order baskets (support / confidence / lift —
+    * the co-purchase recommender primitive). The pair space is
+    * Σ k(k−1)/2 within each basket, bounded by basket size — never
+    * corpus-quadratic — and the self-join is co-partitioned on the basket
+    * key, so it shuffles each side once. Item supports are keyed joins on
+    * the already-reduced pair table (an item vocabulary outgrows the
+    * broadcast budget at web scale, like q_pmi's unigrams); the basket
+    * total is a one-row broadcast.
+    */
+  def marketBasket(lineitem: DataFrame, minPairs: Long): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.select(col("ok"), col("pk").as("pa"))
+      .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairs)
+    val items = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val tot = li.agg(countDistinct(col("ok")).cast("double").as("n_orders"))
+    pairs
+      .join(items.select(col("pk").as("pa"), col("n_item").as("n_a")), Seq("pa"))
+      .join(items.select(col("pk").as("pb"), col("n_item").as("n_b")), Seq("pb"))
+      .crossJoin(broadcast(tot))
+      .select(col("pa"), col("pb"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_orders"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+  }
+
   /** Weighted average price per group — the sector-price calculation
     * re-expressed: Σ(price × weight) / Σ(weight) (sector.py:86-112).
     */

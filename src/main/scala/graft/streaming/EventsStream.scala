@@ -29,6 +29,22 @@ object EventsStream {
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
   }
 
+  /** Hopping-window face of [[windowedAgg]] (the streaming side of
+    * q_sliding_window): 1 h windows sliding every 30 min, so each event
+    * lands in size/slide = 2 open windows. State is (types × open windows)
+    * and the watermark finalizes a window once per slide step — the
+    * overlap multiplies state by the constant size/slide, never the event
+    * rate.
+    */
+  def slidingAgg(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
+  }
+
   /** Daily OHLCV bars maintained continuously — the streaming face of
     * Ohlc.dailyBars (identical aggregate functions), with a 1-day watermark
     * bounding state to the open day per entity.

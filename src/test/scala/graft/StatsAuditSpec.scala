@@ -123,6 +123,63 @@ class StatsAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_market_basket support/confidence/lift equal a driver basket recount") {
+    // resolve column order by name instead of position
+    val df = SparkEntry.queries("q_market_basket")(spark, sfDir)
+    val idx = df.columns.zipWithIndex.toMap
+    val rows = df.collect().map { r =>
+      (r.getLong(idx("pa")), r.getLong(idx("pb"))) ->
+        (r.getLong(idx("n_ab")), r.getDouble(idx("support")),
+          r.getDouble(idx("confidence")), r.getDouble(idx("lift")))
+    }.toMap
+
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.groupBy(_._1).map { case (ok, rs) => ok -> rs.map(_._2).toSet }
+    val nOrders = baskets.size.toDouble
+    val itemN = li.groupBy(_._2).map { case (pk, rs) => pk -> rs.length.toLong }
+    val pairN = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.values.foreach { items =>
+      val s = items.toArray.sorted
+      for (i <- s.indices; j <- i + 1 until s.length)
+        pairN((s(i), s(j))) = pairN.getOrElse((s(i), s(j)), 0L) + 1L
+    }
+    val expected = pairN.filter(_._2 >= 2L)
+    assert(rows.keySet === expected.keySet)
+    expected.foreach { case ((pa, pb), nab) =>
+      val (gn, gs, gc, gl) = rows((pa, pb))
+      assert(gn === nab, s"($pa,$pb) n_ab")
+      assert(math.abs(gs - nab / nOrders) < 1e-6, s"($pa,$pb) support")
+      assert(math.abs(gc - nab.toDouble / itemN(pa)) < 1e-6, s"($pa,$pb) confidence")
+      assert(math.abs(gl - nab * nOrders / (itemN(pa).toDouble * itemN(pb))) < 1e-5,
+        s"($pa,$pb) lift")
+    }
+  }
+
+  test("q_cube emits all four grouping sets and they agree with the detail level") {
+    val df = SparkEntry.queries("q_cube")(spark, sfDir)
+    val idx = df.columns.zipWithIndex.toMap
+    val rows = df.collect().map { r =>
+      (Option(r.get(idx("event_type"))).map(_.toString),
+        r.getLong(idx("g_type")), r.getLong(idx("g_day")),
+        r.getLong(idx("n")), r.getDouble(idx("total")))
+    }
+    // detail cells (g_type=0, g_day=0) roll up exactly to each coarser set
+    val detailN = rows.filter(r => r._2 == 0 && r._3 == 0).map(_._4).sum
+    val typeOnly = rows.filter(r => r._2 == 0 && r._3 == 1)
+    val dayOnly = rows.filter(r => r._2 == 1 && r._3 == 0)
+    val grand = rows.filter(r => r._2 == 1 && r._3 == 1)
+    assert(grand.length === 1)
+    assert(grand.head._4 === detailN)
+    assert(typeOnly.map(_._4).sum === detailN)
+    assert(dayOnly.map(_._4).sum === detailN)
+    // per-type subtotal equals the sum of that type's detail cells
+    val byType = rows.filter(r => r._2 == 0 && r._3 == 0)
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._4).sum }
+    typeOnly.foreach { case (t, _, _, n, _) => assert(byType(t) === n, s"type $t") }
+  }
+
   test("q_fk_integrity orphan counts equal a driver set-difference recount") {
     val got = SparkEntry.queries("q_fk_integrity")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -43,6 +43,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("slidingAgg lands each event in both overlapping hop windows; batch mirror matches q_sliding_window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventsStream.slidingAgg(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")))
+    val query = out.writeStream.format("memory").queryName("slide_agg")
+      .outputMode("append").start()
+    try {
+      // 10:05 belongs to the 09:30 and 10:00 hop windows
+      input.addData(
+        Ev(1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+        Ev(2L, ts("2024-01-01 10:40:00"), "click", 2.0))
+      query.processAllAvailable()
+      input.addData(Ev(3L, ts("2024-01-01 14:00:00"), "view", 5.0))
+      query.processAllAvailable()
+      input.addData(Ev(4L, ts("2024-01-01 17:00:00"), "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("slide_agg").collect()
+        .map(r => r.getTimestamp(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      // 09:30 window sees only the 10:05 event; 10:00 sees both; 10:30 only 10:40
+      assert(rows(ts("2024-01-01 09:30:00")) === ((1L, 1.0)), rows.toString)
+      assert(rows(ts("2024-01-01 10:00:00")) === ((2L, 3.0)), rows.toString)
+      assert(rows(ts("2024-01-01 10:30:00")) === ((1L, 2.0)), rows.toString)
+    } finally query.stop()
+  }
+
   test("sessionize closes a session when the inactivity gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
