@@ -2165,6 +2165,78 @@ object SparkEntry {
       // the quantile machinery in its pipeline role, oracle-checked
       Quantiles.winsorize(events(s, dir), "event_type", "value")),
 
+    "q_quantile_disc" -> ((s, dir) => {
+      // DISCRETE quantiles beside q_quantiles' interpolated ones: the
+      // order statistic at ceil(q·n) (DuckDB quantile_disc semantics —
+      // probed empirically, index = ceil(q·n)−1 zero-based), from one
+      // per-type sort + conditional min. This is the exact window form
+      // (like q_percentile_rank); the corpus-scale path is the bisection
+      // family, where a discrete quantile is a pure counting resolve.
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val ranked = ev.select(col("event_type"), col("value"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("event_type"))).as("n"))
+      def pick(q: Double): Column =
+        min(when(col("rn") === ceil(lit(q) * col("n")), col("value")))
+      ranked.groupBy(col("event_type")).agg(
+        round(pick(0.5), 6).as("p50_disc"),
+        round(pick(0.95), 6).as("p95_disc"))
+    }),
+
+    "q_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits the user's most
+      // recent PRIOR non-purchase event type (the marketing-attribution
+      // readout) — the carry-forward last-touch is one entity-time window
+      // pass with a deterministic (ts, event_id) ROWS frame; the credit
+      // table is a |types|-sized aggregate
+      val ev = events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touch = last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w)
+      ev.select(col("event_type"), touch.as("touch"))
+        .where(col("event_type") === "purchase" && col("touch").isNotNull)
+        .groupBy(col("touch")).agg(count(lit(1)).as("n_conversions"))
+    }),
+
+    "q_time_between" -> ((s, dir) => {
+      // inter-event cadence per type (the behavioral "time between
+      // purchases" metric): consecutive same-(user, type) gaps from ONE
+      // lag window over epoch-MICROSECOND integers (sub-second exact —
+      // whole-second casts truncate differently than DuckDB's fractional
+      // epoch()), then per-type count / decimal-exact mean / max / exact
+      // interpolated median — percentile() on the gap set, the
+      // q_quantiles exact form
+      val ev = events(s, dir)
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val epoch = unix_micros(col("ts").cast("timestamp"))
+      val gaps = ev.select(col("event_type"),
+          (epoch - lag(epoch, 1).over(w)).as("gap"))
+        .where(col("gap").isNotNull)
+      // outputs stay UNROUNDED and the sum stays SCALE-0: round(x, 6) at
+      // the e11-microsecond magnitude is engine-divergent at the ulp, and
+      // DuckDB's DECIMAL(p,6)→DOUBLE cast divides by 10⁶ in float (a
+      // scale-6 integer sum converts to ...011.06 where Spark gives
+      // ...011.0 — observed at sf0.01). Integer gaps want DECIMAL(38,0):
+      // no scale division, both engines convert exactly below 2⁵³, and
+      // the raw division of identical operands — plus quantileCont's
+      // DuckDB-exact interpolation — is bit-identical
+      val stats = gaps.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_gaps"),
+        (sum(col("gap").cast("decimal(38,0)")).cast("double") /
+          count(lit(1))).as("mean_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      val med = Quantiles.quantileCont(gaps, "event_type", "gap",
+        Seq(0.5 -> "p50_gap_us"))
+      stats.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("n_gaps"), col("mean_gap_us"),
+          col("max_gap_us"), col("p50_gap_us"))
+    }),
+
     "q_robust_scale" -> ((s, dir) => {
       // robust scaler (the outlier-immune companion to q_zscore and
       // q_minmax_scale): (x − median)/IQR per type, median and quartiles
@@ -4337,6 +4409,38 @@ object SparkEntry {
         |SELECT event_type, user_id, CAST(n AS BIGINT) AS n,
         |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
         |FROM ranked WHERE rk <= 10""".stripMargin,
+
+    "q_quantile_disc" ->
+      """SELECT event_type,
+        |  round(quantile_disc(value, 0.5), 6) AS p50_disc,
+        |  round(quantile_disc(value, 0.95), 6) AS p95_disc
+        |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_attribution" ->
+      """WITH touched AS (
+        |  SELECT event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS touch
+        |  FROM events)
+        |SELECT touch, count(*) AS n_conversions
+        |FROM touched
+        |WHERE event_type = 'purchase' AND touch IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q_time_between" ->
+      """WITH gaps AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+        |    AS mean_gap_us,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |  quantile_cont(gap, 0.5) AS p50_gap_us
+        |FROM gaps WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q_robust_scale" ->
       """WITH q AS (

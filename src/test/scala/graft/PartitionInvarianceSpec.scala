@@ -18,7 +18,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_dedup_embedding",  // decimal-exact cosine over the pair grid
     "q_pack_sequences",   // two-level prefix sum
     "q_robust_stats",     // driver-walked radix bisection (exact long counts)
-    "q_winsorize")        // bisection bounds + decimal-exact clipped mean
+    "q_winsorize",        // bisection bounds + decimal-exact clipped mean
+    "q_chi_square",       // decimal-summed (o-e)^2/e terms
+    "q_mannwhitney",      // exact half-integer rank sums + decimal tie term
+    "q_time_between",     // scale-0 decimal gap sum, quantileCont median
+    "q_market_basket",    // integer pair counts -> double ratios
+    "q_pca_project")      // fixed-point treeAggregate moments
 
   test("sensitive queries return identical rows at 3 vs 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -123,6 +123,70 @@ class StatsAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_quantile_disc equals the order statistic at ceil(q*n)") {
+    val got = SparkEntry.queries("q_quantile_disc")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = eventRows().collect { case (t, _, Some(v)) => (t, v) }
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val sorted = rs.map(_._2).sorted
+      def disc(q: Double) = sorted(math.ceil(q * sorted.length).toInt - 1)
+      val (p50, p95) = got(t)
+      assert(p50 === math.rint(disc(0.5) * 1e6) / 1e6, s"type $t p50")
+      assert(p95 === math.rint(disc(0.95) * 1e6) / 1e6, s"type $t p95")
+    }
+  }
+
+  test("q_attribution equals a driver walk of each user's event sequence") {
+    val got = SparkEntry.queries("q_attribution")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      .select($"user_id", $"ts", $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2), r.getString(3)))
+    val credit = scala.collection.mutable.Map.empty[String, Long]
+    ev.groupBy(_._1).values.foreach { rs =>
+      var touch: Option[String] = None
+      rs.sortBy(r => (r._2.toString, r._3)).foreach { case (_, _, _, et) =>
+        if (et == "purchase") touch.foreach(t => credit(t) = credit.getOrElse(t, 0L) + 1L)
+        else touch = Some(et)
+      }
+    }
+    assert(got === credit.toMap)
+  }
+
+  test("q_time_between gap count, mean and max equal a driver recount") {
+    val df = SparkEntry.queries("q_time_between")(spark, sfDir)
+    val idx = df.columns.zipWithIndex.toMap
+    val got = df.collect().map { r =>
+      r.getString(idx("event_type")) ->
+        (r.getLong(idx("n_gaps")), r.getDouble(idx("mean_gap_us")),
+          r.getLong(idx("max_gap_us")))
+    }.toMap
+    val ev = graft.functions.Fns.normalizeTsNtz(Tables.events(spark, sfDir), "ts")
+      .select($"user_id", $"event_type", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[java.time.LocalDateTime](2), r.getLong(3)))
+    val gaps = ev.groupBy(r => (r._1, r._2)).values.flatMap { rs =>
+      val sorted = rs.sortBy(r => (r._3.toString, r._4))
+        .map(r => r._3.toInstant(java.time.ZoneOffset.UTC))
+        .map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      sorted.sliding(2).collect { case Array(a, b) => b - a }
+    }.toArray
+    val byType = ev.groupBy(r => (r._1, r._2)).toSeq.flatMap { case ((_, t), rs) =>
+      val sorted = rs.sortBy(r => (r._3.toString, r._4))
+        .map(r => r._3.toInstant(java.time.ZoneOffset.UTC))
+        .map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      sorted.sliding(2).collect { case Array(a, b) => (t, b - a) }.toSeq
+    }.groupBy(_._1)
+    assert(gaps.nonEmpty)
+    byType.foreach { case (t, rs) =>
+      val gs = rs.map(_._2)
+      val (n, mean, mx) = got(t)
+      assert(n === gs.length.toLong, s"type $t n_gaps")
+      assert(mx === gs.max, s"type $t max")
+      assert(math.abs(mean - gs.map(BigDecimal(_)).sum.toDouble / gs.length) < 1.0,
+        s"type $t mean")
+    }
+  }
+
   test("q_market_basket support/confidence/lift equal a driver basket recount") {
     // resolve column order by name instead of position
     val df = SparkEntry.queries("q_market_basket")(spark, sfDir)
