@@ -197,7 +197,9 @@ object ScaleBench {
     "q_rolling_corr", "q_stochastic", "q_cusum",
     "q_sharpe", "q_donchian", "q_atr", "q_chi_square", "q_mannwhitney",
     "q_robust_scale", "q_sliding_window", "q_key_skew", "q_cube",
-    "q_quantile_disc", "q_attribution", "q_time_between")
+    "q_quantile_disc", "q_attribution", "q_time_between",
+    "q_rrf_fusion", "q_rank_eval", "q_grouping_sets", "q_pagerank",
+    "q_weighted_sample")
 
   /** Record-linkage keys (read the scaled part table). */
   private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup")

@@ -1416,6 +1416,26 @@ object SparkEntry {
       // partials, never 4x events
       Analytics.cubeDaily(events(s, dir))),
 
+    "q_grouping_sets" -> ((s, dir) =>
+      // the summary-bands-only report: per-type, per-day, grand total —
+      // arbitrary GROUPING SETS without cube's (type, day) fine grain
+      Analytics.groupingSetsDaily(events(s, dir))),
+
+    "q_pagerank" -> ((s, dir) => {
+      // purchase-network centrality: customer→supplier edges from
+      // orders⋈lineitem, 5 damped synchronous iterations (d = 0.85) with
+      // uniform dangling-mass redistribution; top-25 by rounded rank
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      Graph.pagerank(edges, iters = 5, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(25)
+    }),
+
     "q_market_basket" -> ((s, dir) =>
       // association rules over order baskets (support/confidence/lift):
       // pair space bounded by basket size (co-partitioned self-join on the
@@ -2316,6 +2336,13 @@ object SparkEntry {
       Sampling.deterministicSample(Tables.documents(s, dir), "doc_id", 0.125)
         .select("doc_id", "lang", "source")),
 
+    "q_weighted_sample" -> ((s, dir) =>
+      // length-weighted doc sample (A-ES without replacement): long docs
+      // proportionally likelier, membership engine-reproducible from
+      // md5(doc_id) — no rand(), so retries and other engines agree
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars",
+        k = 200).select("doc_id", "lang", "sample_key")),
+
     "q_stratified_sample" -> ((s, dir) =>
       // exactly 20 docs per language, hash-ordered (eval-set construction)
       Sampling.stratifiedExact(Tables.documents(s, dir), "lang", "doc_id", 20)
@@ -2359,6 +2386,60 @@ object SparkEntry {
         (3L, "stream window agg"), (4L, "customer order group")
       ).toDF("q_id", "q_text")
       graft.operators.Retrieval.bm25TopK(Tables.documents(s, dir), qs, k = 10)
+    }),
+
+    "q_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      // hybrid retrieval: BM25 top-20 (lexical) fused with cosine top-20
+      // against the matching anchor embedding (dense; anchor for query i =
+      // embedding i, the self-pair excluded by topKBatch's contract) under
+      // reciprocal-rank fusion, c = 60 (the Cormack et al. constant)
+      val qs = Seq(
+        (1L, "table scan filter"), (2L, "merge join batch"),
+        (3L, "stream window agg"), (4L, "customer order group")
+      ).toDF("q_id", "q_text")
+      val lex = Retrieval.bm25TopK(Tables.documents(s, dir), qs, k = 20)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.topKBatch(
+        emb, emb.where(col("vec_id").isin(1L, 2L, 3L, 4L)), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("vec_id"))))
+        .select(col("qid").as("q_id"), col("vec_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+    }),
+
+    "q_rank_eval" -> ((s, dir) => {
+      import s.implicits._
+      // offline eval of the DENSE ranking against exact LEXICAL relevance:
+      // grade(q, d) = #distinct query tokens present in d's token set —
+      // integer ground truth, no float thresholds. nDCG@10 / MRR / P@10
+      // per query answer "does dense retrieval surface lexically relevant
+      // docs", the report a hybrid pipeline reads before shipping.
+      val qs = Seq(
+        (1L, "table scan filter"), (2L, "merge join batch"),
+        (3L, "stream window agg"), (4L, "customer order group")
+      ).toDF("q_id", "q_text")
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.topKBatch(
+        emb, emb.where(col("vec_id").isin(1L, 2L, 3L, 4L)), k = 10)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("vec_id"))))
+        .select(col("qid").as("q_id"), col("vec_id").as("doc_id"), col("rank"))
+      val qTerms = qs.select(col("q_id"),
+        explode(array_distinct(Dedup.tokens("q_text"))).as("token"))
+      val rel = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.tokens("text"))).as("token"))
+        .join(broadcast(qTerms), "token")
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("rel"))
+      Retrieval.rankEval(dense, rel, k = 10)
     }),
 
     "q_domain_cap" -> ((s, dir) => {
@@ -2494,6 +2575,35 @@ object SparkEntry {
   )
 
   // ---- DuckDB oracles ------------------------------------------------------
+
+  /** q_pagerank's oracle, the 5 iterations unrolled as chained CTEs — each
+    * mirrors Graph.pagerank's iteration expression-for-expression
+    * (round-12 decimal contribution/dangling sums; double +,*,/ in the
+    * same order), so the rank vector is bit-identical by construction.
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    val head =
+      """WITH e AS (
+        |  SELECT DISTINCT concat('c', o_custkey) AS src, concat('s', l_suppkey) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN st)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT coalesce(CAST(sum(CAST(round(r.rank, 12) AS DECIMAL(28,12))) AS DOUBLE), CAST(0 AS DOUBLE)) AS dm
+         |       FROM r$p r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
+         |c$i AS (SELECT e.dst AS node, CAST(sum(CAST(round(r.rank / deg.deg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS cin
+         |       FROM e JOIN r$p r ON e.src = r.node JOIN deg ON e.src = deg.src GROUP BY 1),
+         |r$i AS (SELECT nodes.node,
+         |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+         |         + CAST(0.85 AS DOUBLE) * (coalesce(c$i.cin, CAST(0 AS DOUBLE)) + d$i.dm / n) AS rank
+         |       FROM nodes CROSS JOIN st CROSS JOIN d$i LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY rank DESC, node LIMIT 25"
+  }
 
   private val normSql =
     "sqrt((SELECT CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i)))"
@@ -3563,6 +3673,32 @@ object SparkEntry {
         |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
         |  CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_day
         |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        |  CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_day
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())""".stripMargin,
+
+    "q_pagerank" -> pagerankOracleSql(5),
+
+    // u reconstructed digit-by-digit from md5's first 12 hex chars (exact
+    // integer arithmetic in doubles < 2^48, bit-identical to Spark's
+    // conv(...,16,10)); the A-ES key pow(u, 1/w) is rounded to 9 — pow is
+    // the one libm call, see Sampling.weightedSample
+    "q_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx,
+        |             CAST(n_chars AS DOUBLE) AS w FROM documents),
+        |u AS (SELECT doc_id, lang, w,
+        |        (SELECT CAST(sum((strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+        |                         * power(CAST(16 AS DOUBLE), 12 - i)) AS DOUBLE)
+        |         FROM range(1, 13) t(i)) / power(CAST(16 AS DOUBLE), 12) AS u
+        |      FROM h)
+        |SELECT doc_id, lang,
+        |  round(power(u, CAST(1 AS DOUBLE) / w), 9) AS sample_key
+        |FROM u ORDER BY sample_key DESC, doc_id LIMIT 200""".stripMargin,
 
     "q_market_basket" ->
       """WITH li AS (
@@ -4702,6 +4838,104 @@ object SparkEntry {
         |SELECT q_id, doc_id, score FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
         |  FROM agg) WHERE rn <= 10""".stripMargin,
+
+    // BM25 CTE chain verbatim from q_bm25_topk (cut at 20); dense CTE from
+    // q_ann_batch with the anchor set vec_id IN (1..4); RRF terms rounded
+    // to 12 and decimal-accumulated like every float aggregation here
+    "q_rrf_fusion" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |q(q_id, q_text) AS (VALUES
+         |  (CAST(1 AS BIGINT), 'table scan filter'), (CAST(2 AS BIGINT), 'merge join batch'),
+         |  (CAST(3 AS BIGINT), 'stream window agg'), (CAST(4 AS BIGINT), 'customer order group')),
+         |qt AS (SELECT q_id, unnest(list_distinct(regexp_split_to_array(trim(lower(q_text)), '\\s+'))) AS token
+         |       FROM q),
+         |dfq AS (SELECT token, count(*) AS df FROM tf
+         |        WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1),
+         |sc AS (
+         |  SELECT qt.q_id, tf.doc_id,
+         |    CAST(round(
+         |      ln(1.0 + (n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+         |      ((tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+         |       (tf + CAST(1.2 AS DOUBLE) *
+         |        (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))), 12)
+         |      AS DECIMAL(28,12)) AS term
+         |  FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+         |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |agg AS (SELECT q_id, doc_id,
+         |          CAST(round(CAST(sum(term) AS DOUBLE), 6) AS DOUBLE) AS score
+         |        FROM sc GROUP BY 1, 2),
+         |lex AS (SELECT q_id, doc_id, rn AS rank FROM (
+         |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+         |  FROM agg) WHERE rn <= 20),
+         |anch AS (SELECT vec_id AS qid, embedding AS qv, $normSql AS qn
+         |         FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+         |nv AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT anch.qid, nv.vec_id,
+         |    round((SELECT CAST(sum(CAST(CAST(nv.embedding[i] AS DOUBLE) * CAST(anch.qv[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i))
+         |      / nullif(nv.nrm * anch.qn, 0), 6) AS cosine
+         |  FROM nv, anch WHERE nv.vec_id <> anch.qid),
+         |dense AS (SELECT qid AS q_id, vec_id AS doc_id, rn AS rank FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM scored) WHERE rn <= 20),
+         |terms AS (
+         |  SELECT q_id, doc_id, CAST(round(CAST(1.0 AS DOUBLE) / (60 + rank), 12) AS DECIMAL(28,12)) AS term FROM lex
+         |  UNION ALL
+         |  SELECT q_id, doc_id, CAST(round(CAST(1.0 AS DOUBLE) / (60 + rank), 12) AS DECIMAL(28,12)) AS term FROM dense),
+         |fused AS (SELECT q_id, doc_id,
+         |            CAST(round(CAST(sum(term) AS DOUBLE), 6) AS DOUBLE) AS rrf_score
+         |          FROM terms GROUP BY 1, 2)
+         |SELECT q_id, doc_id, rrf_score FROM (
+         |  SELECT q_id, doc_id, rrf_score,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS rn
+         |  FROM fused) WHERE rn <= 10""".stripMargin,
+
+    // dense ranking CTE from q_ann_batch (anchors 1..4, cut 10); relevance
+    // = #distinct query tokens in the doc's distinct token set (exact
+    // integer ground truth); DCG/IDCG terms rounded to 12 and
+    // decimal-accumulated, ideal list cut at 10 inside its window
+    "q_rank_eval" ->
+      s"""WITH q(q_id, q_text) AS (VALUES
+         |  (CAST(1 AS BIGINT), 'table scan filter'), (CAST(2 AS BIGINT), 'merge join batch'),
+         |  (CAST(3 AS BIGINT), 'stream window agg'), (CAST(4 AS BIGINT), 'customer order group')),
+         |qt AS (SELECT q_id, unnest(list_distinct(regexp_split_to_array(trim(lower(q_text)), '\\s+'))) AS token
+         |       FROM q),
+         |dt AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS token
+         |       FROM documents),
+         |rel AS (SELECT q_id, doc_id, CAST(count(*) AS INTEGER) AS rel
+         |        FROM dt JOIN qt USING (token) GROUP BY 1, 2),
+         |anch AS (SELECT vec_id AS qid, embedding AS qv, $normSql AS qn
+         |         FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+         |nv AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT anch.qid, nv.vec_id,
+         |    round((SELECT CAST(sum(CAST(CAST(nv.embedding[i] AS DOUBLE) * CAST(anch.qv[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i))
+         |      / nullif(nv.nrm * anch.qn, 0), 6) AS cosine
+         |  FROM nv, anch WHERE nv.vec_id <> anch.qid),
+         |rk AS (SELECT qid AS q_id, vec_id AS doc_id, rn AS rank FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM scored) WHERE rn <= 10),
+         |j AS (SELECT rk.q_id, rk.rank, coalesce(rel.rel, 0) AS rel
+         |      FROM rk LEFT JOIN rel ON rk.q_id = rel.q_id AND rk.doc_id = rel.doc_id),
+         |d AS (SELECT q_id,
+         |        CAST(sum(CAST(round((power(2, rel) - 1) / log2(rank + 1), 12) AS DECIMAL(28,12))) AS DOUBLE) AS dcg,
+         |        min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+         |        CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS "precision"
+         |      FROM j GROUP BY 1),
+         |ic AS (SELECT q_id,
+         |         CAST(sum(CAST(round((power(2, rel) - 1) / log2(irank + 1), 12) AS DECIMAL(28,12))) AS DOUBLE) AS idcg
+         |       FROM (SELECT q_id, rel, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id) AS irank
+         |             FROM rel WHERE rel > 0) WHERE irank <= 10 GROUP BY 1)
+         |SELECT d.q_id,
+         |  coalesce(round(dcg / nullif(idcg, 0), 6), CAST(0.0 AS DOUBLE)) AS ndcg,
+         |  coalesce(round(CAST(1.0 AS DOUBLE) / first_rel, 6), CAST(0.0 AS DOUBLE)) AS mrr,
+         |  "precision"
+         |FROM d LEFT JOIN ic USING (q_id)""".stripMargin,
 
     // quality CTE verbatim from q_quality_score; the synthetic URL's
     // canonical host reduces to lower(source).example.com

@@ -99,6 +99,26 @@ object Analytics {
         grouping(col("event_type")).cast("long").as("g_type"),
         grouping(col("d")).cast("long").as("g_day"))
 
+  /** Arbitrary GROUPING SETS beside [[rollupDaily]]/[[cubeDaily]]'s fixed
+    * hierarchies: the per-type totals, per-day totals, and grand total —
+    * deliberately WITHOUT the (type, day) fine grain a cube would add, the
+    * common "summary bands only" report shape. One Expand pass, one
+    * exchange, same as cube: the planner multiplies rows map-side before
+    * the partial aggregate, so the shuffle carries 3 group partials per
+    * input partition, never 3× events.
+    */
+  def groupingSetsDaily(events: DataFrame): DataFrame =
+    events
+      .withColumn("d", to_date(col("ts")))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("d")), Seq.empty),
+        col("event_type"), col("d"))
+      .agg(
+        count(lit(1)).as("n"),
+        exactSum(col("value")).as("total"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("d")).cast("long").as("g_day"))
+
   /** Association rules over order baskets (support / confidence / lift —
     * the co-purchase recommender primitive). The pair space is
     * Σ k(k−1)/2 within each basket, bounded by basket size — never

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sparse lexical retrieval over the corpus — the BM25 ranking pass used to
@@ -58,5 +58,87 @@ object Retrieval {
         .cast("double"), 6).as("score"))
     graft.plans.GroupTopK.topKPerKey(
       scored, Seq(qIdCol), Seq(col("score").desc, col(idCol).asc), k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher) over any number of
+    * per-query rankings — the standard way to combine a lexical (BM25) and
+    * a dense (ANN) retrieval pass into one hybrid result list without
+    * score calibration: `rrf(d) = Σ_lists 1/(c + rank_list(d))`, summing
+    * only over the lists that ranked `d`.
+    *
+    * Each input is (qIdCol, idCol, rankCol) with rank 1-based within its
+    * query. Per-list terms are rounded to 12 decimals and accumulated in
+    * decimal (the Fns.exactSum idiom) so the fused score is
+    * partition-order-independent and oracle-reproducible.
+    *
+    * Scale shape: every input ranking is already k·|queries| rows (each
+    * retrieval pass bounded its own output), so the union + groupBy here
+    * shuffles model-sized data no matter the corpus size; the final
+    * per-query cut runs on the bounded-heap GroupTopK operator.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, c: Int = 60,
+              qIdCol: String = "q_id", idCol: String = "doc_id",
+              rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val fused = rankings
+      .map(_.select(col(qIdCol), col(idCol),
+        round(lit(1.0) / (lit(c.toDouble) + col(rankCol).cast("double")), 12)
+          .cast("decimal(28,12)").as("__term")))
+      .reduce(_ unionByName _)
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(round(sum(col("__term")).cast("double"), 6).as("rrf_score"))
+    graft.plans.GroupTopK.topKPerKey(
+      fused, Seq(qIdCol), Seq(col("rrf_score").desc, col(idCol).asc), k)
+  }
+
+  /** Offline ranking evaluation — nDCG@k, MRR and precision@k per query,
+    * the metrics a retrieval pipeline reports before its index ships.
+    *
+    * `ranking` is (qIdCol, idCol, rankCol), rank 1-based, at most `k` rows
+    * per query; `relevance` is (qIdCol, idCol, relCol) with integer grades
+    * (≥1 = relevant; absent pairs are grade 0). DCG uses the standard
+    * exponential gain `(2^rel − 1)/log2(rank + 1)`; the ideal DCG ranks
+    * each query's OWN relevance grades descending, cut at `k` by the
+    * bounded-heap GroupTopK (the relevance table can be corpus-sized — the
+    * ideal list must never sort it globally). Per-position terms are
+    * rounded to 12 decimals and accumulated in decimal so both sums are
+    * partition-order-independent; queries with no relevant documents
+    * anywhere score ndcg = mrr = 0.
+    *
+    * Scale shape: one bounded-heap pass over `relevance` (k rows per query
+    * survive), one broadcast-sized join against the k·|queries|-row
+    * ranking, three model-sized aggregates. Nothing corpus-sized shuffles.
+    */
+  def rankEval(ranking: DataFrame, relevance: DataFrame, k: Int = 10,
+               qIdCol: String = "q_id", idCol: String = "doc_id",
+               rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    val gain: Column => Column = rel => pow(lit(2.0), rel.cast("double")) - lit(1.0)
+    val term = (rel: Column, rank: Column) =>
+      round(gain(rel) / log2(rank.cast("double") + lit(1.0)), 12)
+        .cast("decimal(28,12)")
+    val joined = ranking
+      .join(relevance, Seq(qIdCol, idCol), "left")
+      .withColumn("__rel", coalesce(col(relCol), lit(0)))
+    val dcg = joined.groupBy(col(qIdCol)).agg(
+      sum(term(col("__rel"), col(rankCol))).cast("double").as("__dcg"),
+      min(when(col("__rel") > 0, col(rankCol))).as("__first_rel"),
+      (sum(when(col("__rel") > 0, 1).otherwise(0)) / lit(k.toDouble))
+        .as("precision"))
+    val idealCut = graft.plans.GroupTopK.topKPerKey(
+      relevance.where(col(relCol) > 0), Seq(qIdCol),
+      Seq(col(relCol).desc, col(idCol).asc), k)
+    val idcg = idealCut
+      .withColumn("__irank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(qIdCol)).orderBy(col(relCol).desc, col(idCol).asc)))
+      .groupBy(col(qIdCol))
+      .agg(sum(term(col(relCol), col("__irank"))).cast("double").as("__idcg"))
+    dcg.join(idcg, Seq(qIdCol), "left")
+      .select(col(qIdCol),
+        coalesce(round(col("__dcg") / nullif(col("__idcg"), lit(0.0)), 6),
+          lit(0.0)).as("ndcg"),
+        coalesce(round(lit(1.0) / col("__first_rel").cast("double"), 6),
+          lit(0.0)).as("mrr"),
+        col("precision"))
   }
 }

@@ -62,6 +62,37 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Deterministic WEIGHTED sample without replacement — Efraimidis &
+    * Spirakis A-ES: each row draws a uniform `u` and ranks by
+    * `u^(1/weight)`; the top-`k` keys are a weighted sample without
+    * replacement. Here `u` is derived from md5(id) (first 12 hex digits /
+    * 16^12 — 48 bits of uniformity, bit-identical in any engine), so the
+    * sample inherits every deterministicSample property: reproducible
+    * across engines, reruns and cluster sizes, and consistent — a row's
+    * key never depends on other rows, so the same row survives corpus
+    * versioning while it stays in the top-k.
+    *
+    * The key is rounded to 9 decimals before ranking (ties broken by id):
+    * `pow` is the one libm call in the chain and engines may differ in its
+    * last ulp, so ordering on the raw double could flip a boundary pair —
+    * at 9 decimals a cross-engine flip needs the unrounded key within
+    * ~1e-16 of a 5e-10 boundary, negligible, while 1e-9 granularity is
+    * far finer than any sampling use cares about.
+    *
+    * Scale shape: scan-level key computation + a global bounded top-k
+    * (TakeOrderedAndProject — k rows per partition to the driver, never a
+    * sort). Weights must be positive.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(16.0, 12))
+    val key = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9)
+    df.withColumn("sample_key", key)
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** EXACT-size stratified sample: precisely `k` rows per stratum (fewer
     * only when the stratum is smaller), chosen deterministically by hash
     * order — rate-based sampling (`mixCorpora`) gives binomial-sized

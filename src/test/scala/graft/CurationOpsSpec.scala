@@ -40,6 +40,77 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.forall(_._1 == 1L) && out.length === 5)
   }
 
+  // ---- reciprocal-rank fusion ----
+
+  test("rrfFuse sums 1/(c+rank) over the lists that ranked each doc") {
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val dense = Seq((1L, 20L, 1), (1L, 40L, 2))
+      .toDF("q_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, dense), k = 10, c = 60)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    def t(r: Int) = BigDecimal(1.0 / (60 + r)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def exp(rs: Int*) = rs.map(t).sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(20L) === exp(2, 1)) // in both lists: ranks 2 (lex) + 1 (dense)
+    assert(out(10L) === exp(1))
+    assert(out(30L) === exp(3))
+    assert(out(40L) === exp(2))
+    // doc 20 fused to the top: present in both lists beats either single hit
+    assert(out.maxBy(_._2)._1 === 20L)
+  }
+
+  test("rrfFuse cuts to k per query and keeps queries independent") {
+    val a = (1 to 8).map(r => (1L, r.toLong, r)) ++ (1 to 3).map(r => (2L, 100L + r, r))
+    val out = Retrieval.rrfFuse(Seq(a.toDF("q_id", "doc_id", "rank")), k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.count(_._1 == 1L) === 5 && out.count(_._1 == 2L) === 3)
+    // rank order preserved: lower original rank → higher rrf score
+    val q1 = out.filter(_._1 == 1L).sortBy(-_._3).map(_._2).toSeq
+    assert(q1 === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  // ---- ranking evaluation ----
+
+  test("rankEval reproduces hand-computed nDCG/MRR/P@k") {
+    // ranking for q1: docs at ranks 1..3 with grades 0, 2, 1
+    val rk = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    // corpus relevance: doc20 grade 2, doc30 grade 1, doc99 grade 3 (missed)
+    val rel = Seq((1L, 20L, 2), (1L, 30L, 1), (1L, 99L, 3))
+      .toDF("q_id", "doc_id", "rel")
+    val Array((q, ndcg, mrr, p)) =
+      Retrieval.rankEval(rk, rel, k = 3).as[(Long, Double, Double, Double)].collect()
+    def term(rel: Int, rank: Int) =
+      BigDecimal((math.pow(2, rel) - 1) / (math.log(rank + 1) / math.log(2)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val dcg = (term(0, 1) + term(2, 2) + term(1, 3)).toDouble
+    // ideal ordering of q1's OWN grades: 3, 2, 1
+    val idcg = (term(3, 1) + term(2, 2) + term(1, 3)).toDouble
+    assert(q === 1L)
+    assert(ndcg === BigDecimal(dcg / idcg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(mrr === 0.5)         // first relevant at rank 2
+    assert(p === 2.0 / 3.0)     // 2 of 3 ranked docs relevant
+  }
+
+  test("rankEval scores zero for a query with no relevant docs and cuts the ideal list at k") {
+    val rk = Seq((1L, 10L, 1), (2L, 10L, 1), (2L, 20L, 2))
+      .toDF("q_id", "doc_id", "rank")
+    // q1 has NO relevance anywhere; q2 has 4 graded docs but k=2
+    val rel = (1 to 4).map(i => (2L, i * 10L, i)).toDF("q_id", "doc_id", "rel")
+    val out = Retrieval.rankEval(rk, rel, k = 2)
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 0.0, 0.0, 0.0)))
+    // q2: ranked docs 10 (rel 1) and 20 (rel 2); ideal@2 = grades 4, 3
+    def term(rel: Int, rank: Int) =
+      BigDecimal((math.pow(2, rel) - 1) / (math.log(rank + 1) / math.log(2)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val dcg = (term(1, 1) + term(2, 2)).toDouble
+    val idcg = (term(4, 1) + term(3, 2)).toDouble
+    assert(out(2L)._2 ===
+      BigDecimal(dcg / idcg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(2L)._3 === 1.0 && out(2L)._4 === 1.0)
+  }
+
   // ---- domain cap ----
 
   test("domainCap keeps the cap best-quality docs per host, whole hosts under it") {

@@ -387,6 +387,60 @@ class OperatorsSpec extends SparkSpec {
     assert(clickSub.getLong(2) === 2L && clickSub.getDouble(3) === 3.0)
   }
 
+  test("Analytics.groupingSetsDaily emits per-type, per-day and grand bands — no fine grain") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (1L, ts("2024-01-02 10:00:00"), "click", 2.0),
+      (2L, ts("2024-01-01 10:00:00"), "view", 4.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = Analytics.groupingSetsDaily(ev).collect()
+    // 2 type bands + 2 day bands + 1 grand total; NO (type, day) details
+    assert(out.length === 5)
+    assert(out.map(r => (r.getLong(4), r.getLong(5))).toSet ===
+      Set((0L, 1L), (1L, 0L), (1L, 1L)))
+    val grand = out.find(r => r.getLong(4) == 1L && r.getLong(5) == 1L).get
+    assert(grand.getLong(2) === 3L && grand.getDouble(3) === 7.0)
+    val day1 = out.find(r => r.getLong(4) == 1L && r.getLong(5) == 0L
+      && r.getDate(1).toString == "2024-01-01").get
+    assert(day1.getLong(2) === 2L && day1.getDouble(3) === 5.0)
+  }
+
+  test("Graph.pagerank matches the hand-iterated formula on a tiny graph with a dangling node") {
+    // a -> b, a -> c, b -> c ; c dangling. N = 3, d = 0.85, 2 iterations.
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val out = Graph.pagerank(edges, iters = 2, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def t12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val n = 3.0
+    var rank = Map("a" -> 1.0 / n, "b" -> 1.0 / n, "c" -> 1.0 / n)
+    for (_ <- 1 to 2) {
+      val dm = t12(rank("c")).toDouble // c is the only dangling node
+      val inB = t12(rank("a") / 2.0).toDouble
+      val inC = (t12(rank("a") / 2.0) + t12(rank("b") / 1.0)).toDouble
+      val base = (1 - 0.85) / 3
+      rank = Map(
+        "a" -> (base + 0.85 * (0.0 + dm / n)),
+        "b" -> (base + 0.85 * (inB + dm / n)),
+        "c" -> (base + 0.85 * (inC + dm / n)))
+    }
+    rank.foreach { case (node, exp) =>
+      assert(out(node) === exp, s"node $node")
+    }
+    // mass is conserved: ranks still sum to ~1
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+  }
+
+  test("Graph.pagerank concentrates rank down the star's funnel") {
+    // everyone links to h; h links to s1 only — h aggregates the leaves'
+    // mass and hands ALL of it to s1 each iteration, so s1 > h > leaves
+    val edges = (1 to 8).map(i => (s"v$i", "h")) :+ (("h", "s1"))
+    val out = Graph.pagerank(edges.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("s1") === out.values.max)    // the funnel's sink
+    assert(out("h") > out("v2"))            // the cited hub beats leaves
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+  }
+
   test("Packing.prefixSum equals the single-partition global window, any chunk size") {
     val df = (1L to 500L).map(i => (i * 7 % 1000, (i % 13) + 1)).distinct
       .toDF("ord", "v")

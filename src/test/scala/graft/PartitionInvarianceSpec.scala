@@ -23,7 +23,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_mannwhitney",      // exact half-integer rank sums + decimal tie term
     "q_time_between",     // scale-0 decimal gap sum, quantileCont median
     "q_market_basket",    // integer pair counts -> double ratios
-    "q_pca_project")      // fixed-point treeAggregate moments
+    "q_pca_project",      // fixed-point treeAggregate moments
+    "q_rrf_fusion",       // decimal-summed 1/(c+rank) over two rankings
+    "q_rank_eval",        // decimal-summed DCG/IDCG position terms
+    "q_pagerank",         // 5 iterations of decimal-summed contributions
+    "q_weighted_sample")  // scan-level A-ES keys, global bounded top-k
 
   test("sensitive queries return identical rows at 3 vs 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -97,4 +97,26 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq
     assert(flat.select("id").as[Long].collect().sorted.toSeq === again)
   }
+
+  test("weightedSample: matches the local A-ES computation, stable, weight-sensitive") {
+    val df = (1L to 400L).map(i => (i, if (i <= 40) 1000.0 else 1.0))
+      .toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", k = 50)
+      .select("id", "sample_key").as[(Long, Double)].collect()
+    // local replay of the exact key formula (md5-derived u, pow, round-9)
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(12)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / math.pow(16.0, 12)
+      BigDecimal(math.pow(u, 1.0 / w))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (1L to 400L).map(i => (i, key(i, if (i <= 40) 1000.0 else 1.0)))
+      .sortBy { case (id, k) => (-k, id) }.take(50)
+    assert(out.sortBy { case (id, k) => (-k, id) }.toSeq === expect)
+    // weight dominance: the 40 heavy rows (10% of rows, weight x1000) own
+    // most of the sample
+    assert(out.count(_._1 <= 40L) > 30, s"heavy rows in sample: ${out.count(_._1 <= 40L)}")
+  }
 }
