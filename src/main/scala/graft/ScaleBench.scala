@@ -199,7 +199,7 @@ object ScaleBench {
     "q_robust_scale", "q_sliding_window", "q_key_skew", "q_cube",
     "q_quantile_disc", "q_attribution", "q_time_between",
     "q_rrf_fusion", "q_rank_eval", "q_grouping_sets", "q_pagerank",
-    "q_weighted_sample")
+    "q_weighted_sample", "q18_big_orders", "q_components")
 
   /** Record-linkage keys (read the scaled part table). */
   private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup")

@@ -1618,6 +1618,32 @@ object SparkEntry {
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
         ordersNtz(s, dir), Tables.lineitem(s, dir), "ASIA")),
 
+    "q18_big_orders" -> ((s, dir) =>
+      // TPC-H Q18 shape: aggregate lineitem quantities first, filter the
+      // rare qualifying orders, then join orders + customer against the
+      // small survivor set
+      Analytics.bigOrders(Tables.customer(s, dir), ordersNtz(s, dir),
+        Tables.lineitem(s, dir), minQty = 250, k = 100)),
+
+    "q_components" -> ((s, dir) => {
+      // premium-purchase network: connected components of the
+      // customer–supplier graph restricted to top-priced orders (sparse by
+      // construction), 5 rounds of min-label propagation; 25 largest
+      // components with sizes
+      val edges = Tables.orders(s, dir)
+        .where(col("o_totalprice") > 495000)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      Graph.connectedComponents(edges, iters = 5)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(col("label").as("component"), col("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("component"))
+        .limit(25)
+    }),
+
     "q_sliding_window" -> ((s, dir) =>
       // hopping-window aggregate (1 h size / 30 min slide — each event
       // lands in exactly size/slide = 2 windows): Spark's window()
@@ -2603,6 +2629,32 @@ object SparkEntry {
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY rank DESC, node LIMIT 25"
+  }
+
+  /** q_components' oracle — `iters` min-label-propagation rounds unrolled
+    * as chained CTEs, mirroring Graph.connectedComponents round-for-round.
+    * Pure string mins: no numeric types anywhere, so equality is
+    * structural by construction.
+    */
+  private def componentsOracleSql(iters: Int): String = {
+    val head =
+      """WITH h AS (
+        |  SELECT DISTINCT concat('c', o_custkey) AS src, concat('s', l_suppkey) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_totalprice > 495000),
+        |e AS (SELECT src, dst FROM h UNION SELECT dst AS src, src AS dst FROM h),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |l0 AS (SELECT node, node AS label FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""m$i AS (SELECT e.dst AS node, min(l.label) AS nmin
+         |       FROM e JOIN l$p l ON e.src = l.node GROUP BY 1),
+         |l$i AS (SELECT l.node, least(l.label, coalesce(m.nmin, l.label)) AS label
+         |       FROM l$p l LEFT JOIN m$i m ON l.node = m.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""\nSELECT label AS component, count(*) AS n_nodes FROM l$iters
+         |GROUP BY 1 ORDER BY n_nodes DESC, component LIMIT 25""".stripMargin
   }
 
   private val normSql =
@@ -3673,6 +3725,20 @@ object SparkEntry {
         |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
         |  CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_day
         |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q_components" -> componentsOracleSql(5),
 
     "q_grouping_sets" ->
       """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,

@@ -48,6 +48,28 @@ object Analytics {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(k)
 
+  /** Large-volume orders (TPC-H Q18 shape): orders whose TOTAL lineitem
+    * quantity clears `minQty`, joined back to their customer — the
+    * aggregate-then-filter-then-join plan. The quantity aggregate runs
+    * FIRST and partial-aggregates map-side, so the join's probe side is
+    * |qualifying orders| (rare by construction), never |lineitem|; the
+    * customer dimension joins on the already-filtered order set.
+    */
+  def bigOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                minQty: Double, k: Int): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(exactSum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
   /** Revenue by nation (TPC-H Q5 shape): star join where the dimension chain
     * region→nation is broadcast (tiny), so only the two fact tables shuffle.
     */

@@ -86,4 +86,45 @@ object Graph {
     }
     rank
   }
+
+  /** `iters` rounds of synchronous min-label propagation over an
+    * UNDIRECTED graph (the edge list is symmetrized here): every node
+    * starts labeled with itself; each round it takes the minimum of its
+    * own label and its neighbors' — after k rounds equal labels mark
+    * connected components up to diameter k (components wider than that
+    * are split deterministically, same on every engine: pick `iters`
+    * ≥ the diameter you care to resolve). This is the transitive-closure
+    * step behind dedup clustering ("collapse near-dup PAIRS into GROUPS")
+    * expressed as bounded BSP joins.
+    *
+    * No floats anywhere — labels are strings under lexicographic min — so
+    * cross-engine equality is structural, not numeric. Same scale shape
+    * and lineage-truncation story as [[pagerank]]: per round, ONE keyed
+    * join of the symmetrized edge list against the |nodes|-sized label
+    * frame + a partial-aggregated min, everything localCheckpoint'd.
+    */
+  def connectedComponents(edges: DataFrame, iters: Int = 5,
+                          srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val half = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    val und = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(false)
+    // symmetrization puts every endpoint in src
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+    var label = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val neighborMin = und
+        .join(label.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy("node")
+        .agg(min(col("label")).as("__nmin"))
+      label = label
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
+        .localCheckpoint(false)
+    }
+    label
+  }
 }

@@ -441,6 +441,38 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(out.values.sum - 1.0) < 1e-9)
   }
 
+  test("Graph.connectedComponents labels components by their minimum node") {
+    // two components: a-b-c (chain) and x-y; edges given in one direction
+    val edges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val out = Graph.connectedComponents(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("Graph.connectedComponents resolves exactly the k-hop neighborhood per round") {
+    // path v1-v2-...-v8: after k rounds label(v_i) = v_{max(1, i-k)};
+    // enough rounds collapse the whole path to v1
+    val edges = (1 to 7).map(i => (s"v$i", s"v${i + 1}")).toDF("src", "dst")
+    val at2 = Graph.connectedComponents(edges, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((1 to 8).forall(i => at2(s"v$i") == s"v${math.max(1, i - 2)}"), s"$at2")
+    val at7 = Graph.connectedComponents(edges, iters = 7)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(at7.values.toSet === Set("v1"))
+  }
+
+  test("Analytics.bigOrders keeps only orders whose summed quantity clears the bar") {
+    val cust = Seq((1L, "Alice"), (2L, "Bob")).toDF("c_custkey", "c_name")
+    val ords = Seq((10L, 1L, ts("2024-01-01 00:00:00"), 500.0),
+      (20L, 2L, ts("2024-01-02 00:00:00"), 900.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val li = Seq((10L, 100.0), (10L, 160.0), (20L, 200.0))
+      .toDF("l_orderkey", "l_quantity")
+    val out = Analytics.bigOrders(cust, ords, li, minQty = 250, k = 10).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "Alice" && out.head.getDouble(5) === 260.0)
+  }
+
   test("Packing.prefixSum equals the single-partition global window, any chunk size") {
     val df = (1L to 500L).map(i => (i * 7 % 1000, (i % 13) + 1)).distinct
       .toDF("ord", "v")

@@ -27,7 +27,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_rrf_fusion",       // decimal-summed 1/(c+rank) over two rankings
     "q_rank_eval",        // decimal-summed DCG/IDCG position terms
     "q_pagerank",         // 5 iterations of decimal-summed contributions
-    "q_weighted_sample")  // scan-level A-ES keys, global bounded top-k
+    "q_weighted_sample",  // scan-level A-ES keys, global bounded top-k
+    "q18_big_orders",     // decimal quantity sums gate the join
+    "q_components")       // pure string-min propagation, no numerics
 
   test("sensitive queries return identical rows at 3 vs 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
