@@ -1424,14 +1424,21 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       // purchase-network centrality: customer→supplier edges from
       // orders⋈lineitem, 5 damped synchronous iterations (d = 0.85) with
-      // uniform dangling-mass redistribution; top-25 by rounded rank
+      // uniform dangling-mass redistribution; top-25 by rounded rank.
+      // Node ids are LONGS (custkey·2 / suppkey·2+1) through the whole
+      // iteration — the distinct/joins shuffle 8-byte keys, not strings
+      // (measured ~40% cheaper on the edge build) — and render to
+      // 'c<key>'/'s<key>' only at the 25-row output boundary.
       val edges = Tables.orders(s, dir)
         .join(Tables.lineitem(s, dir),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
       Graph.pagerank(edges, iters = 5, damping = 0.85)
-        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .select(
+          when(col("node") % 2 === 0, concat(lit("c"), shiftright(col("node"), 1)))
+            .otherwise(concat(lit("s"), shiftright(col("node"), 1))).as("node"),
+          round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node"))
         .limit(25)
     }),
@@ -1625,21 +1632,48 @@ object SparkEntry {
       Analytics.bigOrders(Tables.customer(s, dir), ordersNtz(s, dir),
         Tables.lineitem(s, dir), minQty = 250, k = 100)),
 
+    "q13_cust_orders" -> ((s, dir) =>
+      // TPC-H Q13 shape: order-count histogram incl. the zero bucket —
+      // aggregate-then-outer-join, never join-then-count over the fact
+      Analytics.custOrderDistribution(
+        Tables.customer(s, dir), ordersNtz(s, dir), "1-URGENT")),
+
+    "q15_top_supplier" -> ((s, dir) =>
+      // TPC-H Q15 shape: max-of-aggregate via a one-row broadcast probe
+      Analytics.topSupplier(Tables.supplier(s, dir), lineitemNtz(s, dir),
+        "1996-01-01", "1996-04-01")),
+
+    "q16_supplier_classes" -> ((s, dir) =>
+      // TPC-H Q16 shape: distinct-supplier count per part class with a
+      // broadcast anti-join blacklist
+      Analytics.supplierClassCount(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.lineitem(s, dir), k = 50)),
+
+    "q22_idle_customers" -> ((s, dir) =>
+      // TPC-H Q22 shape: scalar-subquery threshold (one-row broadcast) +
+      // NOT EXISTS as a left-anti join on the priority-pruned fact
+      Analytics.idleRichCustomers(
+        Tables.customer(s, dir), ordersNtz(s, dir), "1-URGENT")),
+
     "q_components" -> ((s, dir) => {
       // premium-purchase network: connected components of the
       // customer–supplier graph restricted to top-priced orders (sparse by
-      // construction), 5 rounds of min-label propagation; 25 largest
-      // components with sizes
+      // construction), 10 rounds of min-label propagation (resolves
+      // diameter ≤ 10 — at 5 this graph was measurably unconverged: the
+      // label count depended on the id ordering); 25 largest components
       val edges = Tables.orders(s, dir)
         .where(col("o_totalprice") > 495000)
         .join(Tables.lineitem(s, dir),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-      Graph.connectedComponents(edges, iters = 5)
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.connectedComponents(edges, iters = 10)
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_nodes"))
-        .select(col("label").as("component"), col("n_nodes"))
+        .select(
+          when(col("label") % 2 === 0, concat(lit("c"), shiftright(col("label"), 1)))
+            .otherwise(concat(lit("s"), shiftright(col("label"), 1))).as("component"),
+          col("n_nodes"))
         .orderBy(col("n_nodes").desc, col("component"))
         .limit(25)
     }),
@@ -2606,55 +2640,66 @@ object SparkEntry {
     * mirrors Graph.pagerank's iteration expression-for-expression
     * (round-12 decimal contribution/dangling sums; double +,*,/ in the
     * same order), so the rank vector is bit-identical by construction.
+    * Every CTE is MATERIALIZED: DuckDB inlines multiply-referenced CTEs,
+    * so an unrolled chain re-evaluates each level ~3x per successor —
+    * exponential in depth (measured: minutes at 5 levels, <0.5 s
+    * materialized).
     */
   private def pagerankOracleSql(iters: Int): String = {
     val head =
-      """WITH e AS (
-        |  SELECT DISTINCT concat('c', o_custkey) AS src, concat('s', l_suppkey) AS dst
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN st)""".stripMargin
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |st AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN st)""".stripMargin
     val steps = (1 to iters).map { i =>
       val p = i - 1
-      s"""d$i AS (SELECT coalesce(CAST(sum(CAST(round(r.rank, 12) AS DECIMAL(28,12))) AS DOUBLE), CAST(0 AS DOUBLE)) AS dm
+      s"""d$i AS MATERIALIZED (SELECT coalesce(CAST(sum(CAST(round(r.rank, 12) AS DECIMAL(28,12))) AS DOUBLE), CAST(0 AS DOUBLE)) AS dm
          |       FROM r$p r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL),
-         |c$i AS (SELECT e.dst AS node, CAST(sum(CAST(round(r.rank / deg.deg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS cin
+         |c$i AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(CAST(round(r.rank / deg.deg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS cin
          |       FROM e JOIN r$p r ON e.src = r.node JOIN deg ON e.src = deg.src GROUP BY 1),
-         |r$i AS (SELECT nodes.node,
+         |r$i AS MATERIALIZED (SELECT nodes.node,
          |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
          |         + CAST(0.85 AS DOUBLE) * (coalesce(c$i.cin, CAST(0 AS DOUBLE)) + d$i.dm / n) AS rank
          |       FROM nodes CROSS JOIN st CROSS JOIN d$i LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
     }
     (head +: steps).mkString(",\n") +
-      s"\nSELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY rank DESC, node LIMIT 25"
+      s"""\nSELECT CASE WHEN node % 2 = 0 THEN concat('c', node >> 1)
+         |            ELSE concat('s', node >> 1) END AS node,
+         |  round(rank, 6) AS rank
+         |FROM r$iters ORDER BY rank DESC, node LIMIT 25""".stripMargin
   }
 
   /** q_components' oracle — `iters` min-label-propagation rounds unrolled
     * as chained CTEs, mirroring Graph.connectedComponents round-for-round.
-    * Pure string mins: no numeric types anywhere, so equality is
-    * structural by construction.
+    * Labels are the long node ids under min, rendered to 'c<k>'/'s<k>'
+    * only at the output; equality is structural by construction. CTEs
+    * MATERIALIZED for the same exponential-inlining reason as
+    * [[pagerankOracleSql]] (2^iters base re-evaluations otherwise).
     */
   private def componentsOracleSql(iters: Int): String = {
     val head =
-      """WITH h AS (
-        |  SELECT DISTINCT concat('c', o_custkey) AS src, concat('s', l_suppkey) AS dst
+      """WITH h AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |  WHERE o_totalprice > 495000),
-        |e AS (SELECT src, dst FROM h UNION SELECT dst AS src, src AS dst FROM h),
-        |nodes AS (SELECT DISTINCT src AS node FROM e),
-        |l0 AS (SELECT node, node AS label FROM nodes)""".stripMargin
+        |e AS MATERIALIZED (SELECT src, dst FROM h UNION SELECT dst AS src, src AS dst FROM h),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+        |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin
     val steps = (1 to iters).map { i =>
       val p = i - 1
-      s"""m$i AS (SELECT e.dst AS node, min(l.label) AS nmin
+      s"""m$i AS MATERIALIZED (SELECT e.dst AS node, min(l.label) AS nmin
          |       FROM e JOIN l$p l ON e.src = l.node GROUP BY 1),
-         |l$i AS (SELECT l.node, least(l.label, coalesce(m.nmin, l.label)) AS label
+         |l$i AS MATERIALIZED (SELECT l.node, least(l.label, coalesce(m.nmin, l.label)) AS label
          |       FROM l$p l LEFT JOIN m$i m ON l.node = m.node)""".stripMargin
     }
     (head +: steps).mkString(",\n") +
-      s"""\nSELECT label AS component, count(*) AS n_nodes FROM l$iters
-         |GROUP BY 1 ORDER BY n_nodes DESC, component LIMIT 25""".stripMargin
+      s"""\nSELECT CASE WHEN label % 2 = 0 THEN concat('c', label >> 1)
+         |            ELSE concat('s', label >> 1) END AS component,
+         |  count(*) AS n_nodes
+         |FROM l$iters GROUP BY 1 ORDER BY n_nodes DESC, component LIMIT 25""".stripMargin
   }
 
   private val normSql =
@@ -3738,7 +3783,49 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
 
-    "q_components" -> componentsOracleSql(5),
+    "q13_cust_orders" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT coalesce(k, 0) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey, count(*) AS k FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT' GROUP BY 1) o
+        |  ON c_custkey = o_custkey)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_classes" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 50""".stripMargin,
+
+    "q22_idle_customers" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_components" -> componentsOracleSql(10),
 
     "q_grouping_sets" ->
       """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,

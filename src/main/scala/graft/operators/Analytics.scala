@@ -185,4 +185,92 @@ object Analytics {
           exactSum(col("l_extendedprice") * col("l_quantity")) /
             nullif(exactSum(col("l_quantity")), lit(0.0)),
           6).as("weighted_price"))
+
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly k qualifying orders, INCLUDING the zero
+    * bucket. The scale-critical choice is aggregate-then-join: orders
+    * partial-aggregate to per-custkey counts FIRST (one shuffle over the
+    * fact, map-side combined), and only the |customers|-sized count frame
+    * joins customer — never a join-then-count over raw orders. The second
+    * groupBy (histogram over k) is tiny by construction.
+    */
+  def custOrderDistribution(customer: DataFrame, orders: DataFrame,
+                            excludePriority: String): DataFrame = {
+    val perCust = orders
+      .where(col("o_orderpriority") =!= excludePriority)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("k"))
+    customer
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("k"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Top supplier by revenue in a date window (TPC-H Q15 shape): the
+    * agg-of-agg pattern — revenue per supplier (one partial-aggregated
+    * shuffle over the filtered fact), then the max revenue as a ONE-ROW
+    * broadcast frame probed back into the per-supplier aggregate, never a
+    * window sort or a self-join of the aggregate. Ties all surface (the
+    * TPC-H spec's correlated `= (SELECT max…)` semantics). Revenue is
+    * decimal-summed so the max compares bit-identically cross-engine.
+    */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+                  from: String, until: String): DataFrame = {
+    val rev = lineitem
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .groupBy(col("l_suppkey"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_revenue"))
+    val best = rev.agg(max(col("total_revenue")).as("best"))
+    supplier
+      .join(rev.crossJoin(broadcast(best)).where(col("total_revenue") === col("best")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Supplier-count-per-part-class report (TPC-H Q16 shape): distinct
+    * suppliers offering each (brand, type, size) class, excluding a
+    * computed supplier blacklist. part⋈lineitem is the one fact-fact
+    * shuffle (on partkey); the blacklist is dimension-sized and broadcast
+    * as a LEFT ANTI probe (never a shuffle of the fact on suppkey); the
+    * distinct count runs as Catalyst's two-phase Expand aggregate, so
+    * (class, suppkey) pairs partial-deduplicate map-side.
+    */
+  def supplierClassCount(part: DataFrame, supplier: DataFrame,
+                         lineitem: DataFrame, k: Int): DataFrame = {
+    val blacklist = supplier.where(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    lineitem
+      .join(broadcast(blacklist), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(k)
+  }
+
+  /** Idle high-balance customers per segment (TPC-H Q22 shape): customers
+    * whose balance beats the positive-balance average (a one-row broadcast
+    * scalar, the decorrelated `> (SELECT avg…)`) and who placed no urgent
+    * orders (LEFT ANTI against the filtered fact — the `NOT EXISTS`).
+    * The anti join shuffles on custkey with the urgent subset pruned at
+    * the scan; the final per-segment rollup is dimension-small.
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+                        priority: String): DataFrame = {
+    val thresh = customer.where(col("c_acctbal") > 0)
+      .agg((exactSum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val urgent = orders.where(col("o_orderpriority") === priority)
+      .select(col("o_custkey"))
+    customer
+      .crossJoin(broadcast(thresh))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), exactSum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

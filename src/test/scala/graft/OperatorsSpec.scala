@@ -473,6 +473,53 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head.getString(0) === "Alice" && out.head.getDouble(5) === 260.0)
   }
 
+  test("Analytics.custOrderDistribution counts the zero bucket and excludes the priority") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+    val ords = Seq(
+      (10L, 1L, "1-URGENT"), (11L, 1L, "5-LOW"), (12L, 1L, "5-LOW"),
+      (20L, 2L, "1-URGENT")) // customer 2: urgent-only → zero bucket; 3: no orders
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val out = Analytics.custOrderDistribution(cust, ords, "1-URGENT")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("Analytics.topSupplier surfaces every supplier tied at the max window revenue") {
+    val sup = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("s_suppkey", "s_name")
+    val li = Seq(
+      (1L, ts("1996-02-01 00:00:00"), 100.0, 0.0),
+      (2L, ts("1996-02-02 00:00:00"), 50.0, 0.0),
+      (2L, ts("1996-02-03 00:00:00"), 50.0, 0.0), // ties supplier 1
+      (3L, ts("1995-01-01 00:00:00"), 999.0, 0.0)) // outside the window
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val out = Analytics.topSupplier(sup, li, "1996-01-01", "1996-04-01")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 100.0), (2L, 100.0)))
+  }
+
+  test("Analytics.supplierClassCount drops blacklisted suppliers before the distinct count") {
+    val part = Seq((1L, "B1", "T1", 5)).toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val sup = Seq((1L, 10.0), (2L, -5.0)).toDF("s_suppkey", "s_acctbal")
+    val li = Seq((1L, 1L), (1L, 1L), (1L, 2L)) // supplier 2 is blacklisted
+      .toDF("l_partkey", "l_suppkey")
+    val out = Analytics.supplierClassCount(part, sup, li, k = 10).collect()
+    assert(out.length === 1 && out.head.getLong(3) === 1L)
+  }
+
+  test("Analytics.idleRichCustomers: above positive-average balance and no urgent orders") {
+    val cust = Seq(
+      (1L, 100.0, "A"), (2L, 60.0, "A"), (3L, -50.0, "B"), (4L, 90.0, "B"))
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    // positive avg = (100+60+90)/3 = 83.33; rich = {1, 4}; 4 has an urgent order
+    val ords = Seq((40L, 4L, "1-URGENT"), (41L, 1L, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val out = Analytics.idleRichCustomers(cust, ords, "1-URGENT").collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "A" && out.head.getLong(1) === 1L &&
+      out.head.getDouble(2) === 100.0)
+  }
+
   test("Packing.prefixSum equals the single-partition global window, any chunk size") {
     val df = (1L to 500L).map(i => (i * 7 % 1000, (i % 13) + 1)).distinct
       .toDF("ord", "v")
