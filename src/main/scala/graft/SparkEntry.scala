@@ -1352,6 +1352,22 @@ object SparkEntry {
       // 30-min inactivity gap closes a session
       Sessionize.byGap(events(s, dir), gapSec = 1800)),
 
+    "q_rolling_distinct" -> ((s, dir) =>
+      // trailing 7-day distinct active users per day: dedup to the
+      // (user, day) grain FIRST, bounded 7x explode on the grain, two-phase
+      // distinct count — never an events x days join
+      Activity.rollingDistinct(events(s, dir), windowDays = 7)),
+
+    "q_concurrency" -> ((s, dir) =>
+      // max concurrent 30-min-gap sessions per day: sweep-line boundaries
+      // + the two-level distributed prefix sum (no global-sort window)
+      Activity.maxConcurrent(events(s, dir), gapSec = 1800)),
+
+    "q_path_top" -> ((s, dir) =>
+      // top-10 3-step event-type paths: two stacked leads on one entity
+      // exchange, vocabulary-sized trigram aggregate, TakeOrdered top-k
+      Activity.topPaths(events(s, dir), k = 10)),
+
     "q_funnel" -> ((s, dir) => {
       // ordered funnel completion (view → click → purchase): each stage's
       // first-hit timestamp is a conditional min over the ENTITY window,
@@ -3756,6 +3772,47 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
         |  round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_sec
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "q_rolling_distinct" ->
+      """WITH ud AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d0 FROM events),
+        |days AS MATERIALIZED (SELECT DISTINCT d0 AS d FROM ud)
+        |SELECT days.d AS d, count(DISTINCT ud.k) AS active
+        |FROM days JOIN ud ON ud.d0 BETWEEN days.d - 6 AND days.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH flagged AS MATERIALIZED (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS MATERIALIZED (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |bounds AS MATERIALIZED (
+        |  SELECT min(ts) AS s, max(ts) AS e FROM sess GROUP BY user_id, sid),
+        |deltas AS MATERIALIZED (
+        |  SELECT s AS t, CAST(1 AS BIGINT) AS delta FROM bounds
+        |  UNION ALL
+        |  SELECT e AS t, CAST(-1 AS BIGINT) AS delta FROM bounds),
+        |run AS MATERIALIZED (
+        |  SELECT t, CAST(sum(delta) OVER (ORDER BY t, -delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM deltas)
+        |SELECT CAST(t AS DATE) AS d, max(c) AS max_concurrent
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_path_top" ->
+      """WITH seq AS MATERIALIZED (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1, e2, e3, count(*) AS n FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin,
 
     "q_rollup" ->
       """SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,

@@ -520,6 +520,47 @@ class OperatorsSpec extends SparkSpec {
       out.head.getDouble(2) === 100.0)
   }
 
+  test("Activity.rollingDistinct counts the trailing window on observed days only") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-03 10:00:00")), (3L, ts("2024-01-03 12:00:00")))
+      .toDF("user_id", "ts").withColumn("value", lit(1.0))
+    val out = Activity.rollingDistinct(ev, windowDays = 2)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // Jan 2 had no events → not emitted; Jan 3 window = {Jan 2, Jan 3} → {1, 3}
+    assert(out === Map("2024-01-01" -> 2L, "2024-01-03" -> 2L))
+  }
+
+  test("Activity.maxConcurrent: closed intervals, single-event sessions count") {
+    val ev = Seq(
+      // user 1: one session 10:00–10:40 (10:00, 10:20, 10:40)
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:20:00")),
+      (1L, ts("2024-01-01 10:40:00")),
+      // user 2: single-event session exactly at user 1's session end
+      (2L, ts("2024-01-01 10:40:00")),
+      // user 3: lone session the next day, overlapping nothing
+      (3L, ts("2024-01-02 09:00:00")))
+      .toDF("user_id", "ts").withColumn("value", lit(1.0))
+    val out = Activity.maxConcurrent(ev, gapSec = 1800)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // closed intervals: user 2's instant session at 10:40 overlaps user 1
+    assert(out === Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+  }
+
+  test("Activity.topPaths mines per-user trigrams in (ts, event_id) order") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"), (2L, 1L, ts("2024-01-01 10:01:00"), "b"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "c"), (4L, 1L, ts("2024-01-01 10:03:00"), "a"),
+      (5L, 2L, ts("2024-01-01 10:00:00"), "a"), (6L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (7L, 2L, ts("2024-01-01 10:02:00"), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Activity.topPaths(ev, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // a→b→c appears for both users; b→c→a only for user 1
+    assert(out.head === ("a", "b", "c", 2L))
+    assert(out(1) === ("b", "c", "a", 1L))
+  }
+
   test("Packing.prefixSum equals the single-partition global window, any chunk size") {
     val df = (1L to 500L).map(i => (i * 7 % 1000, (i % 13) + 1)).distinct
       .toDF("ord", "v")
