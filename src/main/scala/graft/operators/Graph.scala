@@ -53,9 +53,14 @@ object Graph {
     // at 100 TB. Remaining cost profile at sf0.1 (600k edges, 16.5k
     // nodes): ~3.9 s one-time input materialization, ~0.27 s per
     // iteration — the marginal iteration cost is the scale-relevant term.
+    // edges are hash-partitioned on src ONCE before the checkpoint:
+    // LogicalRDD preserves the physical partitioning, so every
+    // iteration's edge⋈rank join co-locates on the big side and only the
+    // |nodes|-sized rank frame moves — the 100 TB-critical property (the
+    // edge list is shuffled once per query, not once per iteration).
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct().repartition(col("src")).localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(false)
@@ -111,7 +116,7 @@ object Graph {
     val half = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val und = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(false)
+      .distinct().repartition(col("src")).localCheckpoint(false)
     // symmetrization puts every endpoint in src
     val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
     var label = nodes.withColumn("label", col("node"))
