@@ -1648,6 +1648,33 @@ object SparkEntry {
       Analytics.bigOrders(Tables.customer(s, dir), ordersNtz(s, dir),
         Tables.lineitem(s, dir), minQty = 250, k = 100)),
 
+    "q_bfs_hops" -> ((s, dir) => {
+      // BFS hop histogram from customer 1 over the undirected purchase
+      // graph: 6 rounds of min-distance propagation, same co-partitioned
+      // BSP shape as q_components; sentinel (not NULL) for unreached so
+      // the propagation is pure integer arithmetic cross-engine
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.shortestHops(edges, source = 2L, iters = 6)
+        .where(col("hop") < Graph.Unreached)
+        .groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("hop"))
+    }),
+
+    "q_gini" -> ((s, dir) =>
+      // revenue-concentration audit: per-segment Gini of order value —
+      // one per-segment window rank + one decimal-moment aggregate
+      Analytics.giniBySegment(Tables.customer(s, dir), ordersNtz(s, dir))),
+
+    "q_zipf_slope" -> ((s, dir) =>
+      // corpus health: OLS slope of ln(freq) vs ln(rank) over each
+      // source's top-100 terms; vocab-sized throughout
+      TextAnalysis.zipfSlope(Tables.documents(s, dir), topK = 100)),
+
     "q13_cust_orders" -> ((s, dir) =>
       // TPC-H Q13 shape: order-count histogram incl. the zero bucket —
       // aggregate-then-outer-join, never join-then-count over the fact
@@ -2695,6 +2722,34 @@ object SparkEntry {
     * MATERIALIZED for the same exponential-inlining reason as
     * [[pagerankOracleSql]] (2^iters base re-evaluations otherwise).
     */
+  /** q_bfs_hops' oracle — `iters` min-distance-propagation rounds unrolled
+    * as MATERIALIZED chained CTEs (same exponential-inlining hazard as
+    * [[componentsOracleSql]]); the 999999 sentinel mirrors
+    * Graph.Unreached so no NULL semantics are involved anywhere.
+    */
+  private def bfsOracleSql(source: Long, iters: Int): String = {
+    val head =
+      s"""WITH h AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (SELECT src, dst FROM h UNION SELECT dst AS src, src AS dst FROM h),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |d0 AS MATERIALIZED (SELECT node,
+         |  CASE WHEN node = $source THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(999999 AS BIGINT) END AS hop FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""m$i AS MATERIALIZED (SELECT e.dst AS node, min(d.hop) + 1 AS nhop
+         |       FROM e JOIN d$p d ON e.src = d.node GROUP BY 1),
+         |d$i AS MATERIALIZED (SELECT d.node,
+         |       least(d.hop, coalesce(m.nhop, CAST(999999 AS BIGINT))) AS hop
+         |       FROM d$p d LEFT JOIN m$i m ON d.node = m.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""\nSELECT hop, count(*) AS n_nodes FROM d$iters
+         |WHERE hop < 999999 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def componentsOracleSql(iters: Int): String = {
     val head =
       """WITH h AS MATERIALIZED (
@@ -3839,6 +3894,46 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_bfs_hops" -> bfsOracleSql(source = 2L, iters = 6),
+
+    "q_gini" ->
+      """WITH ranked AS MATERIALIZED (
+        |  SELECT c_mktsegment, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS i
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  round((2 * CAST(sum(CAST(o_totalprice * i AS DECIMAL(28,6))) AS DOUBLE)
+        |         - (count(*) + 1) * CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE))
+        |        / (count(*) * CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)),
+        |    6) AS gini
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_zipf_slope" ->
+      """WITH freq AS MATERIALIZED (
+        |  SELECT source, token, count(*) AS f FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |ranked AS MATERIALIZED (
+        |  SELECT source, f,
+        |    row_number() OVER (PARTITION BY source ORDER BY f DESC, token) AS r
+        |  FROM freq),
+        |pts AS MATERIALIZED (
+        |  SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+        |  FROM ranked WHERE r <= 100),
+        |agg AS MATERIALIZED (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(round(x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM pts GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+        |FROM agg ORDER BY 1""".stripMargin,
 
     "q13_cust_orders" ->
       """SELECT c_count, count(*) AS custdist FROM (

@@ -252,6 +252,33 @@ object Analytics {
       .limit(k)
   }
 
+  /** Gini coefficient of order value per market segment — the revenue-
+    * concentration audit. Needs each order's rank within its segment:
+    * one per-segment window sort (Spark's external sort — spill-safe on a
+    * hot segment), then a single partial-aggregated pass for the three
+    * moments (n, Σx, Σi·x). G = (2Σi·x − (n+1)Σx) / (nΣx) on
+    * decimal-accumulated sums, so the statistic is bit-stable across
+    * partition counts; ties in x contribute the same Σi·x under any
+    * permutation, and the orderkey tiebreak makes the rank itself total.
+    */
+  def giniBySegment(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        exactSum(col("o_totalprice")).as("sx"),
+        exactSum(col("o_totalprice") * col("i")).as("sxi"))
+      .select(col("c_mktsegment"), col("n"),
+        round((lit(2) * col("sxi") - (col("n") + lit(1)) * col("sx")) /
+          (col("n") * col("sx")), 6).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Idle high-balance customers per segment (TPC-H Q22 shape): customers
     * whose balance beats the positive-balance average (a one-row broadcast
     * scalar, the decorrelated `> (SELECT avg…)`) and who placed no urgent

@@ -91,6 +91,46 @@ object Graph {
     rank
   }
 
+  /** Hop value standing in for "unreached" in [[shortestHops]] — a plain
+    * sentinel instead of NULL so the min-propagation is pure integer
+    * arithmetic on both engines (NULL-handling in least()/min() differs
+    * subtly across engines; a sentinel cannot).
+    */
+  val Unreached = 999999L
+
+  /** Single-source BFS hop distances over an UNDIRECTED graph: `iters`
+    * rounds of min-distance propagation (distance analog of
+    * [[connectedComponents]]'s label propagation — after k rounds every
+    * node within k hops of `source` has its exact hop count; farther nodes
+    * stay [[Unreached]]). Same BSP scale shape: the symmetrized edge list
+    * hash-partitions on src once and checkpoints; each round is one
+    * co-located edge⋈dist join + a partial-aggregated min over the
+    * |nodes|-sized frame.
+    */
+  def shortestHops(edges: DataFrame, source: Long, iters: Int = 6,
+                   srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val half = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")).localCheckpoint(false)
+    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+    var dist = nodes.withColumn("hop",
+      when(col("node") === source, 0L).otherwise(lit(Unreached)))
+    for (_ <- 1 to iters) {
+      val viaNeighbor = und
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("hop"))
+        .groupBy("node")
+        .agg((min(col("hop")) + 1L).as("__nhop"))
+      dist = dist
+        .join(viaNeighbor, Seq("node"), "left")
+        .select(col("node"),
+          least(col("hop"), coalesce(col("__nhop"), lit(Unreached))).as("hop"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
   /** `iters` rounds of synchronous min-label propagation over an
     * UNDIRECTED graph (the edge list is symmetrized here): every node
     * starts labeled with itself; each round it takes the minimum of its

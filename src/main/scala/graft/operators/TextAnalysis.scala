@@ -516,6 +516,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
 
+  /** Zipf-law slope per corpus slice: OLS fit of ln(freq) against ln(rank)
+    * over each slice's top-`topK` terms (a healthy natural-language slice
+    * sits near −1; flat or cliff-shaped slopes flag templated/boilerplate
+    * sources — the corpus-mix diagnostic next to [[corpusDivergence]]).
+    *
+    * Term counting partial-aggregates to (slice, token) — vocabulary-sized
+    * per slice, never the token stream; ranking is one per-slice window
+    * over that vocab-sized frame (freq desc, token tiebreak → total
+    * order), and the slope reduces in the SAME aggregate pass from the
+    * closed form (nΣxy − ΣxΣy) / (nΣxx − (Σx)²) with round-12
+    * decimal-accumulated moments, so the statistic is bit-stable across
+    * partition counts and engines.
+    */
+  def zipfSlope(docs: DataFrame, topK: Int = 100,
+                sliceCol: String = "source", textCol: String = "text"): DataFrame = {
+    def m(c: Column): Column =
+      sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sliceCol)).orderBy(col("f").desc, col("token"))
+    docs
+      .select(col(sliceCol), explode(Dedup.tokens(textCol)).as("token"))
+      .groupBy(col(sliceCol), col("token"))
+      .agg(count(lit(1)).as("f"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= topK)
+      .select(col(sliceCol),
+        log(col("r").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).cast("double").as("n"),
+        m(col("x")).as("sx"), m(col("y")).as("sy"),
+        m(col("x") * col("y")).as("sxy"), m(col("x") * col("x")).as("sxx"))
+      .select(col(sliceCol), col("n").cast("long").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+      .orderBy(col(sliceCol))
+  }
+
   /** Top-k word-bigram collocations by pointwise mutual information —
     * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p over corpus bigram/token
     * totals. The phrase-mining pass under tokenizer vocab extension and

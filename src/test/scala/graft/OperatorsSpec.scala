@@ -473,6 +473,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head.getString(0) === "Alice" && out.head.getDouble(5) === 260.0)
   }
 
+  test("Graph.shortestHops: exact hop counts within range, sentinel beyond") {
+    // path v1-v2-v3-v4-v5, source v1, 2 rounds → v4/v5 unreached
+    val edges = (1 to 4).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val out = Graph.shortestHops(edges, source = 1L, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      4L -> Graph.Unreached, 5L -> Graph.Unreached))
+    val full = Graph.shortestHops(edges, source = 3L, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("Analytics.giniBySegment: zero for equal orders, known value for a skewed pair") {
+    val cust = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
+    val ords = Seq(
+      (10L, 1L, 50.0), (11L, 1L, 50.0), (12L, 1L, 50.0), // equal → gini 0
+      (20L, 2L, 0.0), (21L, 2L, 100.0)) // maximal two-order skew → 0.5
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Analytics.giniBySegment(cust, ords)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out === Map("A" -> 0.0, "B" -> 0.5))
+  }
+
+  test("TextAnalysis.zipfSlope reproduces the closed-form OLS on a tiny corpus") {
+    // one slice, tokens: a×4 b×2 c×1 → ranks 1,2,3 with freqs 4,2,1
+    val docs = Seq(("s1", "a a a a b b c")).toDF("source", "text")
+    val out = TextAnalysis.zipfSlope(docs, topK = 100).collect()
+    assert(out.length === 1 && out.head.getLong(1) === 3L)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val exp = (n * xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum) /
+      (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    assert(math.abs(out.head.getDouble(2) - exp) < 1e-6)
+  }
+
   test("Analytics.custOrderDistribution counts the zero bucket and excludes the priority") {
     val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
     val ords = Seq(
