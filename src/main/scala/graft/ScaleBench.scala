@@ -138,6 +138,50 @@ object ScaleBench {
     ()
   }
 
+  /** Scaled relational star (orders/lineitem/customer/supplier + verbatim
+    * region/nation): copy k shifts every key into a fresh id range with
+    * JOIN-CONSISTENT offsets (l_orderkey tracks o_orderkey, o_custkey
+    * tracks c_custkey, l_suppkey tracks s_suppkey, l_partkey tracks
+    * [[generatePart]]'s p_partkey), so each copy is a structurally exact
+    * replica sharing no keys with any other — the TPC-H-shape keys, the
+    * graph keys (node ids stay disjoint per copy: components multiply,
+    * rank mass splits) and the Gini audit all scale as MORE entities,
+    * same per-entity structure. Own marker so existing corpora gain the
+    * star without a rebuild.
+    */
+  private def generateRelational(spark: SparkSession, base: String, out: String, mult: Int): Unit = {
+    val marker = new java.io.File(s"$out/_GENERATED_REL")
+    if (marker.exists()) return
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).head().getLong(0) + 1
+    val (cust, supp, ords, li) = (Tables.customer(spark, base),
+      Tables.supplier(spark, base), Tables.orders(spark, base),
+      Tables.lineitem(spark, base))
+    val (nCust, nSupp, nOrd) = (maxOf(cust, "c_custkey"), maxOf(supp, "s_suppkey"),
+      maxOf(ords, "o_orderkey"))
+    val nPart = maxOf(Tables.part(spark, base), "p_partkey")
+    def scaled(df: DataFrame, shifts: (String, Long)*): DataFrame =
+      (0 until mult).map { k =>
+        shifts.foldLeft(df) { case (d, (c, n)) =>
+          d.withColumn(c, col(c) + lit(k * n))
+        }
+      }.reduce(_ unionByName _)
+    scaled(cust, "c_custkey" -> nCust)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
+    scaled(supp, "s_suppkey" -> nSupp)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    scaled(ords, "o_orderkey" -> nOrd, "o_custkey" -> nCust)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    scaled(li, "l_orderkey" -> nOrd, "l_suppkey" -> nSupp, "l_partkey" -> nPart)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // dimension constants don't scale — copy verbatim
+    Tables.region(spark, base).write.mode("overwrite").parquet(s"$out/region.parquet")
+    Tables.nation(spark, base).write.mode("overwrite").parquet(s"$out/nation.parquet")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
+
   /** Every key that reads only documents/embeddings — the full LLM-data
     * surface, including the quality diagnostics (recall must SURVIVE the
     * scale-up, not just finish). Grouped for the report; timed flat.
@@ -166,7 +210,7 @@ object ScaleBench {
     "q_split_assign", "q_stratified_sample", "q_corpus_mix",
     "q_mix_temperature", "q_frame_sample", "q_multimodal_features",
     "q_pmi", "q_kl_divergence", "q_percentile_rank", "q_readability",
-    "q_code_detect")
+    "q_code_detect", "q_zipf_slope")
   /** Every key that reads events — the reference stock surface plus the
     * analytics/streaming-mirror families. Included so the time-series
     * windows (SMA/EWMA/drawdown), as-of joins, funnel/retention and the
@@ -199,7 +243,10 @@ object ScaleBench {
     "q_robust_scale", "q_sliding_window", "q_key_skew", "q_cube",
     "q_quantile_disc", "q_attribution", "q_time_between",
     "q_rrf_fusion", "q_rank_eval", "q_grouping_sets", "q_pagerank",
-    "q_weighted_sample", "q18_big_orders", "q_components")
+    "q_weighted_sample", "q18_big_orders", "q_components",
+    "q13_cust_orders", "q15_top_supplier", "q16_supplier_classes",
+    "q22_idle_customers", "q_bfs_hops", "q_gini",
+    "q_rolling_distinct", "q_concurrency", "q_path_top")
 
   /** Record-linkage keys (read the scaled part table). */
   private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup")
@@ -284,6 +331,7 @@ object ScaleBench {
     generate(spark, base, out, mult)
     generateEvents(spark, base, out, mult)
     generatePart(spark, base, out, mult)
+    generateRelational(spark, base, out, mult)
     // warmup (JIT + codegen) on the smallest sf, then interleaved passes
     // (min-of-N rejects this host's throttle windows, like Bench)
     runPass(spark, "/root/testdata/sf0.001", 0)
