@@ -1648,6 +1648,18 @@ object SparkEntry {
       Analytics.bigOrders(Tables.customer(s, dir), ordersNtz(s, dir),
         Tables.lineitem(s, dir), minQty = 250, k = 100)),
 
+    "q9_profit" -> ((s, dir) =>
+      // TPC-H Q9 shape: the widest join tree on the board — two fact
+      // joins + broadcast dims, part filter pruned at the scan
+      Analytics.profitByNationYear(Tables.nation(s, dir),
+        Tables.supplier(s, dir), Tables.part(s, dir), ordersNtz(s, dir),
+        Tables.lineitem(s, dir), partType = "PROMO")),
+
+    "q_cohort_orders" -> ((s, dir) =>
+      // first-order cohort retention matrix on integer month arithmetic;
+      // distinct count on the deduplicated customer-cell grain
+      Analytics.orderCohorts(ordersNtz(s, dir))),
+
     "q_bfs_hops" -> ((s, dir) => {
       // BFS hop histogram from customer 1 over the undirected purchase
       // graph: 6 rounds of min-distance propagation, same co-partitioned
@@ -3894,6 +3906,33 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q_cohort_orders" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INTEGER) AS m
+        |  FROM orders),
+        |first AS MATERIALIZED (
+        |  SELECT o_custkey, min(m) AS m0 FROM m GROUP BY 1),
+        |cells AS MATERIALIZED (
+        |  SELECT DISTINCT m.o_custkey, f.m0, m.m - f.m0 AS k
+        |  FROM m JOIN first f ON m.o_custkey = f.o_custkey)
+        |SELECT concat(CAST(m0 // 12 AS BIGINT), '-',
+        |         lpad(CAST(m0 % 12 + 1 AS VARCHAR), 2, '0')) AS cohort,
+        |  CAST(k AS BIGINT) AS months_later, count(*) AS n_customers
+        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_bfs_hops" -> bfsOracleSql(source = 2L, iters = 6),
 

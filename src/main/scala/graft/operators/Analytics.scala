@@ -252,6 +252,57 @@ object Analytics {
       .limit(k)
   }
 
+  /** Revenue by supplier nation × order year for one part class (TPC-H Q9
+    * shape): the widest join tree on the board — lineitem⋈part⋈orders⋈
+    * supplier⋈nation. The part filter prunes BEFORE its join (Catalyst
+    * pushes the p_type predicate to the scan, so the partkey join probes
+    * only the class's survivors); supplier and nation are dimension-sized
+    * and broadcast; the only data-sized exchanges are the two fact joins
+    * (lineitem⋈part on partkey, ⋈orders on orderkey), and the final
+    * (nation, year) group is dimension-small with map-side partials.
+    */
+  def profitByNationYear(nation: DataFrame, supplier: DataFrame,
+                         part: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                         partType: String): DataFrame =
+    lineitem
+      .join(part.where(col("p_type") === partType),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("n_name"), col("o_year").desc)
+
+  /** First-order cohort retention matrix: customers cohort by the month of
+    * their first order; cell (cohort, k) counts distinct customers from
+    * that cohort ordering again k months later. The first-order month is
+    * one partial-aggregated min per custkey (never a window over raw
+    * orders); the month offset is integer month arithmetic (no date
+    * rounding ambiguity); the matrix aggregate runs on the (custkey,
+    * cohort, k) DEDUPLICATED grain, so the distinct count's Expand carries
+    * at most one row per customer-cell.
+    */
+  def orderCohorts(orders: DataFrame): DataFrame = {
+    val monthIdx = year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1
+    val first = orders
+      .groupBy(col("o_custkey"))
+      .agg(min(monthIdx).as("m0"))
+    orders
+      .select(col("o_custkey"), monthIdx.as("m"))
+      .join(first, Seq("o_custkey"))
+      .select(col("o_custkey"), col("m0"), (col("m") - col("m0")).as("k"))
+      .distinct()
+      .groupBy(col("m0"), col("k"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(
+        concat(expr("CAST(m0 div 12 AS BIGINT)"), lit("-"),
+          lpad((pmod(col("m0"), lit(12)) + 1).cast("string"), 2, "0")).as("cohort"),
+        col("k").cast("long").as("months_later"), col("n_customers"))
+      .orderBy(col("cohort"), col("months_later"))
+  }
+
   /** Gini coefficient of order value per market segment — the revenue-
     * concentration audit. Needs each order's rank within its segment:
     * one per-segment window sort (Spark's external sort — spill-safe on a

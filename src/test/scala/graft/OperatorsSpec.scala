@@ -509,6 +509,36 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(2) - exp) < 1e-6)
   }
 
+  test("Analytics.profitByNationYear routes revenue through the part filter and dims") {
+    val nation = Seq((100, "N_A"), (200, "N_B")).toDF("n_nationkey", "n_name")
+    val sup = Seq((1L, 100), (2L, 200)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq((7L, "PROMO"), (8L, "LARGE")).toDF("p_partkey", "p_type")
+    val ords = Seq((10L, ts("1996-03-01 00:00:00")), (11L, ts("1997-06-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (10L, 7L, 1L, 100.0, 0.1), // PROMO, supplier 1 → N_A, 1996, 90
+      (10L, 8L, 1L, 999.0, 0.0), // LARGE: filtered
+      (11L, 7L, 2L, 50.0, 0.0))  // PROMO, supplier 2 → N_B, 1997, 50
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = Analytics.profitByNationYear(nation, sup, part, ords, li, "PROMO")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("N_A", 1996, 90.0), ("N_B", 1997, 50.0)))
+  }
+
+  test("Analytics.orderCohorts: first-order month anchors, repeat orders dedup per cell") {
+    val ords = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")), // cohort 2024-01, k=0
+      (1L, 11L, ts("2024-03-09 00:00:00")), // k=2
+      (1L, 12L, ts("2024-03-20 00:00:00")), // same cell — deduped
+      (2L, 20L, ts("2024-03-01 00:00:00"))) // cohort 2024-03, k=0
+      .map { case (c, o, t) => (o, c, t) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Analytics.orderCohorts(ords)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01", 0L, 1L), ("2024-01", 2L, 1L), ("2024-03", 0L, 1L)))
+  }
+
   test("Analytics.custOrderDistribution counts the zero bucket and excludes the priority") {
     val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
     val ords = Seq(
