@@ -246,7 +246,7 @@ object ScaleBench {
     "q_weighted_sample", "q18_big_orders", "q_components",
     "q13_cust_orders", "q15_top_supplier", "q16_supplier_classes",
     "q22_idle_customers", "q_bfs_hops", "q_gini", "q9_profit", "q_cohort_orders",
-    "q_rolling_distinct", "q_concurrency", "q_path_top")
+    "q_rolling_distinct", "q_concurrency", "q_path_top", "q_reach_stream")
 
   /** Record-linkage keys (read the scaled part table). */
   private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup")

@@ -1352,6 +1352,12 @@ object SparkEntry {
       // 30-min inactivity gap closes a session
       Sessionize.byGap(events(s, dir), gapSec = 1800)),
 
+    "q_reach_stream" -> ((s, dir) =>
+      // batch mirror of the streaming daily-reach maintenance (the
+      // deduplicated user-day grain + tumbling daily distinct count) —
+      // the lambda partner of q_rolling_distinct
+      EventsStream.reachStream(events(s, dir)).orderBy(col("d"))),
+
     "q_rolling_distinct" -> ((s, dir) =>
       // trailing 7-day distinct active users per day: dedup to the
       // (user, day) grain FIRST, bounded 7x explode on the grain, two-phase
@@ -3839,6 +3845,11 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
         |  round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_sec
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "q_reach_stream" ->
+      """SELECT d, count(*) AS daily_active FROM (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rolling_distinct" ->
       """WITH ud AS MATERIALIZED (

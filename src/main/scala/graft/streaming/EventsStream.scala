@@ -106,6 +106,33 @@ object EventsStream {
     out.drop("__simhash")
   }
 
+  /** Daily-reach maintenance — the streaming side of q_rolling_distinct's
+    * lambda pair: the stream maintains the DEDUPLICATED (user, day) grain
+    * (dropDuplicatesWithinWatermark — first arrival per user-day wins,
+    * state expires with the watermark, so memory is O(active user-days in
+    * the delay), never O(users ever)) and folds it into exact per-day
+    * distinct counts with a tumbling daily window — two chained stateful
+    * operators, watermark propagated between them. The trailing-7-day
+    * union is the batch side's job (Activity.rollingDistinct over the
+    * same grain): exact multi-day DISTINCT in a sliding window would need
+    * per-window set state, which is precisely what the grain avoids.
+    * Batch path: plain distinct + the same daily aggregate (the mirror
+    * the oracle checks).
+    */
+  def reachStream(events: DataFrame, delay: String = "2 days"): DataFrame = {
+    val keyed = events.select(col("user_id"),
+      date_trunc("DAY", col("ts")).as("d"))
+    val grain =
+      if (events.isStreaming)
+        keyed.withWatermark("d", delay)
+          .dropDuplicatesWithinWatermark("user_id", "d")
+      else keyed.distinct()
+    grain
+      .groupBy(window(col("d"), "1 day").as("w"))
+      .agg(count(lit(1)).as("daily_active"))
+      .select(col("w.start").cast("date").as("d"), col("daily_active"))
+  }
+
   /** Streaming exact dedup on `keys`: duplicates arriving within the
     * watermark delay of each other collapse to the first arrival; state per
     * key expires with the watermark, so memory is O(keys within the delay),

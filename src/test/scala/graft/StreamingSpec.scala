@@ -397,6 +397,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("reachStream: chained dedup + daily window emit exact per-day distinct counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = EventsStream.reachStream(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      delay = "2 days")
+    val query = out.writeStream.format("memory").queryName("reach_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 09:00:00"), "click", 1.0),
+        Ev(1L, ts("2024-01-01 17:00:00"), "view", 1.0), // same user-day: dedup
+        Ev(2L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(1L, ts("2024-01-02 08:00:00"), "click", 1.0))
+      query.processAllAvailable()
+      // advance the watermark far enough to close both days
+      input.addData(Ev(9L, ts("2024-01-06 00:00:00"), "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("reach_stream").collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(rows === Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+      // batch mirror: identical counts through distinct + the same window
+      val batch = EventsStream.reachStream(Seq(
+        Ev(1L, ts("2024-01-01 09:00:00"), "click", 1.0),
+        Ev(1L, ts("2024-01-01 17:00:00"), "view", 1.0),
+        Ev(2L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(1L, ts("2024-01-02 08:00:00"), "click", 1.0)).toDF()
+        .withColumn("ts", col("ts").cast("timestamp")))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(batch === Map("2024-01-01" -> 2L, "2024-01-02" -> 1L))
+    } finally query.stop()
+  }
+
   test("nearDedupWithinWatermark folds reformatted duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamDoc]
