@@ -430,6 +430,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("reachStream kill-and-restart: dedup state survives, days finalize exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_reach_restart").toFile.getAbsolutePath
+    val (ckpt, outDir) = (s"$dir/ckpt", s"$dir/out")
+    val input = MemoryStream[Ev]
+    def start() = EventsStream.reachStream(
+      input.toDS().toDF().withColumn("ts", col("ts").cast("timestamp")),
+      delay = "2 days")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(
+        Ev(1L, ts("2024-01-01 09:00:00"), "click", 1.0),
+        Ev(1L, ts("2024-01-01 17:00:00"), "view", 1.0), // same user-day
+        Ev(2L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(1L, ts("2024-01-02 08:00:00"), "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // while the query is DOWN: a re-delivery of a user-day committed before
+    // the kill (must hit the CHECKPOINTED dedup state, not recount) plus a
+    // far-future event that closes both days after the restart
+    input.addData(
+      Ev(1L, ts("2024-01-01 23:00:00"), "view", 1.0),
+      Ev(9L, ts("2024-01-06 00:00:00"), "click", 1.0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+    // exactly one finalization per day, and the restart re-delivery did
+    // not inflate Jan 1 to 3
+    assert(rows.sortBy(_._1).toSeq === Seq("2024-01-01" -> 2L, "2024-01-02" -> 1L),
+      rows.mkString(";"))
+  }
+
   test("nearDedupWithinWatermark folds reformatted duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamDoc]
