@@ -2355,9 +2355,14 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))
       val epoch = unix_micros(col("ts").cast("timestamp"))
+      // checkpointed: the radix quantile makes several passes over its
+      // input, and re-deriving gaps re-runs the window sort each pass —
+      // one materialization replaces ~4 window sorts (measured 2.3 s →
+      // ~1.3 s at sf0.1)
       val gaps = ev.select(col("event_type"),
           (epoch - lag(epoch, 1).over(w)).as("gap"))
         .where(col("gap").isNotNull)
+        .localCheckpoint(false)
       // outputs stay UNROUNDED and the sum stays SCALE-0: round(x, 6) at
       // the e11-microsecond magnitude is engine-divergent at the ulp, and
       // DuckDB's DECIMAL(p,6)→DOUBLE cast divides by 10⁶ in float (a
