@@ -210,7 +210,7 @@ object ScaleBench {
     "q_split_assign", "q_stratified_sample", "q_corpus_mix",
     "q_mix_temperature", "q_frame_sample", "q_multimodal_features",
     "q_pmi", "q_kl_divergence", "q_percentile_rank", "q_readability",
-    "q_code_detect", "q_zipf_slope")
+    "q_code_detect", "q_zipf_slope", "q_survivorship")
   /** Every key that reads events — the reference stock surface plus the
     * analytics/streaming-mirror families. Included so the time-series
     * windows (SMA/EWMA/drawdown), as-of joins, funnel/retention and the
@@ -246,7 +246,8 @@ object ScaleBench {
     "q_weighted_sample", "q18_big_orders", "q_components",
     "q13_cust_orders", "q15_top_supplier", "q16_supplier_classes",
     "q22_idle_customers", "q_bfs_hops", "q_gini", "q9_profit", "q_cohort_orders",
-    "q_rolling_distinct", "q_concurrency", "q_path_top", "q_reach_stream")
+    "q_rolling_distinct", "q_concurrency", "q_path_top", "q_reach_stream",
+    "q_forecast_eval")
 
   /** Record-linkage keys (read the scaled part table). */
   private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup")

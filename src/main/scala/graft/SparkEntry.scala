@@ -1654,6 +1654,28 @@ object SparkEntry {
       Analytics.bigOrders(Tables.customer(s, dir), ordersNtz(s, dir),
         Tables.lineitem(s, dir), minQty = 250, k = 100)),
 
+    "q_forecast_eval" -> ((s, dir) =>
+      // naive-forecast eval metrics per type: day bars partial-aggregate
+      // first, lag-1 persistence forecast, decimal error moments
+      Analytics.forecastEval(events(s, dir))),
+
+    "q_survivorship" -> ((s, dir) => {
+      // golden-record merge: documents plus a deterministic 'mirror
+      // system' copy of every third doc (longer text, new source) —
+      // survivorship must pick the richer mirror while the canonical id
+      // stays the original; one partial-aggregated pass per entity
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirror = docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" [archived copy]")).as("text"),
+          lit("mirror").as("source"))
+      Dedup.survivorship(
+        docs.unionByName(mirror)
+          .withColumn("entity_id", pmod(col("doc_id"), lit(1000000L))))
+        .orderBy(col("entity_id"))
+    }),
+
     "q9_profit" -> ((s, dir) =>
       // TPC-H Q9 shape: the widest join tree on the board — two fact
       // joins + broadcast dims, part filter pruned at the scan
@@ -3922,6 +3944,37 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_forecast_eval" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |err AS MATERIALIZED (
+        |  SELECT event_type,
+        |    y - lag(y) OVER (PARTITION BY event_type ORDER BY d) AS e
+        |  FROM daily)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(CAST(sum(CAST(round(abs(e), 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |        / count(*), 6) AS mae,
+        |  round(sqrt(CAST(sum(CAST(round(e * e, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |        / count(*)), 6) AS rmse,
+        |  round(CAST(sum(CAST(round(e, 12) AS DECIMAL(28,12))) AS DOUBLE)
+        |        / count(*), 6) AS bias
+        |FROM err WHERE e IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_survivorship" ->
+      """WITH rec AS MATERIALIZED (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' [archived copy]', 'mirror'
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id % 1000000 AS entity_id, count(*) AS n_members,
+        |  min(doc_id) AS canonical_id,
+        |  arg_max(doc_id, length(text) * 1000000000000 - doc_id) AS survivor_id,
+        |  max(length(text)) AS survivor_len,
+        |  count(DISTINCT source) AS n_sources
+        |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q9_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Fns.exactSum
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The relational core the reference delegates to PostgreSQL: multi-aggregate
@@ -301,6 +301,34 @@ object Analytics {
           lpad((pmod(col("m0"), lit(12)) + 1).cast("string"), 2, "0")).as("cohort"),
         col("k").cast("long").as("months_later"), col("n_customers"))
       .orderBy(col("cohort"), col("months_later"))
+  }
+
+  /** Naive-forecast error metrics per series (the eval harness under any
+    * forecasting work): daily mean value per type, lag-1 persistence
+    * forecast, then MAE / RMSE / bias per type. Day bars partial-aggregate
+    * first (the fact shuffles once as (type, day) partials), the lag is a
+    * per-type window over DAY-grain rows (bounded by calendar length, not
+    * event rate), and the error moments are round-12 decimal sums — the
+    * bit-stable recipe — with only the final IEEE sqrt outside it.
+    */
+  def forecastEval(events: DataFrame): DataFrame = {
+    def m(c: Column): Column =
+      sum(round(c, 12).cast("decimal(28,12)")).cast("double")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg((exactSum(col("value")) / count(lit(1))).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("d"))
+    daily
+      .withColumn("f", lag(col("y"), 1).over(w))
+      .where(col("f").isNotNull)
+      .select(col("event_type"), (col("y") - col("f")).as("e"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(m(abs(col("e"))) / count(lit(1)), 6).as("mae"),
+        round(sqrt(m(col("e") * col("e")) / count(lit(1))), 6).as("rmse"),
+        round(m(col("e")) / count(lit(1)), 6).as("bias"))
+      .orderBy(col("event_type"))
   }
 
   /** Gini coefficient of order value per market segment — the revenue-

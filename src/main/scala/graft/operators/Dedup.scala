@@ -42,6 +42,31 @@ object Dedup {
     docs.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Golden-record survivorship (the MDM merge step AFTER duplicates are
+    * clustered): per entity cluster, apply field-level survivorship rules
+    * in ONE partial-aggregated pass — earliest id as the canonical key,
+    * richest record (longest text, min-id tiebreak) as the survivor, and
+    * the source spread as merge provenance. The composite argmax order
+    * (length, −id) is encoded into a single comparable long
+    * (len·10¹² − id, ids assumed < 10¹²) so max_by is total and the
+    * survivor deterministic on every engine — no struct-comparison
+    * semantics to disagree about. Nothing shuffles except cluster
+    * partials: survivorship is exactly as scalable as a groupBy.
+    */
+  def survivorship(records: DataFrame, entityCol: String = "entity_id",
+                   idCol: String = "doc_id", textCol: String = "text",
+                   srcCol: String = "source"): DataFrame =
+    records
+      .groupBy(col(entityCol))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col(idCol)).as("canonical_id"),
+        max_by(col(idCol),
+          length(col(textCol)).cast("long") * lit(1000000000000L) - col(idCol))
+          .as("survivor_id"),
+        max(length(col(textCol)).cast("long")).as("survivor_len"),
+        countDistinct(col(srcCol)).as("n_sources"))
+
   /** The persisted fingerprint store for incremental dedup: one 128-bit
     * md5 per distinct text ever admitted to the corpus. 16 bytes/doc —
     * at 100 TB of documents the store is ~0.1% of the corpus, and all

@@ -539,6 +539,35 @@ class OperatorsSpec extends SparkSpec {
       ("2024-01", 0L, 1L), ("2024-01", 2L, 1L), ("2024-03", 0L, 1L)))
   }
 
+  test("Dedup.survivorship: richest record wins, min-id tiebreak, canonical stays earliest") {
+    val recs = Seq(
+      (1L, 10L, "short", "web"),
+      (1L, 20L, "a longer record", "crm"),   // longest → survivor
+      (2L, 30L, "same len", "web"),
+      (2L, 31L, "same len", "web"),          // tie on length → min id 30 wins
+      (3L, 40L, "alone", "web"))
+      .toDF("entity_id", "doc_id", "text", "source")
+    val out = Dedup.survivorship(recs).orderBy($"entity_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 10L, 20L, 2L), (2L, 2L, 30L, 30L, 1L), (3L, 1L, 40L, 40L, 1L)))
+  }
+
+  test("Analytics.forecastEval: persistence-forecast errors per series") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 10.0),
+      (1L, ts("2024-01-02 10:00:00"), "a", 13.0), // e = +3
+      (1L, ts("2024-01-03 10:00:00"), "a", 9.0))  // e = -4
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Analytics.forecastEval(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 2L)                       // n_days with a forecast
+    assert(r.getDouble(2) === 3.5)                    // mae = (3+4)/2
+    assert(math.abs(r.getDouble(3) - math.sqrt(12.5)) < 1e-6) // rmse (round-6 output)
+    assert(r.getDouble(4) === -0.5)                   // bias
+  }
+
   test("Analytics.custOrderDistribution counts the zero bucket and excludes the priority") {
     val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
     val ords = Seq(
