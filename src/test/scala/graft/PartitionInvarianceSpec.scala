@@ -29,7 +29,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_pagerank",         // 5 iterations of decimal-summed contributions
     "q_weighted_sample",  // scan-level A-ES keys, global bounded top-k
     "q18_big_orders",     // decimal quantity sums gate the join
-    "q_components")       // pure string-min propagation, no numerics
+    "q_components",       // pure min propagation on long ids, no numerics
+    "q_concurrency",      // two-level prefix sum over boundary deltas
+    "q_gini",             // rank-weighted decimal moments
+    "q_zipf_slope",       // round-12 decimal OLS moments over ln terms
+    "q_forecast_eval",    // decimal error moments + final IEEE sqrt
+    "q_bfs_hops",         // integer min-distance propagation
+    "q15_top_supplier",   // max over decimal-summed revenue
+    "q_survivorship")     // single-long argmax key, integer aggregates
 
   test("sensitive queries return identical rows at 3 vs 32 shuffle partitions") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
