@@ -41,6 +41,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("maxConcurrent equals the naive per-instant interval count (random sessions)") {
+    import graft.operators.Activity
+    for (seed <- 30L to 33L) {
+      val evs = genData(seed, 150).map(e =>
+        (e.k, new java.sql.Timestamp(1704067200000L + e.t * 60000L)))
+      val df = evs.toDF("user_id", "ts").withColumn("value", lit(1.0))
+      val gapSec = 600L
+      val got = Activity.maxConcurrent(df, gapSec)
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      // naive reference: rebuild sessions per user, then for every boundary
+      // instant count CLOSED-interval overlaps and take the max per day
+      val sessions = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val ts = rows.map(_._2.getTime).sorted
+        ts.foldLeft(List.empty[(Long, Long)]) {
+          case (Nil, t)                                   => List((t, t))
+          case ((s, e) :: rest, t) if t - e <= gapSec * 1000 => (s, t) :: rest
+          case (acc, t)                                   => (t, t) :: acc
+        }
+      }
+      val instants = sessions.flatMap(s => Seq(s._1, s._2)).distinct
+      // per-day maxima over boundary instants, day taken in UTC (the
+      // session timezone the spec harness pins)
+      val expByDay = instants
+        .map(t => java.time.Instant.ofEpochMilli(t).toString.take(10) ->
+          sessions.count(s => s._1 <= t && t <= s._2))
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).max.toLong }
+      assert(got === expByDay, s"seed=$seed")
+    }
+  }
+
+  test("shortestHops equals Dijkstra-on-unit-weights within the round budget (random graphs)") {
+    import graft.operators.Graph
+    for (seed <- 40L to 43L) {
+      val edges = genData(seed, 60).map(e => (e.k, (e.t % 7) + 1L)).distinct
+      val df = edges.toDF("src", "dst")
+      val iters = 4
+      val got = Graph.shortestHops(df, source = 1L, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive BFS over the symmetrized edge set
+      val und = edges.flatMap(e => Seq(e, (e._2, e._1))).toSet
+      val nodes = und.map(_._1)
+      var dist = nodes.map(n => n -> (if (n == 1L) 0L else Graph.Unreached)).toMap
+      var frontier = Set(1L)
+      var hop = 0L
+      while (frontier.nonEmpty && hop < iters) {
+        hop += 1
+        val next = und.filter(e => frontier(e._1)).map(_._2)
+          .filter(n => dist(n) == Graph.Unreached)
+        dist = dist ++ next.map(_ -> hop)
+        frontier = next
+      }
+      assert(got === dist, s"seed=$seed")
+    }
+  }
+
   test("GroupTopK equals naive sort-take per key (random data)") {
     for (seed <- 10L to 13L) {
       val data = genData(seed, 150).zipWithIndex.map { case (e, i) => (e.k, i.toLong, e.v) }
