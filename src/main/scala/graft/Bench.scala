@@ -71,6 +71,9 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] pass $pass $name%-24s $dt%8.2f s" +
           (if (ok) "" else "  FAILED"))
+        // see ScaleBench: finished queries' checkpoint blocks are garbage;
+        // unpersisting between queries keeps the block manager flat
+        Graft.dropQueryState(spark)
         name -> (if (ok) dt else Double.NaN)
       }.toMap
     }

@@ -12,6 +12,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Graft {
 
+  /** Drop all cross-query executor state between independent benchmark
+    * queries: every persisted RDD (a finished query's localCheckpoint
+    * blocks — garbage once its action returned, but pinned until an
+    * explicit unpersist) and the SQL relation cache. Without this, a
+    * multi-hundred-query battery accumulates every query's checkpointed
+    * edge lists / gap frames / rank iterates in the block manager until
+    * the heap gives out (observed: the 100× ScaleBench battery OOM'd on
+    * q_bfs_hops's 120M-row symmetrized edge checkpoint after ~390 prior
+    * query runs). Blocking=false: eviction proceeds asynchronously, the
+    * next query's timing is unaffected.
+    */
+  def dropQueryState(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
+
   /** Scratch directory for shuffle/spill files in the single-node entry
     * points: RAM-backed /dev/shm when available (this container's disk
     * writes ~3 MB/s — every shuffle write would otherwise serialize on

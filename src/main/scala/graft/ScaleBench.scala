@@ -302,6 +302,11 @@ object ScaleBench {
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scale] pass $pass ${new java.io.File(dir).getName}%-16s $name%-26s $dt%8.2f s" +
         (if (ok) "" else "  FAILED"))
+      // a finished query's localCheckpoint blocks are garbage, but the
+      // block manager pins them until unpersist — across ~400 query runs
+      // the leak OOM'd the 100x battery (q_bfs_hops's 120M-row edge
+      // checkpoint tipped it). Queries are independent: drop everything.
+      Graft.dropQueryState(spark)
       name -> (if (ok) dt else Double.NaN)
     }.toMap
 
