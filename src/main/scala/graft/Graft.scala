@@ -23,10 +23,23 @@ object Graft {
     * query runs). Blocking=false: eviction proceeds asynchronously, the
     * next query's timing is unaffected.
     */
-  def dropQueryState(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sparkContext.getPersistentRDDs.valuesIterator
-      .foreach(_.unpersist(blocking = false))
-    spark.catalog.clearCache()
+  def dropQueryState(spark: org.apache.spark.sql.SparkSession,
+                     thresholdBytes: Long = 4L << 30): Unit = {
+    // purge only past a storage-memory threshold: an unconditional drop
+    // would also evict the deliberately memoized cross-query frames
+    // (SparkEntry.shared — the SemDeDup pair/centroid builds three keys
+    // share) and re-pay their dominant build per query. Below the
+    // threshold the leak is harmless; above it the whole block manager is
+    // flushed INCLUDING the memo map (its checkpoint blocks just
+    // vanished — handing out a stale frame would throw
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), and memos rebuild lazily.
+    val used = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+    if (used > thresholdBytes) {
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      SparkEntry.clearShared()
+    }
   }
 
   /** Scratch directory for shuffle/spill files in the single-node entry

@@ -74,6 +74,15 @@ object SparkEntry {
   // diagnostic is supposed to score. Keying on applicationId scopes every
   // entry (and any localCheckpoint-backed frame) to its own SparkContext.
   private val shared = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+
+  /** Invalidate every memoized frame/model. The benchmark harnesses drop
+    * all persisted RDD blocks between independent queries
+    * (Graft.dropQueryState) — any memo backed by a localCheckpoint would
+    * then hand out a frame whose blocks are gone
+    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next use), so the memo map
+    * must be cleared in the same breath and rebuild lazily.
+    */
+  def clearShared(): Unit = shared.clear()
   // get/putIfAbsent rather than computeIfAbsent: builders nest (the pair
   // builder trains through the centroid builder), and a recursive
   // computeIfAbsent on one map is ILLEGAL; worst case under concurrency is
