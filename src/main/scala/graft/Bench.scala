@@ -30,11 +30,12 @@ object Bench {
     def okNames: Seq[String] = names.filterNot(errors.contains)
     def total: Double = if (results.nonEmpty) results.values.sum else 0.0
     private def jstr(s: String) = Bench.jsonStr(s)
-    def headline(sfDir: String): String = {
+    def headline(sfDir: String, calibSec: Double = Double.NaN): String = {
       val qs = okNames.map(k => jstr(k) + ":" + results(k)).mkString("{", ",", "}")
       val errJson = errors.toSeq.sortBy(_._1)
         .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      val calib = if (calibSec.isNaN) "" else s""""calib_sec":$calibSec,"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calib""" +
         s""""queries":$qs,"failed":$errJson,"n_failed":${errors.size},"sf":"${sfDir}"}"""
     }
     def samplesJson: String = {
@@ -44,6 +45,24 @@ object Bench {
       s"""{"samples":$passes}"""
     }
   }
+
+  /** Host-speed calibration: a FIXED constant-size in-memory aggregate
+    * (16M xxhash64 rows over 32 range partitions — no input data, no
+    * shuffle variance), min-of-`runs`, timed in the same process as the
+    * suite it accompanies. Emitted as `calib_sec` in every bench/scale
+    * artifact so cross-run comparisons can divide out this host's
+    * sustained-load throttle (measured up to 1.74× uniform drift between
+    * batteries on identical code) instead of arguing about it: compare
+    * time/calib, not raw seconds.
+    */
+  def calibrate(spark: SparkSession, runs: Int = 5): Double =
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 16L * 1000 * 1000, 1L, 32)
+        .selectExpr("xxhash64(id) AS h")
+        .groupBy().sum("h").head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
   /** Interleaved min-of-`iters` full-suite passes. Per-query time = min
     * over passes, not back-to-back repeats of each query: on a shared host
@@ -120,7 +139,11 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val out = run(spark, selected, sfDir, iters)
-    val line = out.headline(sfDir)
+    // calibration AFTER the suite: it stamps the host speed the measured
+    // passes actually ran under (running it first would measure the
+    // pre-throttle honeymoon)
+    val calib = calibrate(spark)
+    val line = out.headline(sfDir, calib)
     println(line)
     // The one-line stdout JSON overflows tail-capture harnesses at 91+
     // queries (a ~2 KB ring keeps only its suffix) — persist the full

@@ -33,8 +33,19 @@ object Graft {
     // flushed INCLUDING the memo map (its checkpoint blocks just
     // vanished — handing out a stale frame would throw
     // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), and memos rebuild lazily.
-    val used = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
-    if (used > thresholdBytes) {
+    // TWO gauges: memory blocks against `thresholdBytes` (the heap-OOM
+    // guard), disk blocks against 4× it — localCheckpoints persist at
+    // MEMORY_AND_DISK, so under memory pressure stale blocks evict to
+    // disk, where a memory-only gauge would sit below threshold while
+    // dead checkpoint data accumulated unboundedly on this host's slow
+    // disk. Disk gets the larger budget because it doesn't threaten the
+    // heap: counting it into the 4 GiB memory threshold made the purge
+    // trip on nearly every bench query and re-pay the shared model
+    // builds the memo exists to amortize.
+    val info = spark.sparkContext.getRDDStorageInfo
+    val usedMem = info.map(_.memSize).sum
+    val usedDisk = info.map(_.diskSize).sum
+    if (usedMem > thresholdBytes || usedDisk > 4 * thresholdBytes) {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()

@@ -194,7 +194,9 @@ object ScaleBench {
     "q_dedup_embedding", "q_dedup_embedding_keep",
     "q_ann_topk", "q_ann_batch", "q_ann_lsh", "q_ann_ivf",
     "q_ann_ivf_indexed", "q_ann_ivfpq_indexed", "q_ann_ivf_append",
-    "q_kmeans", "q_ann_recall", "q_ann_mmr", "q_pca_project")
+    "q_kmeans", "q_ann_recall", "q_ann_mmr", "q_pca_project",
+    "q_pq_topk", "q_ann_ivfpq", "q_embed_mean", "q_hard_negatives",
+    "q_dedup_incremental", "q_pair_quality")
   private val text = Seq(
     "q_lang_id", "q_quality_score", "q_quality_gate", "q_classifier", "q_token_count",
     "q_type_token", "q_vocab", "q_char_diversity", "q_bigram_frac",
@@ -204,6 +206,7 @@ object ScaleBench {
     "q_boilerplate", "q_decontaminate", "q_decontaminate_bloom",
     "q_contamination_report",
     "q_chunk_split", "q_pack_sequences", "q_shard_assign", "q_pipeline_e2e",
+    "q_dag_run",
     "q_curation_stream", "q_url_normalize", "q_dedup_url", "q_bm25_topk", "q_domain_cap",
     "q_span_dedup",
     "q_domain_stats", "q_scrub_pii", "q_profile", "q_sample_hash",
@@ -247,10 +250,14 @@ object ScaleBench {
     "q13_cust_orders", "q15_top_supplier", "q16_supplier_classes",
     "q22_idle_customers", "q_bfs_hops", "q_gini", "q9_profit", "q_cohort_orders",
     "q_rolling_distinct", "q_concurrency", "q_path_top", "q_reach_stream",
-    "q_forecast_eval")
+    "q_forecast_eval",
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "q_weighted_price", "q_market_basket", "q_salted_join",
+    "q_fk_integrity", "q_anti_join", "q_topk_per_key")
 
   /** Record-linkage keys (read the scaled part table). */
-  private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup")
+  private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup",
+    "q_normalize_symbol", "q_parse_magnitude")
 
   private val family = dedupAnn ++ text ++ events ++ linkage
 
@@ -285,8 +292,13 @@ object ScaleBench {
 
   // Same failure contract as Bench: a failed query is recorded, kept out
   // of every total/ratio, and fails the process — time-to-throw is not a
-  // measurement.
+  // measurement. EXCEPT the PairGate refusals: a query whose pair output
+  // goes quadratic at a deep rung is DESIGNED to abort past
+  // spark.graft.pairs.maxOutput — that is the operator working, not
+  // failing. Such keys land under `gated` (with the gate's estimate
+  // message), stay out of totals/ratios, and do not fail the battery.
   private val errors = scala.collection.mutable.Map[String, String]()
+  private val gated = scala.collection.mutable.Map[String, String]()
 
   private def runPass(spark: SparkSession, dir: String, pass: Int): Map[String, Double] =
     selectedFamily.map { name =>
@@ -294,6 +306,10 @@ object ScaleBench {
       val ok =
         try { SparkEntry.queries(name)(spark, dir).count(); true }
         catch {
+          case e: IllegalArgumentException
+              if Option(e.getMessage).exists(_.contains(graft.operators.PairGate.CapKey)) =>
+            gated(name) = Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(300)
+            false
           case e: Throwable =>
             errors(name) = (e.getClass.getSimpleName + ": " +
               Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(300)
@@ -301,7 +317,7 @@ object ScaleBench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scale] pass $pass ${new java.io.File(dir).getName}%-16s $name%-26s $dt%8.2f s" +
-        (if (ok) "" else "  FAILED"))
+        (if (ok) "" else if (gated.contains(name)) "  GATED" else "  FAILED"))
       // a finished query's localCheckpoint blocks are garbage, but the
       // block manager pins them until unpersist — across ~400 query runs
       // the leak OOM'd the 100x battery (q_bfs_hops's 120M-row edge
@@ -345,8 +361,9 @@ object ScaleBench {
     // the measured passes' error set (or exclude a query that succeeds at
     // both measured sizes)
     errors.clear()
+    gated.clear()
     val passes = (1 to iters).map(p => (runPass(spark, base, p), runPass(spark, out, p)))
-    val okFamily = selectedFamily.filterNot(errors.contains)
+    val okFamily = selectedFamily.filterNot(n => errors.contains(n) || gated.contains(n))
     val baseMin = okFamily.map(n => n -> passes.map(_._1(n)).min).toMap
     val bigMin = okFamily.map(n => n -> passes.map(_._2(n)).min).toMap
     val rows = okFamily.map { n =>
@@ -356,7 +373,12 @@ object ScaleBench {
     val errJson = errors.toSeq.sortBy(_._1).map { case (k, m) =>
       Bench.jsonStr(k) + ":" + Bench.jsonStr(m)
     }.mkString("{", ",", "}")
+    val gatedJson = gated.toSeq.sortBy(_._1).map { case (k, m) =>
+      Bench.jsonStr(k) + ":" + Bench.jsonStr(m)
+    }.mkString("{", ",", "}")
     val (bt, st) = (baseMin.values.sum, bigMin.values.sum)
+    // host-speed stamp for cross-battery comparisons (see Bench.calibrate)
+    val calib = Bench.calibrate(spark)
     // Diagnostics beyond the timings (both optional on subset runs):
     //  - q_ann_lsh's candidate VOLUME per rung — its super-unit time ratio
     //    is defended as candidate-bound; emit the candidates so the claim
@@ -364,10 +386,20 @@ object ScaleBench {
     //  - fixed-suite curation: q_curation_stream's measured ratio grows
     //    BOTH the corpus and the eval suite; re-time it with the suite
     //    pinned to the 1× slice to isolate the corpus term.
+    // the diagnostics measure the very output growth the gate refuses to
+    // materialize through a query key — they run with the gate disabled
+    // (and restored after), so a gated rung still ships its output counts
+    // as artifact data
+    def ungatedDiag[T](f: => T): T = {
+      val key = graft.operators.PairGate.CapKey
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "0")
+      try f finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
     val lshDiag =
-      if (!okFamily.contains("q_ann_lsh")) ""
+      if (errors.contains("q_ann_lsh") || !selectedFamily.contains("q_ann_lsh")) ""
       else {
-        def d(dir: String): (Long, Long, Long) = {
+        def d(dir: String): (Long, Long, Long) = ungatedDiag {
           val emb = Tables.embeddings(spark, dir)
           (emb.count(),
             graft.operators.Similarity.lshCandidatePairsBucketed(emb, 0.4).count(),
@@ -385,9 +417,10 @@ object ScaleBench {
     // decorrelated corpus — see the header CAVEAT); emit the pair count
     // per rung so the defense is artifact data, not SURVEY prose.
     val embDiag =
-      if (!okFamily.contains("q_dedup_embedding")) ""
+      if (errors.contains("q_dedup_embedding") ||
+        !selectedFamily.contains("q_dedup_embedding")) ""
       else {
-        def d(dir: String): (Long, Long) = {
+        def d(dir: String): (Long, Long) = ungatedDiag {
           val emb = Tables.embeddings(spark, dir)
           (emb.count(),
             graft.operators.Similarity.cosinePairsExact(emb, 0.40).count())
@@ -417,7 +450,9 @@ object ScaleBench {
       s"""{"metric":"scale","mult":$mult,"base_sf":"$base","scaled_dir":"$out",
          |"base_total_sec":$bt,"scaled_total_sec":$st,
          |"total_ratio":${math.round(st / bt * 100) / 100.0},
-         |"failed":$errJson,"n_failed":${errors.size}$lshDiag$embDiag$fixedSuite,
+         |"calib_sec":$calib,
+         |"failed":$errJson,"n_failed":${errors.size},
+         |"gated":$gatedJson,"n_gated":${gated.size}$lshDiag$embDiag$fixedSuite,
          |"queries":$rows}""".stripMargin
         .replace("\n", "")
     try {
@@ -427,8 +462,13 @@ object ScaleBench {
     } catch { case e: Throwable => System.err.println(s"[scale] write failed: $e") }
     println(s"""{"metric":"scale","mult":$mult,"base_total_sec":$bt,""" +
       s""""scaled_total_sec":$st,"total_ratio":${math.round(st / bt * 100) / 100.0},""" +
-      s""""n_failed":${errors.size},"per_query":"SCALE_out.json"}""")
+      s""""calib_sec":$calib,"n_failed":${errors.size},"n_gated":${gated.size},""" +
+      s""""per_query":"SCALE_out.json"}""")
     spark.stop()
+    if (gated.nonEmpty) {
+      System.err.println(s"[scale] ${gated.size} queries GATED (pair-output " +
+        s"cap, by design): " + gated.keys.toSeq.sorted.mkString(", "))
+    }
     if (errors.nonEmpty) {
       System.err.println(s"[scale] ${errors.size} queries FAILED: " +
         errors.keys.toSeq.sorted.mkString(", "))

@@ -1993,6 +1993,37 @@ object SparkEntry {
           col("n_tokens"), col("quality"))
     }),
 
+    "q_dag_run" -> ((s, dir) => {
+      // the q_pipeline_e2e composition EXPRESSED AS A DAG and executed by
+      // the declarative QueryDag orchestrator (the reference's main.py
+      // dependency loop as data): corpus/bench splits → quality gate →
+      // keep-first dedup → decontaminated manifest, each stage
+      // materialized ONCE at its boundary, deterministic topological
+      // order, per-stage restatement (QueryDagSpec). Rows are identical
+      // to q_pipeline_e2e by construction — the SAME oracle SQL
+      // hash-checks both faces, so the orchestrator's stage-boundary
+      // semantics are oracle-verified, not just spec'd.
+      import QueryDag.Stage
+      val stages = Seq(
+        Stage("corpus", Nil, (s2, d, _) =>
+          Tables.documents(s2, d).where(col("doc_id") % 50 =!= 0)),
+        Stage("bench", Nil, (s2, d, _) =>
+          Tables.documents(s2, d).where(col("doc_id") % 50 === 0)),
+        Stage("gated", Seq("corpus"), (_, _, up) =>
+          TextAnalysis.qualityGate(up("corpus"), keep = Seq("text", "lang", "source"))),
+        Stage("deduped", Seq("gated"), (_, _, up) =>
+          graft.plans.GroupTopK.topKPerKey(
+            up("gated").withColumn("__h", md5(col("text"))),
+            Seq("__h"), Seq(col("doc_id").asc), 1).drop("__h")),
+        Stage("curated", Seq("deduped", "corpus", "bench"), (_, _, up) =>
+          up("deduped")
+            .join(Dedup.contaminatedIds(up("corpus"), up("bench")),
+              Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("n_tokens"), col("quality"))))
+      QueryDag.run(s, dir, stages)("curated")
+    }),
+
     "q_curation_stream" -> ((s, dir) => {
       // DuckDB-checked batch mirror for the streaming curation pipeline
       // (the q_funnel_stream pattern): the SAME curationStream entry point
@@ -2339,21 +2370,27 @@ object SparkEntry {
 
     "q_quantile_disc" -> ((s, dir) => {
       // DISCRETE quantiles beside q_quantiles' interpolated ones: the
-      // order statistic at ceil(q·n) (DuckDB quantile_disc semantics —
-      // probed empirically, index = ceil(q·n)−1 zero-based), from one
-      // per-type sort + conditional min. This is the exact window form
-      // (like q_percentile_rank); the corpus-scale path is the bisection
+      // order statistic at rank ceil(q·n), from one per-type sort +
+      // conditional min. The rank is computed in EXACT INTEGER
+      // arithmetic — ceil(q·n) = (num·n + den − 1) div den for
+      // q = num/den — because DuckDB's quantile_disc is boundary-exact
+      // (probed: q = 0.07, n = 100 returns element 7 although the double
+      // product is 7.000000000000001, whose ceil is 8), so a double
+      // ceil(q·n) here would diverge exactly at group sizes where q·n is
+      // integral-but-fp-noisy. This is the exact window form (like
+      // q_percentile_rank); the corpus-scale path is the bisection
       // family, where a discrete quantile is a pure counting resolve.
       val ev = events(s, dir).where(col("value").isNotNull)
       val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
       val ranked = ev.select(col("event_type"), col("value"),
         row_number().over(w).as("rn"),
         count(lit(1)).over(Window.partitionBy(col("event_type"))).as("n"))
-      def pick(q: Double): Column =
-        min(when(col("rn") === ceil(lit(q) * col("n")), col("value")))
+      def pick(num: Long, den: Long): Column =
+        min(when(col("rn") === expr(s"(n * ${num}L + ${den - 1}L) div ${den}L"),
+          col("value")))
       ranked.groupBy(col("event_type")).agg(
-        round(pick(0.5), 6).as("p50_disc"),
-        round(pick(0.95), 6).as("p95_disc"))
+        round(pick(1L, 2L), 6).as("p50_disc"),
+        round(pick(19L, 20L), 6).as("p95_disc"))
     }),
 
     "q_attribution" -> ((s, dir) => {
@@ -2829,6 +2866,47 @@ object SparkEntry {
 
   private val normSql =
     "sqrt((SELECT CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i)))"
+
+  /** The curation-pipeline oracle, shared VERBATIM by q_pipeline_e2e
+    * (single fused plan) and q_dag_run (the same composition through the
+    * QueryDag orchestrator): identical rows by construction, so one SQL
+    * string hash-checks both faces and can never drift between them.
+    */
+  private val pipelineE2eSql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |   CAST(toks AS BIGINT) AS n_tokens,
+      |   CAST(round(CAST(least(chars / 500.0, 1.0) AS DECIMAL(18,12)) * 0.5
+      |       + CAST(least(stops / nullif(toks, 0) * 5.0, 1.0) AS DECIMAL(18,12)) * 0.3
+      |       + CAST(1.0 - least(punct / nullif(chars, 0) * 10.0, 1.0) AS DECIMAL(18,12)) * 0.2, 6)
+      |     AS DOUBLE) AS quality
+      |  FROM (SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+      |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS punct,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS stops,
+      |    CAST(length(text) AS DOUBLE) AS chars
+      |  FROM documents WHERE doc_id % 50 <> 0)),
+      |t AS (SELECT quantile_cont(quality, 0.25) AS thr FROM s),
+      |gated AS (SELECT s.doc_id, s.n_tokens, s.quality FROM s, t WHERE s.quality >= t.thr),
+      |dedup AS (
+      |  SELECT min(g.doc_id) AS doc_id
+      |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id
+      |  GROUP BY md5(d.text)),
+      |toks2 AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 6, 2)),
+      |                        i -> array_to_string(t[i:i+7], ' '))) AS g
+      |  FROM toks2),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+      |dirty AS (SELECT DISTINCT doc_id FROM grams
+      |          WHERE doc_id IN (SELECT doc_id FROM dedup)
+      |            AND g IN (SELECT g FROM bench))
+      |SELECT d.doc_id, d.lang, d.source, g.n_tokens, g.quality
+      |FROM documents d
+      |JOIN gated g ON d.doc_id = g.doc_id
+      |JOIN dedup k ON d.doc_id = k.doc_id
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
@@ -3980,7 +4058,7 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 3 = 0)
         |SELECT doc_id % 1000000 AS entity_id, count(*) AS n_members,
         |  min(doc_id) AS canonical_id,
-        |  arg_max(doc_id, length(text) * 1000000000000 - doc_id) AS survivor_id,
+        |  arg_max(doc_id, length(text)::HUGEINT * 10000000000000000000 - doc_id) AS survivor_id,
         |  max(length(text)) AS survivor_len,
         |  count(DISTINCT source) AS n_sources
         |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -4368,41 +4446,9 @@ object SparkEntry {
     // the composed curation pipeline: chained CTEs mirroring gate →
     // dedup-keep → decontaminate stage for stage (each fragment reused
     // verbatim from its standalone oracle)
-    "q_pipeline_e2e" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |   CAST(toks AS BIGINT) AS n_tokens,
-        |   CAST(round(CAST(least(chars / 500.0, 1.0) AS DECIMAL(18,12)) * 0.5
-        |       + CAST(least(stops / nullif(toks, 0) * 5.0, 1.0) AS DECIMAL(18,12)) * 0.3
-        |       + CAST(1.0 - least(punct / nullif(chars, 0) * 10.0, 1.0) AS DECIMAL(18,12)) * 0.2, 6)
-        |     AS DOUBLE) AS quality
-        |  FROM (SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
-        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS punct,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS stops,
-        |    CAST(length(text) AS DOUBLE) AS chars
-        |  FROM documents WHERE doc_id % 50 <> 0)),
-        |t AS (SELECT quantile_cont(quality, 0.25) AS thr FROM s),
-        |gated AS (SELECT s.doc_id, s.n_tokens, s.quality FROM s, t WHERE s.quality >= t.thr),
-        |dedup AS (
-        |  SELECT min(g.doc_id) AS doc_id
-        |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id
-        |  GROUP BY md5(d.text)),
-        |toks2 AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 6, 2)),
-        |                        i -> array_to_string(t[i:i+7], ' '))) AS g
-        |  FROM toks2),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
-        |dirty AS (SELECT DISTINCT doc_id FROM grams
-        |          WHERE doc_id IN (SELECT doc_id FROM dedup)
-        |            AND g IN (SELECT g FROM bench))
-        |SELECT d.doc_id, d.lang, d.source, g.n_tokens, g.quality
-        |FROM documents d
-        |JOIN gated g ON d.doc_id = g.doc_id
-        |JOIN dedup k ON d.doc_id = k.doc_id
-        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
+    "q_pipeline_e2e" -> pipelineE2eSql,
+
+    "q_dag_run" -> pipelineE2eSql,
 
     "q_wordlm" ->
       """WITH t AS (

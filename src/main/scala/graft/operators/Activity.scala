@@ -71,7 +71,13 @@ object Activity {
       // starts before ends at a tied timestamp → closed intervals
       .withColumn("__tie", -col("delta"))
       .withColumn("__ord", unix_micros(col("t").cast("timestamp")))
-    Packing.prefixSum(deltas, "__ord", "delta", tieCol = Some("__tie"))
+    // chunk size matched to MICROSECOND ordinals: the default 2²⁰ (~1.05 s
+    // of event time per chunk) would make the serial chunk-offset stage
+    // grow with the corpus's active span (~31M chunks per dense year);
+    // 2³⁶ µs ≈ 19.1 h per chunk keeps chunk count ∝ span/day — a century
+    // of activity is ~46k chunks, still one trivial window task
+    Packing.prefixSum(deltas, "__ord", "delta", chunkSize = 1L << 36,
+      tieCol = Some("__tie"))
       .select(to_date(col("t")).as("d"), (col("prefix") + col("delta")).as("c"))
       .groupBy(col("d"))
       .agg(max(col("c")).as("max_concurrent"))

@@ -47,11 +47,15 @@ object Dedup {
     * in ONE partial-aggregated pass — earliest id as the canonical key,
     * richest record (longest text, min-id tiebreak) as the survivor, and
     * the source spread as merge provenance. The composite argmax order
-    * (length, −id) is encoded into a single comparable long
-    * (len·10¹² − id, ids assumed < 10¹²) so max_by is total and the
-    * survivor deterministic on every engine — no struct-comparison
-    * semantics to disagree about. Nothing shuffles except cluster
-    * partials: survivorship is exactly as scalable as a groupBy.
+    * (length, −id) is encoded into a single comparable DECIMAL
+    * (len·10¹⁹ − id: the multiplier exceeds Long.MaxValue, so the
+    * encoding is total for EVERY int length × long id — a bigint key
+    * would silently overflow at ~9.2M-char texts and corrupt survivor
+    * selection nondeterministically; max length 2³¹ × 10¹⁹ is 29 digits,
+    * comfortably inside decimal(38)) so max_by is total and the survivor
+    * deterministic on every engine — no struct-comparison semantics to
+    * disagree about. Nothing shuffles except cluster partials:
+    * survivorship is exactly as scalable as a groupBy.
     */
   def survivorship(records: DataFrame, entityCol: String = "entity_id",
                    idCol: String = "doc_id", textCol: String = "text",
@@ -62,7 +66,8 @@ object Dedup {
         count(lit(1)).as("n_members"),
         min(col(idCol)).as("canonical_id"),
         max_by(col(idCol),
-          length(col(textCol)).cast("long") * lit(1000000000000L) - col(idCol))
+          length(col(textCol)).cast("decimal(10,0)") *
+            lit(new java.math.BigDecimal("10000000000000000000")) - col(idCol))
           .as("survivor_id"),
         max(length(col(textCol)).cast("long")).as("survivor_len"),
         countDistinct(col(srcCol)).as("n_sources"))
@@ -773,6 +778,32 @@ object Dedup {
                          k: Int = 8, w: Int = 4,
                          textCol: String = "text", idCol: String = "doc_id",
                          maxBucketSize: Int = 10000): DataFrame = {
+    // Output-cardinality gate (the quadratic-output melt guard shared
+    // with the embedding pair family). Tier-2 estimate runs THIS
+    // operator's exact semantics on the deterministic ~2048-doc id
+    // sample and scales by 1/p² (a pair survives iff both endpoints are
+    // sampled and its shared-fingerprint count is pair-local, so the
+    // estimate is unbiased; sample buckets can only be SMALLER than the
+    // full corpus's, so the cap drops fewer of them — errs toward
+    // refusing). Estimator cost is p×fingerprinting + p²×pairing —
+    // negligible exactly where the gate matters (p → 0 as the corpus
+    // grows); a full-corpus histogram bound instead would double the
+    // query's dominant stage at every scale.
+    PairGate.check(docs, "winnowOverlapPairs",
+      s"raise minShared (now $minShared) or enlarge k (now $k) so fewer " +
+        "windows collide") { p =>
+      val sampled = winnowOverlapImpl(
+        docs.where(Sampling.samplePredicate(col(idCol), p)),
+        minShared, k, w, textCol, idCol, maxBucketSize).count()
+      math.ceil(sampled / (p * p)).toLong
+    }
+    winnowOverlapImpl(docs, minShared, k, w, textCol, idCol, maxBucketSize)
+  }
+
+  private def winnowOverlapImpl(docs: DataFrame, minShared: Int,
+                                k: Int, w: Int,
+                                textCol: String, idCol: String,
+                                maxBucketSize: Int): DataFrame = {
     val fps = winnowFingerprints(docs, k, w, textCol, idCol)
       .select(col("id"), explode(col("fps")).as("fp"))
     val buckets = fps

@@ -98,14 +98,22 @@ object Graph {
     */
   val Unreached = 999999L
 
-  /** Single-source BFS hop distances over an UNDIRECTED graph: `iters`
-    * rounds of min-distance propagation (distance analog of
-    * [[connectedComponents]]'s label propagation — after k rounds every
-    * node within k hops of `source` has its exact hop count; farther nodes
-    * stay [[Unreached]]). Same BSP scale shape: the symmetrized edge list
-    * hash-partitions on src once and checkpoints; each round is one
-    * co-located edge⋈dist join + a partial-aggregated min over the
-    * |nodes|-sized frame.
+  /** Single-source BFS hop distances over an UNDIRECTED graph, by
+    * FRONTIER-ONLY (active-set) propagation: round i expands only the
+    * nodes FIRST REACHED in round i−1 — in exact BFS a node's hop is
+    * final the moment it is first proposed, so re-joining settled nodes
+    * (the naive min-propagation shape: edge list ⋈ full |nodes| distance
+    * frame, every round) is pure waste. Per round the edge join touches
+    * only the frontier's adjacency (a semi-join against the
+    * frontier-sized id set — broadcast when small, which on real graphs
+    * is every late round), the anti-join against the reached set filters
+    * already-settled proposals, and rounds past the graph's diameter
+    * from `source` cost ~nothing because the frontier is empty. Output
+    * contract unchanged from the min-propagation form (spec-pinned by a
+    * randomized differential): after `iters` rounds every node within
+    * `iters` hops carries its exact hop count, farther nodes
+    * [[Unreached]]. Same one-time setup as the other BSP loops: the
+    * symmetrized edge list hash-partitions on src once and checkpoints.
     */
   def shortestHops(edges: DataFrame, source: Long, iters: Int = 6,
                    srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
@@ -114,21 +122,22 @@ object Graph {
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().repartition(col("src")).localCheckpoint(false)
     val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
-    var dist = nodes.withColumn("hop",
-      when(col("node") === source, 0L).otherwise(lit(Unreached)))
-    for (_ <- 1 to iters) {
-      val viaNeighbor = und
-        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("hop"))
-        .groupBy("node")
-        .agg((min(col("hop")) + 1L).as("__nhop"))
-      dist = dist
-        .join(viaNeighbor, Seq("node"), "left")
-        .select(col("node"),
-          least(col("hop"), coalesce(col("__nhop"), lit(Unreached))).as("hop"))
+    var reached = nodes.where(col("node") === source)
+      .select(col("node"), lit(0L).as("hop")).localCheckpoint(false)
+    var frontier = reached
+    for (i <- 1 to iters) {
+      val proposals = und
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+      val newly = proposals
+        .join(reached, Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("hop"))
         .localCheckpoint(false)
+      reached = reached.unionByName(newly).localCheckpoint(false)
+      frontier = newly
     }
-    dist
+    nodes.join(reached, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hop"), lit(Unreached)).as("hop"))
   }
 
   /** `iters` rounds of synchronous min-label propagation over an

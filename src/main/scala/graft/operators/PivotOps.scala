@@ -37,9 +37,17 @@ object PivotOps {
   /** Unpivot (melt): the inverse of [[pivotAgg]] — wide columns back to
     * (key, value) rows via one `stack` projection. Narrow, codegen'd, no
     * shuffle: each input row expands to ≤ |valueCols| output rows in
-    * place. NULL cells (combinations the wide row never had) drop, so
-    * melt(pivotAgg(df)) reproduces exactly the combinations present in
-    * the long form — spec'd as a round trip.
+    * place.
+    *
+    * NULL CONTRACT (explicit, both directions): every NULL cell drops —
+    * both combinations the wide row never had AND combinations that
+    * existed in the long form with only NULL values (their pivot
+    * aggregate is NULL, indistinguishable in the wide cell). So
+    * melt(pivotAgg(df)) ≡ the direct long aggregate FILTERED to non-NULL
+    * totals (`HAVING total IS NOT NULL` — exactly what the q_unpivot
+    * oracle declares). A caller who must distinguish "absent" from
+    * "present but all-NULL" should pivot a count alongside the value;
+    * spec'd as a round trip on NULL-bearing data.
     */
   def melt(df: DataFrame, idCol: String, valueCols: Seq[String],
            keyName: String = "key", valueName: String = "value"): DataFrame = {

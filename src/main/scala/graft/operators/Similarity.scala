@@ -108,8 +108,32 @@ object Similarity {
   private def int8ErrBound: Column = col("sa") * col("sb") *
     (lit(0.5) * (col("s1a") + col("s1b")) + lit(0.25) * size(col("ca")))
 
+  /** [[PairGate]] tier-2 estimator shared by every embedding pair
+    * generator: the exact τ-pair count on the deterministic id sample,
+    * scaled by 1/p² (both endpoints must be sampled for a pair to
+    * survive, and hash sampling is independent of cluster structure, so
+    * the estimate is unbiased). The approximate generators (LSH bands,
+    * SemDeDup cells) confirm a SUBSET of the exact pairs at the same τ,
+    * so for them this over-estimates — the gate errs toward refusing.
+    */
+  private def estimateExactPairs(embeddings: DataFrame, threshold: Double,
+                                 idCol: String, vecCol: String)(p: Double): Long = {
+    val sampled = cosinePairs(
+      embeddings.where(Sampling.samplePredicate(col(idCol), p)),
+      threshold, idCol, vecCol).count()
+    math.ceil(sampled / (p * p)).toLong
+  }
+
+  private def pairGateRemedy(threshold: Double): String =
+    s"raise the cosine threshold (now $threshold) or switch to a " +
+      "top-k-per-vector variant (topKBatch)"
+
   def cosinePairsExact(embeddings: DataFrame, threshold: Double, blocks: Int = 0,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // output-cardinality gate (the quadratic-output melt guard) — also
+    // yields the exact corpus count the grid sizing below reuses
+    val n = PairGate.check(embeddings, "cosinePairsExact", pairGateRemedy(threshold))(
+      estimateExactPairs(embeddings, threshold, idCol, vecCol))
     val b =
       if (blocks > 0) blocks
       else {
@@ -117,16 +141,15 @@ object Similarity {
         // parallelism (1-Bucket-Theta guidance) …
         val fromPar = math.max(4, math.ceil(math.sqrt(
           4.0 * embeddings.sparkSession.sparkContext.defaultParallelism)).toInt)
-        // … capped by the optimizer's row-count estimate when one exists
-        // (CBO stats or an AQE-materialized child): blocks beyond √(n/64)
-        // leave < 64×64 pair-products per cell, where per-cell fixed costs
-        // (task setup, hash-table build) dominate the quadratic work the
-        // split is meant to balance — a small corpus on a big cluster
-        // otherwise shatters into thousands of near-empty cells, each
-        // shipping its replicated rows for nothing.
-        val fromStats = embeddings.queryExecution.optimizedPlan.stats.rowCount
-          .map(n => math.max(4, math.ceil(math.sqrt(n.toDouble / 64.0)).toInt))
-        fromStats.fold(fromPar)(math.min(fromPar, _))
+        // … capped by the corpus count (from the gate): blocks beyond
+        // √(n/64) leave < 64×64 pair-products per cell, where per-cell
+        // fixed costs (task setup, hash-table build) dominate the
+        // quadratic work the split is meant to balance — a small corpus
+        // on a big cluster otherwise shatters into thousands of
+        // near-empty cells, each shipping its replicated rows for
+        // nothing.
+        val fromN = math.max(4, math.ceil(math.sqrt(n.toDouble / 64.0)).toInt)
+        math.min(fromPar, fromN)
       }
     // everything feeding the grid is COMPILED per-row work (Int8Quantize,
     // ArrayDotProduct): these projections re-evaluate after the explode, so
@@ -869,10 +892,17 @@ object Similarity {
                                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes >= 0 && planes <= 63 && bands > 0,
       "planes must be in [0, 63] (0 = auto); bands > 0")
+    // output-cardinality gate: candidate volume ≈ exact τ-pair density ×
+    // a bounded screen-slack factor (measured ~1.6×), so the shared
+    // exact-pair estimator is the right scale for this generator too.
+    // Its count also feeds the auto geometry below.
+    val gateN = PairGate.check(embeddings, "lshCandidatePairsBucketed",
+      pairGateRemedy(threshold))(
+      estimateExactPairs(embeddings, threshold, idCol, vecCol))
     val (planesEff, bandsEff) =
       if (planes > 0) (planes, bands)
       else {
-        val n = embeddings.count().max(1L)
+        val n = gateN.max(1L)
         val pl = math.max(4, math.min(24,
           math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
         val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
@@ -965,6 +995,8 @@ object Similarity {
   def semdedupPairs(embeddings: DataFrame, centroids: Array[Array[Double]],
                     threshold: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    PairGate.check(embeddings, "semdedupPairs", pairGateRemedy(threshold))(
+      estimateExactPairs(embeddings, threshold, idCol, vecCol))
     val lite = embeddings
       .select(col(idCol).as("id"),
         sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm"),
@@ -1006,6 +1038,8 @@ object Similarity {
   def semdedupPairsEnsemble(embeddings: DataFrame,
                             centsList: Seq[Array[Array[Double]]], threshold: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    PairGate.check(embeddings, "semdedupPairsEnsemble", pairGateRemedy(threshold))(
+      estimateExactPairs(embeddings, threshold, idCol, vecCol))
     // ONE pass computes the norm, the int8 codes, and every clustering's
     // cell id; each member then pays only its screen join, and the
     // decimal-exact verify runs ONCE over the deduplicated union of

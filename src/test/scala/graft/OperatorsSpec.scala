@@ -553,6 +553,19 @@ class OperatorsSpec extends SparkSpec {
       (1L, 2L, 10L, 20L, 2L), (2L, 2L, 30L, 30L, 1L), (3L, 1L, 40L, 40L, 1L)))
   }
 
+  test("Dedup.survivorship: a ≥9.2M-char text cannot overflow the argmax key") {
+    // a bigint len·10¹² − id key overflows Long at ~9.2M chars and would
+    // corrupt survivor selection silently; the decimal key is total for
+    // every (int length × long id)
+    val recs = spark.range(0, 2).selectExpr(
+      "1L AS entity_id", "id + 10 AS doc_id",
+      "CASE WHEN id = 1 THEN repeat('a', 10000000) ELSE 'tiny' END AS text",
+      "'web' AS source")
+    val out = Dedup.survivorship(recs).collect().head
+    assert(out.getLong(3) === 11L, "longest text must survive")   // survivor_id
+    assert(out.getLong(4) === 10000000L)                          // survivor_len
+  }
+
   test("Analytics.forecastEval: persistence-forecast errors per series") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a", 10.0),
@@ -875,6 +888,30 @@ class OperatorsSpec extends SparkSpec {
     val qback = PivotOps.melt(quoted, "id", Seq("it's"), "k", "v")
       .select($"k").as[String].collect()
     assert(qback.toSeq === Seq("it's"))
+  }
+
+  test("melt ∘ pivotAgg NULL contract: all-NULL combinations drop on BOTH " +
+    "sides (melt ≡ direct aggregate HAVING total IS NOT NULL)") {
+    // the q_unpivot latent class: a combination PRESENT in the long form
+    // whose values are all NULL aggregates to a NULL wide cell, which melt
+    // cannot distinguish from an absent combination — the declared
+    // contract is that both drop, mirroring the oracle's HAVING clause
+    val long = Seq(
+      (1L, "a", Option(2.0)), (1L, "a", Option.empty[Double]), // partial NULL → 2.0
+      (1L, "b", Option.empty[Double]),                         // all-NULL → drops
+      (2L, "b", Option(5.0)))
+      .toDF("user_id", "k", "v")
+    val wide = PivotOps.pivotAgg(long, "user_id", "k", Seq("a", "b"), "v",
+      c => sum(c.cast("decimal(28,6)")).cast("double"))
+    val back = PivotOps.melt(wide, "user_id", Seq("a", "b"),
+        keyName = "k", valueName = "v")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val direct = long.groupBy($"user_id", $"k")
+      .agg(sum($"v".cast("decimal(28,6)")).cast("double").as("v"))
+      .where($"v".isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(back === Map((1L, "a") -> 2.0, (2L, "b") -> 5.0))
+    assert(back === direct)
   }
 
   test("q_table_diff, q_user_growth, q_gap_detect reconciliation invariants") {

@@ -234,6 +234,29 @@ class QuantilesSpec extends SparkSpec {
     assert(stats(("a", 1L)) === 2.0 && stats(("b", 0L)) === 3.0)
   }
 
+  test("discrete-quantile rank is boundary-exact where double ceil(q·n) is not") {
+    // q = 7/100, n = 100: exact rank is 7, but the double product
+    // 0.07 × 100 = 7.000000000000001 ceils to 8 — DuckDB's quantile_disc
+    // returns element 7 (probed), so the integer form
+    // (n·num + den − 1) div den is the only cross-engine-safe rank.
+    // q_quantile_disc uses this exact shape.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1, 101).selectExpr("'g' AS k", "CAST(id AS DOUBLE) AS v")
+    val ranked = df.select(col("k"), col("v"),
+      row_number().over(Window.partitionBy(col("k")).orderBy(col("v"))).as("rn"),
+      count(lit(1)).over(Window.partitionBy(col("k"))).as("n"))
+    val exact = ranked.groupBy(col("k"))
+      .agg(min(when(col("rn") === expr("(n * 7L + 99L) div 100L"), col("v"))).as("q07"))
+      .head().getDouble(1)
+    assert(exact === 7.0)
+    val fp = ranked.groupBy(col("k"))
+      .agg(min(when(col("rn") === ceil(lit(0.07) * col("n")), col("v"))).as("q07"))
+      .head().getDouble(1)
+    assert(fp === 8.0, "the double form really is off by one here — the " +
+      "integer rank is a fix, not a no-op")
+  }
+
   private object Fns {
     def eventsNorm(s: org.apache.spark.sql.SparkSession, dir: String) =
       graft.functions.Fns.normalizeTsNtz(Tables.events(s, dir), "ts")

@@ -2,14 +2,53 @@
 """Self-check: mimic the driver's t2 gate. Run graft.Verify at a given SF,
 then execute each oracle SQL in DuckDB over the same parquet tables and
 compare (columns sorted by name, rows sorted, exact values)."""
-import json, subprocess, sys, glob, os
+import json, re, subprocess, sys, glob, os
 import duckdb
 import numpy as np
 import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def survey_gate():
+    """SURVEY's measured blocks must BE the artifacts. Four consecutive
+    rounds shipped measured numbers that diverged from the artifacts (r9:
+    a literal '(placeholder)' inside the GENERATED markers) — this check
+    makes that unshippable: every GENERATED block must be non-empty,
+    placeholder-free, and SOME block must carry bench_out.json's current
+    total, i.e. tools/survey_numbers.py was re-run against the shipped
+    artifacts. Returns a list of problems (empty = green)."""
+    problems = []
+    try:
+        survey = open(os.path.join(REPO, "SURVEY.md")).read()
+    except FileNotFoundError:
+        return ["SURVEY.md missing"]
+    blocks = re.findall(
+        r"<!-- (GENERATED-NUMBERS[-\w]*)-START -->(.*?)<!-- \1-END -->",
+        survey, re.S)
+    if not blocks:
+        problems.append("no GENERATED-NUMBERS blocks found in SURVEY.md")
+    for name, body in blocks:
+        if "placeholder" in body.lower():
+            problems.append(f"{name} block contains 'placeholder' — run "
+                            "tools/survey_numbers.py and paste its output")
+        if not body.strip():
+            problems.append(f"{name} block is empty")
+    try:
+        with open(os.path.join(REPO, "bench_out.json")) as f:
+            total = json.loads(f.readline())["value"]
+        want = f"total **{total:.1f} s"
+        if blocks and not any(want in body for _, body in blocks):
+            problems.append(
+                f"no GENERATED block carries the shipped bench total "
+                f"('{want} …' from bench_out.json) — the measured block is "
+                "stale; regenerate with tools/survey_numbers.py")
+    except FileNotFoundError:
+        problems.append("bench_out.json missing")
+    return problems
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -97,6 +136,13 @@ def main():
     for k, v in sorted(results.items()):
         print(f"{k:25s} {v}")
     print(f"\n{n_ok}/{len(results)} pass")
+    problems = survey_gate()
+    if problems:
+        print("\nSURVEY_GATE FAIL (measured blocks != shipped artifacts):")
+        for p in problems:
+            print(f"  - {p}")
+        sys.exit(2)
+    print("SURVEY_GATE OK")
 
 if __name__ == "__main__":
     main()
