@@ -2242,10 +2242,17 @@ object SparkEntry {
       // recall vs a rebuild (it can't — merged ≡ rebuild — but the metric
       // keeps that claim measured, not assumed, as the corpus drifts)
       val (appendPath, appendCents, _) = sharedIvfAppendIndex(s, dir)
+      // the persisted residual IVF-PQ layout scores beside the rest: its
+      // recall reflects BOTH approximation axes (cell probe budget × PQ
+      // distortion) — the number that tells an operator whether to raise
+      // nprobe or re-rank against float vectors
+      val (pqPath, pqCents, pqBooks) = sharedIvfPqIndex(s, dir)
       val methods: Seq[(String, DataFrame)] = Seq(
         "ivf_trained" -> Similarity.ivfTopK(emb, q, 10, nlist = 16, nprobe = 4),
         "ivf_append" -> Similarity.ivfTopKIndexed(
           s.read.parquet(appendPath), appendCents, q, 10, nprobe = 4),
+        "ivfpq_residual" -> Similarity.ivfPqResidualTopK(
+          s.read.parquet(pqPath), pqCents, pqBooks, q, 10, nprobe = 4),
         "pq_adc" -> Similarity.pqTopK(encoded, books, q, 10),
         "pq_adc_rerank" -> Similarity.pqTopKReranked(encoded, books, emb, q, 10))
       methods

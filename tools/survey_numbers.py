@@ -26,9 +26,11 @@ def bench_block():
     worst = max(qs, key=qs.get)
     failed = [k for k, v in qs.items() if v is None or v < 0]
     real = {k: v for k, v in qs.items() if v >= 0.3}
+    calib = (f" calib_sec {summary['calib_sec']:.3f};"
+             if "calib_sec" in summary else "")
     return [
         f"- **Bench (bench_out.json)**: total **{summary['value']:.1f} s over "
-        f"{len(qs)} queries, {len(failed)} failed** (min-of-N, sf0.1); worst "
+        f"{len(qs)} queries, {len(failed)} failed** (min-of-N, sf0.1);{calib} worst "
         f"single query **{qs[worst]:.2f} s ({worst})**; {len(real)} keys ≥0.3 s "
         f"summing {sum(real.values()):.1f} s."
     ]
@@ -50,6 +52,11 @@ def scale_block():
         ratios = sorted(((v["ratio"], k) for k, v in qs.items()), reverse=True)
         top = ", ".join(f"{k} {r:.2f}×" for r, k in ratios[:3])
         extra = ""
+        if "calib_sec" in d:
+            extra += f"; calib_sec {d['calib_sec']:.3f}"
+        if d.get("n_gated"):
+            extra += (f"; {d['n_gated']} gated by the pair-output cap "
+                      f"({', '.join(sorted(d['gated']))})")
         if "fixed_suite_curation" in d:
             extra += f"; fixed-suite curation {d['fixed_suite_curation']['ratio']:.2f}×"
         if "lsh_diag" in d:
