@@ -303,21 +303,24 @@ object ScaleBench {
   private def runPass(spark: SparkSession, dir: String, pass: Int): Map[String, Double] =
     selectedFamily.map { name =>
       val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, dir).count(); true }
-        catch {
-          case e: IllegalArgumentException
-              if Option(e.getMessage).exists(_.contains(graft.operators.PairGate.CapKey)) =>
-            gated(name) = Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(300)
-            false
-          case e: Throwable =>
-            errors(name) = (e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(300)
-            false
-        }
+      // outcome of THIS pass (the log label must reflect this pass's
+      // branch — a key gated in an earlier pass can still genuinely fail
+      // in a later one, and that must print FAILED, not GATED)
+      var outcome = ""
+      try SparkEntry.queries(name)(spark, dir).count()
+      catch {
+        case e: IllegalArgumentException
+            if Option(e.getMessage).exists(_.contains(graft.operators.PairGate.CapKey)) =>
+          gated(name) = Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(300)
+          outcome = "  GATED"
+        case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(300)
+          outcome = "  FAILED"
+      }
+      val ok = outcome.isEmpty
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scale] pass $pass ${new java.io.File(dir).getName}%-16s $name%-26s $dt%8.2f s" +
-        (if (ok) "" else if (gated.contains(name)) "  GATED" else "  FAILED"))
+      System.err.println(f"[scale] pass $pass ${new java.io.File(dir).getName}%-16s $name%-26s $dt%8.2f s$outcome")
       // a finished query's localCheckpoint blocks are garbage, but the
       // block manager pins them until unpersist — across ~400 query runs
       // the leak OOM'd the 100x battery (q_bfs_hops's 120M-row edge
@@ -363,6 +366,9 @@ object ScaleBench {
     errors.clear()
     gated.clear()
     val passes = (1 to iters).map(p => (runPass(spark, base, p), runPass(spark, out, p)))
+    // a key that BOTH gated (one pass) and genuinely failed (another) is
+    // a failure — the refusal-by-design classification must not mask it
+    errors.keys.foreach(gated.remove)
     val okFamily = selectedFamily.filterNot(n => errors.contains(n) || gated.contains(n))
     val baseMin = okFamily.map(n => n -> passes.map(_._1(n)).min).toMap
     val bigMin = okFamily.map(n => n -> passes.map(_._2(n)).min).toMap

@@ -2005,9 +2005,9 @@ object SparkEntry {
       // semantics are oracle-verified, not just spec'd.
       import QueryDag.Stage
       val stages = Seq(
-        Stage("corpus", Nil, (s2, d, _) =>
+        QueryDag.ofQuery("corpus", (s2, d) =>
           Tables.documents(s2, d).where(col("doc_id") % 50 =!= 0)),
-        Stage("bench", Nil, (s2, d, _) =>
+        QueryDag.ofQuery("bench", (s2, d) =>
           Tables.documents(s2, d).where(col("doc_id") % 50 === 0)),
         Stage("gated", Seq("corpus"), (_, _, up) =>
           TextAnalysis.qualityGate(up("corpus"), keep = Seq("text", "lang", "source"))),

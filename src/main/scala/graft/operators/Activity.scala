@@ -71,12 +71,23 @@ object Activity {
       // starts before ends at a tied timestamp → closed intervals
       .withColumn("__tie", -col("delta"))
       .withColumn("__ord", unix_micros(col("t").cast("timestamp")))
-    // chunk size matched to MICROSECOND ordinals: the default 2²⁰ (~1.05 s
-    // of event time per chunk) would make the serial chunk-offset stage
-    // grow with the corpus's active span (~31M chunks per dense year);
-    // 2³⁶ µs ≈ 19.1 h per chunk keeps chunk count ∝ span/day — a century
-    // of activity is ~46k chunks, still one trivial window task
-    Packing.prefixSum(deltas, "__ord", "delta", chunkSize = 1L << 36,
+    // chunk size DERIVED from the ordinal range so both failure modes of
+    // a fixed constant are closed: the old 2²⁰ default (~1.05 s of event
+    // time per chunk on MICROSECOND ordinals) made the serial
+    // chunk-offset stage grow with the corpus's active span (~31M chunks
+    // per dense year), while any fixed large constant collapses a
+    // SHORT-span burst corpus (one day of dense logs) into 1–2 chunks =
+    // one global-sort task. range/2¹⁶ keeps chunk count ≤ ~65k
+    // regardless of span, and chunk width shrinks with the span so
+    // bursts stay spread. The boundary frame (2 rows/session, ≪ events)
+    // is materialized ONCE so the range aggregate and the prefix sum
+    // don't each re-run the sessionization window.
+    val deltasM = deltas.localCheckpoint(true)
+    val r = deltasM.agg(min(col("__ord")), max(col("__ord"))).head()
+    val chunk =
+      if (r.isNullAt(0)) 1L << 20
+      else math.max(1L, (r.getLong(1) - r.getLong(0)) / (1L << 16) + 1)
+    Packing.prefixSum(deltasM, "__ord", "delta", chunkSize = chunk,
       tieCol = Some("__tie"))
       .select(to_date(col("t")).as("d"), (col("prefix") + col("delta")).as("c"))
       .groupBy(col("d"))

@@ -793,7 +793,7 @@ object Dedup {
       s"raise minShared (now $minShared) or enlarge k (now $k) so fewer " +
         "windows collide") { p =>
       val sampled = winnowOverlapImpl(
-        docs.where(Sampling.samplePredicate(col(idCol), p)),
+        docs.where(PairGate.samplePredicate(col(idCol), p)),
         minShared, k, w, textCol, idCol, maxBucketSize).count()
       math.ceil(sampled / (p * p)).toLong
     }

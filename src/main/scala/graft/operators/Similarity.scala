@@ -119,7 +119,7 @@ object Similarity {
   private def estimateExactPairs(embeddings: DataFrame, threshold: Double,
                                  idCol: String, vecCol: String)(p: Double): Long = {
     val sampled = cosinePairs(
-      embeddings.where(Sampling.samplePredicate(col(idCol), p)),
+      embeddings.where(PairGate.samplePredicate(col(idCol), p)),
       threshold, idCol, vecCol).count()
     math.ceil(sampled / (p * p)).toLong
   }
@@ -132,8 +132,10 @@ object Similarity {
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // output-cardinality gate (the quadratic-output melt guard) — also
     // yields the exact corpus count the grid sizing below reuses
-    val n = PairGate.check(embeddings, "cosinePairsExact", pairGateRemedy(threshold))(
+    // (-1 = gate disabled; the grid still needs n, count here)
+    val gateN = PairGate.check(embeddings, "cosinePairsExact", pairGateRemedy(threshold))(
       estimateExactPairs(embeddings, threshold, idCol, vecCol))
+    val n = if (gateN >= 0) gateN else embeddings.count()
     val b =
       if (blocks > 0) blocks
       else {
@@ -892,23 +894,49 @@ object Similarity {
                                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes >= 0 && planes <= 63 && bands > 0,
       "planes must be in [0, 63] (0 = auto); bands > 0")
-    // output-cardinality gate: candidate volume ≈ exact τ-pair density ×
-    // a bounded screen-slack factor (measured ~1.6×), so the shared
-    // exact-pair estimator is the right scale for this generator too.
-    // Its count also feeds the auto geometry below.
-    val gateN = PairGate.check(embeddings, "lshCandidatePairsBucketed",
-      pairGateRemedy(threshold))(
-      estimateExactPairs(embeddings, threshold, idCol, vecCol))
+    val spark = embeddings.sparkSession
+    val gateOn = PairGate.cap(spark) > 0
+    // one count serves both consumers: the auto geometry (always needs
+    // n) and the gate (only when enabled) — explicit geometry with the
+    // gate disabled counts nothing
+    val n: Long = if (gateOn || planes == 0) embeddings.count() else -1L
     val (planesEff, bandsEff) =
       if (planes > 0) (planes, bands)
       else {
-        val n = gateN.max(1L)
+        val nn = n.max(1L)
         val pl = math.max(4, math.min(24,
-          math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
+          math.ceil(math.log(nn.toDouble / targetBucket) / math.log(2.0)).toInt))
         val p1 = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
         val b = math.ceil(bands * math.pow(1.0 / p1, math.max(0, pl - 4))).toInt
         (pl, math.min(bandsMax, math.max(bands, b)))
       }
+    // Output-cardinality gate, estimated by THIS generator's own
+    // semantics at the FULL-CORPUS geometry on the deterministic id
+    // sample: a candidate pair survives iff both endpoints are sampled —
+    // its bucket membership depends only on its own signatures — so the
+    // 1/p² scaling is unbiased, and sample buckets can only be SMALLER
+    // than the corpus's, so the bucket cap drops fewer of them (errs
+    // toward refusing). Estimating by exact τ-pair density instead
+    // would UNDER-estimate on corpora whose cosine mass sits just below
+    // τ: such pairs verify to nothing but still collide into buckets,
+    // and the candidate stream — this method's OUTPUT — is what must
+    // not go quadratic unannounced.
+    if (gateOn) {
+      PairGate.checkCounted(spark, n, "lshCandidatePairsBucketed",
+        pairGateRemedy(threshold)) { p =>
+        val sampled = lshCandidateImpl(
+          embeddings.where(PairGate.samplePredicate(col(idCol), p)),
+          threshold, planesEff, bandsEff, maxBucketSize, idCol, vecCol).count()
+        math.ceil(sampled / (p * p)).toLong
+      }
+    }
+    lshCandidateImpl(embeddings, threshold, planesEff, bandsEff,
+      maxBucketSize, idCol, vecCol)
+  }
+
+  private def lshCandidateImpl(embeddings: DataFrame, threshold: Double,
+                               planesEff: Int, bandsEff: Int, maxBucketSize: Int,
+                               idCol: String, vecCol: String): DataFrame = {
     val bandCols = (0 until bandsEff).map(b => struct(lit(b).as("band"),
       graft.plans.Exprs.hyperplaneLsh(col("v"), planesEff, b * planesEff).as("bits")))
     val member = embeddings

@@ -127,6 +127,23 @@ class PairGateSpec extends SparkSpec {
     }
   }
 
+  test("tier-2 sample predicate stays non-degenerate at any corpus size " +
+    "and realizes the fraction it reports") {
+    // the 4-hex-digit md5 sampler quantizes at 1/65536 — past ~1.3e8 rows
+    // a ~2048-row request rounds to an EMPTY sample and a gate built on
+    // it would estimate 0 and pass; PairGate's 2^30-granular predicate
+    // floors at k = 1, so the realized fraction is never zero
+    assert(PairGate.realizedFraction(1e-15) === 1.0 / (1L << 30))
+    assert(PairGate.realizedFraction(1e-15) > 0.0)
+    // the realized fraction is what the predicate actually keeps
+    for (p <- Seq(0.25, 0.003)) {
+      val kept = spark.range(0, 1000000)
+        .where(PairGate.samplePredicate(col("id"), p)).count()
+      val want = PairGate.realizedFraction(p) * 1000000
+      assert(math.abs(kept - want) / want < 0.1, s"p=$p kept=$kept want=$want")
+    }
+  }
+
   test("cap 0 disables the gate entirely") {
     withCap(0) {
       assert(Similarity.cosinePairsExact(denseCorpus(120), 0.4).count() ===
