@@ -103,6 +103,28 @@ class PairGateSpec extends SparkSpec {
     }
   }
 
+  test("LSH gate estimates CANDIDATE volume: sub-threshold cosine mass " +
+    "trips it even though the verified pair set is empty") {
+    // every pairwise cosine is exactly 0.395 — inside the int8 screen's
+    // error-bound margin below τ = 0.4, so ~75% of pairs collide into
+    // bands AND survive the screen (the generator's OUTPUT), while the
+    // decimal-exact verify keeps none. An exact-pair estimator would
+    // report 0 and wave the quadratic candidate stream through; the
+    // generator-faithful estimator refuses.
+    val n = 300
+    val a = math.sqrt(0.395)
+    val b = math.sqrt(0.605)
+    val df = spark.range(0, n).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, $n), d -> CAST(CASE WHEN d = 0 THEN $a " +
+        s"WHEN d = id + 1 THEN $b ELSE 0.0 END AS FLOAT))").as("embedding"))
+    withCap(1000) {
+      assert(Similarity.cosinePairsExact(df, 0.4).count() === 0L)
+      val e = intercept[IllegalArgumentException](
+        Similarity.lshCandidatePairsBucketed(df, 0.4))
+      assert(e.getMessage.contains("lshCandidatePairsBucketed"), e.getMessage)
+    }
+  }
+
   test("winnowOverlapPairs: identical-text corpus trips the sampled " +
     "estimate; distinct texts pass and compute") {
     val same = spark.range(0, 200).select(col("id").as("doc_id"),
