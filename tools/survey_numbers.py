@@ -39,10 +39,12 @@ def bench_block():
 def scale_block():
     lines = []
     for fname, label in [("SCALE_out.json", "10×"), ("SCALE30_out.json", "30×"),
-                         ("SCALE100_out.json", "100×")]:
+                         ("SCALE100_out.json", "100×"),
+                         ("SCALE100_EVENTS_out.json", "100× events family")]:
         path = os.path.join(REPO, fname)
         if not os.path.exists(path):
-            lines.append(f"- {fname}: MISSING")
+            if fname != "SCALE100_EVENTS_out.json":  # optional artifact
+                lines.append(f"- {fname}: MISSING")
             continue
         # artifacts may be pretty-printed JSON or JSONL with trailing records —
         # take the FIRST JSON document in the file either way
