@@ -127,4 +127,70 @@ object QueryDag {
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  // ---------------------------------------------------------------------
+  // Persisted runs — the FAILURE-RECOVERY face. [[run]]'s checkpoints are
+  // session-lived; a driver crash between stages loses everything. Here
+  // each stage's output lands as parquet under runRoot/<stage> with the
+  // committer's _SUCCESS marker as the completion record, so a re-run of
+  // the SAME run id RESUMES: completed stages load from their parquet
+  // (build never re-invoked), the crashed/unfinished stage recomputes
+  // (mode=overwrite clears its partial files), and downstream stages
+  // proceed as usual. Same recovery contract as the streaming faces'
+  // kill-and-restart specs, at the orchestration level.
+  // ---------------------------------------------------------------------
+
+  private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stagePath(runRoot: String, stage: String): String = s"$runRoot/$stage"
+
+  /** A stage is complete iff its directory holds the committer's _SUCCESS
+    * marker — written atomically at job commit, absent after any
+    * mid-write crash, so partial output can never masquerade as done.
+    */
+  def stageCompleted(spark: SparkSession, runRoot: String, stage: String): Boolean =
+    fs(spark, runRoot).exists(
+      new org.apache.hadoop.fs.Path(stagePath(runRoot, stage), "_SUCCESS"))
+
+  /** Run (or RESUME) the DAG with parquet-persisted stage boundaries under
+    * `runRoot` (one directory per run id). Deterministic topo order as
+    * [[run]]; each incomplete stage builds from its dependencies'
+    * PERSISTED outputs and commits before any dependent reads it. Calling
+    * again with the same `runRoot` after a crash (or a deliberate stop)
+    * re-invokes `build` ONLY for stages without a _SUCCESS marker —
+    * QueryDagSpec kills a run mid-DAG and proves completed stages are
+    * served from parquet. Returns every stage's output, parquet-backed
+    * (survives dropQueryState/driver restarts, unlike [[run]]'s
+    * checkpoints).
+    */
+  def runPersisted(spark: SparkSession, sfDir: String, stages: Seq[Stage],
+                   runRoot: String): Map[String, DataFrame] = {
+    val outputs = scala.collection.mutable.Map[String, DataFrame]()
+    topoOrder(stages).foreach { st =>
+      val path = stagePath(runRoot, st.name)
+      if (!stageCompleted(spark, runRoot, st.name)) {
+        st.build(spark, sfDir, st.deps.map(d => d -> outputs(d)).toMap)
+          .write.mode("overwrite").parquet(path)
+      }
+      outputs(st.name) = spark.read.parquet(path)
+    }
+    outputs.toMap
+  }
+
+  /** Persisted-run restatement: drop the `changed` stages' outputs AND
+    * their transitive dependents' (exactly [[affected]]), so the next
+    * [[runPersisted]] over the same `runRoot` recomputes only those —
+    * the daily-correction shape against a durable run directory.
+    */
+  def invalidate(spark: SparkSession, runRoot: String, stages: Seq[Stage],
+                 changed: Set[String]): Unit = {
+    changed.foreach(c => require(stages.exists(_.name == c), s"unknown stage '$c'"))
+    val f = fs(spark, runRoot)
+    affected(stages, changed).foreach { name =>
+      val p = new org.apache.hadoop.fs.Path(stagePath(runRoot, name))
+      if (f.exists(p)) f.delete(p, true)
+    }
+  }
 }

@@ -309,8 +309,10 @@ object ScaleBench {
       var outcome = ""
       try SparkEntry.queries(name)(spark, dir).count()
       catch {
-        case e: IllegalArgumentException
-            if Option(e.getMessage).exists(_.contains(graft.operators.PairGate.CapKey)) =>
+        // classified by TYPE: only the gate's own refusal counts as
+        // designed behavior — an unrelated require() echoing the conf key
+        // (or a wrapped rethrow that loses the message) stays a failure
+        case e: graft.operators.PairGateRefused =>
           gated(name) = Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(300)
           outcome = "  GATED"
         case e: Throwable =>
@@ -362,9 +364,11 @@ object ScaleBench {
     runPass(spark, "/root/testdata/sf0.001", 0)
     // the warmup dir is never measured — a failure there must not taint
     // the measured passes' error set (or exclude a query that succeeds at
-    // both measured sizes)
+    // both measured sizes); gate verdicts reset with it so the calibration
+    // artifact records the measured rungs only
     errors.clear()
     gated.clear()
+    graft.operators.PairGate.clearRecorded()
     val passes = (1 to iters).map(p => (runPass(spark, base, p), runPass(spark, out, p)))
     // a key that BOTH gated (one pass) and genuinely failed (another) is
     // a failure — the refusal-by-design classification must not mask it
@@ -421,23 +425,45 @@ object ScaleBench {
     // q_dedup_embedding's tall ratio at the deep rungs is defended as
     // output growth (the exact τ=0.4 pair set is quadratic in n on a
     // decorrelated corpus — see the header CAVEAT); emit the pair count
-    // per rung so the defense is artifact data, not SURVEY prose.
+    // per rung so the defense is artifact data, not SURVEY prose — and
+    // the GATE'S OWN tier-2 estimate next to it, so the estimator's
+    // calibration (estimate / actual) is measured on every battery, not
+    // only when a rung trips.
     val embDiag =
       if (errors.contains("q_dedup_embedding") ||
         !selectedFamily.contains("q_dedup_embedding")) ""
       else {
-        def d(dir: String): (Long, Long) = ungatedDiag {
+        def d(dir: String): (Long, Long, Long) = ungatedDiag {
           val emb = Tables.embeddings(spark, dir)
           (emb.count(),
+            graft.operators.Similarity.estimateExactPairCount(emb, 0.40),
             graft.operators.Similarity.cosinePairsExact(emb, 0.40).count())
         }
-        val (nb, pb) = d(base)
-        val (ns, ps) = d(out)
-        System.err.println(s"[scale] embedding diag base n=$nb pairs=$pb; " +
-          s"scaled n=$ns pairs=$ps")
-        s""","embedding_diag":{"base":{"n_vectors":$nb,"exact_pairs":$pb},""" +
-          s""""scaled":{"n_vectors":$ns,"exact_pairs":$ps}}"""
+        def ratio(est: Long, actual: Long): Double =
+          if (actual == 0L) Double.NaN
+          else math.round(est.toDouble / actual * 1000) / 1000.0
+        val (nb, eb, pb) = d(base)
+        val (ns, es, ps) = d(out)
+        System.err.println(s"[scale] embedding diag base n=$nb est=$eb pairs=$pb; " +
+          s"scaled n=$ns est=$es pairs=$ps")
+        s""","embedding_diag":{"base":{"n_vectors":$nb,"gate_estimate":$eb,""" +
+          s""""exact_pairs":$pb,"est_over_actual":${ratio(eb, pb)}},""" +
+          s""""scaled":{"n_vectors":$ns,"gate_estimate":$es,"exact_pairs":$ps,""" +
+          s""""est_over_actual":${ratio(es, ps)}}}"""
       }
+    // every tier-2 verdict the battery's own keys produced (passing AND
+    // refusing, memo hits marked): the per-invocation record that shows
+    // the estimator ran once per (corpus, generator, params) and was
+    // served from the memo afterwards
+    val gateDiag = {
+      val recs = graft.operators.PairGate.recorded.take(256)
+      if (recs.isEmpty) ""
+      else recs.map { r =>
+        s"""{"who":${Bench.jsonStr(r.who)},"params":${Bench.jsonStr(r.params)},""" +
+          s""""n":${r.n},"p":${r.p},"estimate":${r.estimate},"cap":${r.cap},""" +
+          s""""refused":${r.refused},"memo_hit":${r.memoHit}}"""
+      }.mkString(""","pair_gate_verdicts":[""", ",", "]")
+    }
     val fixedSuite =
       if (!okFamily.contains("q_curation_stream")) ""
       else {
@@ -458,7 +484,7 @@ object ScaleBench {
          |"total_ratio":${math.round(st / bt * 100) / 100.0},
          |"calib_sec":$calib,
          |"failed":$errJson,"n_failed":${errors.size},
-         |"gated":$gatedJson,"n_gated":${gated.size}$lshDiag$embDiag$fixedSuite,
+         |"gated":$gatedJson,"n_gated":${gated.size}$lshDiag$embDiag$gateDiag$fixedSuite,
          |"queries":$rows}""".stripMargin
         .replace("\n", "")
     try {

@@ -112,8 +112,10 @@ object SparkEntry {
 
   /** The SemDeDup ensemble's verified pair list (id_a, id_b) at τ = 0.4,
     * materialized once per (process, dataset) from [[sharedSemCents]] —
-    * q_semdedup derives its keep-rows from these pairs and q_pair_quality
-    * scores their recall, so both keys see literally the same artifact.
+    * q_pair_quality scores its recall. q_semdedup no longer reads this
+    * TABLE (its keep path folds the same deterministic pair stream
+    * without materializing it), but both keys derive from the SAME shared
+    * centroids and τ, so they still describe one clustering.
     */
   private def sharedSemPairs(s: SparkSession, dir: String): DataFrame =
     memo(s, s"sempairs04:$dir") {
@@ -123,9 +125,12 @@ object SparkEntry {
     }
 
   /** The exact cosine-pair truth set at τ = 0.4 (id_a, id_b), materialized
-    * once per (process, dataset): the grid theta-join is the most expensive
-    * exact operator here, and three keys consume its pairs
-    * (q_dedup_embedding_keep plus q_pair_quality's two recall rows).
+    * once per (process, dataset) for q_pair_quality's recall rows — a
+    * diagnostic that deliberately pays for the exact truth TABLE.
+    * q_dedup_embedding_keep no longer reads it: the keep path folds the
+    * ungated exact pair stream through the spanning forest instead of
+    * materializing it, so it completes at rungs where this table is
+    * over-cap.
     */
   private def sharedExactPairs(s: SparkSession, dir: String): DataFrame =
     memo(s, s"exact04:$dir") {
@@ -2002,7 +2007,13 @@ object SparkEntry {
       // order, per-stage restatement (QueryDagSpec). Rows are identical
       // to q_pipeline_e2e by construction — the SAME oracle SQL
       // hash-checks both faces, so the orchestrator's stage-boundary
-      // semantics are oracle-verified, not just spec'd.
+      // semantics are oracle-verified, not just spec'd. Runs the
+      // PERSISTED face (parquet stage boundaries under a fresh run id):
+      // the failure-recovery path — resume from completed stages after a
+      // driver crash, QueryDagSpec's kill-and-restart — is what the
+      // oracle hash-checks every round, not a spec-only sibling. A fresh
+      // run id per invocation keeps repeat bench passes measuring the
+      // full run, never a warm resume.
       import QueryDag.Stage
       val stages = Seq(
         QueryDag.ofQuery("corpus", (s2, d) =>
@@ -2021,7 +2032,9 @@ object SparkEntry {
               Seq("doc_id"), "left_anti")
             .select(col("doc_id"), col("lang"), col("source"),
               col("n_tokens"), col("quality"))))
-      QueryDag.run(s, dir, stages)("curated")
+      val runRoot = s"${Graft.localScratchDir}/graft-dag-" +
+        s"${s.sparkContext.applicationId}-${java.util.UUID.randomUUID()}"
+      QueryDag.runPersisted(s, dir, stages, runRoot)("curated")
     }),
 
     "q_curation_stream" -> ((s, dir) => {
@@ -2072,8 +2085,17 @@ object SparkEntry {
       // components → keep the min-id doc per cluster (+ all singletons).
       // The oracle reproduces the clustering with a recursive-CTE
       // transitive closure, so the component labels are hash-verified.
-      val pairs = sharedExactPairs(s, dir)
-      val losers = Dedup.connectedComponents(pairs)
+      // KEEP-SEMANTICS SCALE PATH: the exact pair stream runs UNGATED
+      // into the spanning-forest fold — pairs pipeline through
+      // per-partition union-find at O(nodes) space and are never
+      // materialized as a table, so this key COMPLETES at rungs where the
+      // τ=0.4 pair TABLE is far past spark.graft.pairs.maxOutput
+      // (q_dedup_embedding, whose output IS that table, stays gated
+      // there). Rows are identical to the pair-table path by the
+      // spanning-forest connectivity proof (DedupSpec pins equality).
+      val pairs = Similarity.cosinePairsExact(
+        Tables.embeddings(s, dir), 0.40, gated = false).select("id_a", "id_b")
+      val losers = Dedup.connectedComponentsScalable(pairs)
         .where(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
       Tables.documents(s, dir)
@@ -2086,9 +2108,17 @@ object SparkEntry {
       // pretraining pipeline runs between exact dedup and quality
       // filtering. Cross-cell recall is measured in SimilaritySpec
       // against the exact grid join; kept rows here are the sound result
-      // (every drop is exact-cosine-verified).
+      // (every drop is exact-cosine-verified). Runs the KEEP-SEMANTICS
+      // SCALE PATH (ungated pair stream → spanning-forest fold — see
+      // q_dedup_embedding_keep) over the SAME shared ensemble centroids
+      // q_pair_quality scores, so both keys describe one deterministic
+      // clustering; this key now COMPLETES at rungs where the pair table
+      // itself is over-cap.
       {
-        val losers = Dedup.connectedComponents(sharedSemPairs(s, dir))
+        val pairs = Similarity.semdedupPairsEnsemble(
+          Tables.embeddings(s, dir), sharedSemCents(s, dir), 0.4, gated = false)
+          .select("id_a", "id_b")
+        val losers = Dedup.connectedComponentsScalable(pairs)
           .where(col("id") =!= col("component"))
           .select(col("id").as("vec_id"))
         Tables.embeddings(s, dir).join(losers, Seq("vec_id"), "left_anti")

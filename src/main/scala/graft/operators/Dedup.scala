@@ -605,6 +605,154 @@ object Dedup {
     labeled.union(selfOnly)
   }
 
+  /** Open-addressing long→long hash map for the per-partition union-find
+    * fold — primitive arrays, ~16 B/entry (a boxed HashMap costs ~5×,
+    * which is the difference between a 16M-node partition fitting a task
+    * heap or not). Long.MinValue is the empty-slot sentinel and therefore
+    * an unsupported key (fail-loud, not silent corruption).
+    */
+  private final class LongLongMap(initialCapacity: Int = 1 << 12) {
+    private val Empty = Long.MinValue
+    private var mask = {
+      var c = 16
+      while (c < initialCapacity * 2) c <<= 1
+      c - 1
+    }
+    private var keys = Array.fill(mask + 1)(Empty)
+    private var vals = new Array[Long](mask + 1)
+    private var n = 0
+    def size: Int = n
+    private def slot(k: Long, ks: Array[Long], m: Int): Int = {
+      // Stafford mix13 finalizer on a golden-ratio spread — id patterns
+      // (sequential, strided) must not cluster into probe chains
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      var i = (h & m).toInt
+      while (ks(i) != Empty && ks(i) != k) i = (i + 1) & m
+      i
+    }
+    def getOrDefault(k: Long, dflt: Long): Long = {
+      require(k != Empty, "id Long.MinValue is reserved (open-addressing sentinel)")
+      val i = slot(k, keys, mask)
+      if (keys(i) == k) vals(i) else dflt
+    }
+    def put(k: Long, v: Long): Unit = {
+      require(k != Empty, "id Long.MinValue is reserved (open-addressing sentinel)")
+      val i = slot(k, keys, mask)
+      if (keys(i) != k) {
+        keys(i) = k
+        n += 1
+        if ((n.toLong * 10) >= (mask + 1).toLong * 7) grow()
+      }
+      // grow() relocates — re-resolve the slot rather than caching it
+      vals(slot(k, keys, mask)) = v
+    }
+    private def grow(): Unit = {
+      val m2 = mask * 2 + 1
+      val k2 = Array.fill(m2 + 1)(Empty)
+      val v2 = new Array[Long](m2 + 1)
+      var i = 0
+      while (i <= mask) {
+        if (keys(i) != Empty) {
+          val j = slot(keys(i), k2, m2)
+          k2(j) = keys(i)
+          v2(j) = vals(i)
+        }
+        i += 1
+      }
+      keys = k2; vals = v2; mask = m2
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i <= mask) {
+        if (keys(i) != Empty) f(keys(i))
+        i += 1
+      }
+    }
+  }
+
+  /** Per-partition SPANNING-FOREST fold of a pair stream — the bounded-
+    * memory reduction that lets connectivity consumers (keep decisions,
+    * cluster labels) COMPLETE on pair sets too large to materialize as a
+    * table. Each partition pipes its pairs through a streaming union-find
+    * (pairs are consumed as they arrive and never collected) and emits one
+    * (root, member) star edge per distinct node it saw — output is
+    * ≤ Σ_p |nodes(p)|, LINEAR in nodes × partition-spread, however
+    * quadratic the incoming pair stream was.
+    *
+    * Connectivity is preserved EXACTLY: every input pair's endpoints share
+    * a root inside their partition's union-find, the emitted stars connect
+    * precisely the nodes each partition saw connected, and the union of
+    * per-partition forests therefore has the same transitive closure as
+    * the input pairs (a spanning forest per partition, merged downstream).
+    * This is the classic forest-contraction step of external-memory
+    * connected components.
+    *
+    * Use when pairs ≫ nodes (dense similarity graphs — the τ-threshold
+    * keep paths, where the pair stream is Θ(n²) by geometry); for SPARSE
+    * pair sets the fold can EXPAND the edge list (one row per node per
+    * partition it appears in) and [[connectedComponents]] directly is
+    * cheaper. Integral ids only (the 8-byte union-find is the point);
+    * per-partition distinct-node count is capped fail-loud at
+    * `maxNodesPerPartition` (default 2²⁴ ≈ 16.7M ⇒ ~0.5 GB transient per
+    * task) — nodes, not pairs, bound the memory.
+    */
+  def spanningForest(pairs: DataFrame, maxNodesPerPartition: Int = 1 << 24): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val idType = pairs.schema("id_a").dataType
+    val integral = idType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(integral,
+      s"spanningForest folds ids through a primitive union-find — integral ids only, " +
+        s"got ${idType.catalogString} (hash or dictionary-encode upstream)")
+    pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new LongLongMap()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          // path compression: point the walked chain at the root
+          var c = x
+          while (c != r) { val nx = parent.getOrDefault(c, c); parent.put(c, r); c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (parent.getOrDefault(a, Long.MinValue) == Long.MinValue) parent.put(a, a)
+          if (parent.getOrDefault(b, Long.MinValue) == Long.MinValue) parent.put(b, b)
+          require(parent.size <= maxNodesPerPartition,
+            s"spanningForest partition exceeded $maxNodesPerPartition distinct nodes — " +
+              "repartition the pair stream wider or raise maxNodesPerPartition")
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+        }
+        val out = Iterator.newBuilder[(Long, Long)]
+        parent.foreachKey(v => out += ((find(v), v)))
+        out.result()
+      }
+      .toDF("id_a", "id_b")
+      .select(col("id_a").cast(idType).as("id_a"), col("id_b").cast(idType).as("id_b"))
+  }
+
+  /** [[connectedComponents]] over the [[spanningForest]] reduction —
+    * identical (id, component) output (spec-pinned on random graphs), but
+    * the pair stream is consumed ONCE, pipelined, and never materialized:
+    * what gets checkpointed and iterated on downstream is the node-linear
+    * forest. This is the COMPLETING path for keep-semantics past the
+    * [[PairGate]] cap: a keep decision (one survivor per near-dup
+    * cluster) never needs the Θ(n²) pair table to exist at once — only
+    * its transitive closure, which the fold extracts at O(nodes) space
+    * per partition while the quadratic pairs stream through.
+    */
+  def connectedComponentsScalable(pairs: DataFrame,
+                                  maxNodesPerPartition: Int = 1 << 24): DataFrame =
+    connectedComponents(spanningForest(pairs, maxNodesPerPartition))
+
   /** Near-duplicate removal end-to-end: LSH candidates → exact n-gram
     * Jaccard ≥ `threshold` → connected components → keep ONE document per
     * component (the minimum id, which is also the component label) plus
@@ -790,6 +938,7 @@ object Dedup {
     // grows); a full-corpus histogram bound instead would double the
     // query's dominant stage at every scale.
     PairGate.check(docs, "winnowOverlapPairs",
+      s"minShared=$minShared,k=$k,w=$w,maxBucket=$maxBucketSize",
       s"raise minShared (now $minShared) or enlarge k (now $k) so fewer " +
         "windows collide") { p =>
       val sampled = winnowOverlapImpl(

@@ -65,22 +65,35 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(false)
     val n = nodes.count() // scalar metadata, not data
+    val nodeType = nodes.schema("node").dataType
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
       .localCheckpoint(false)
     var rank = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
+      // ONE aggregate per iteration: per-edge contribution rows keyed by
+      // their destination UNION the dangling nodes' rank rows keyed by
+      // NULL (real node ids are non-null by precondition — an edge list
+      // with NULL endpoints has no rank semantics), so the dangling mass
+      // rides the same shuffle/partial-agg pass as the contributions
+      // instead of paying its own aggregate + rank⋈deg join per
+      // iteration. Per-row terms are unchanged (round-12 decimal), so the
+      // rank vector stays bit-identical to the two-aggregate form.
       val srcRank = rank.withColumnRenamed("node", "src")
         .join(deg, Seq("src"), "left")
-      val dangling = broadcast(srcRank.where(col("__deg").isNull)
-        .agg(coalesce(sum(term(col("rank"))), lit(0).cast("decimal(28,12)"))
-          .cast("double").as("__dm")))
-      val inbound = e
+      val agg = e
         .join(srcRank.where(col("__deg").isNotNull), Seq("src"))
         .select(col("dst").as("node"), term(col("rank") / col("__deg")).as("__c"))
+        .unionByName(srcRank.where(col("__deg").isNull)
+          .select(lit(null).cast(nodeType).as("node"), term(col("rank")).as("__c")))
         .groupBy("node")
         .agg(sum(col("__c")).cast("double").as("__in"))
+        .localCheckpoint(false)
+      // the NULL group IS the dangling mass; absent (no dangling nodes or
+      // an empty graph) the coalesced re-aggregate still yields one row
+      val dangling = broadcast(agg.where(col("node").isNull)
+        .agg(coalesce(sum(col("__in")), lit(0.0)).as("__dm")))
       rank = nodes
-        .join(inbound, Seq("node"), "left")
+        .join(agg.where(col("node").isNotNull), Seq("node"), "left")
         .crossJoin(dangling)
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
@@ -125,7 +138,14 @@ object Graph {
     var reached = nodes.where(col("node") === source)
       .select(col("node"), lit(0L).as("hop")).localCheckpoint(false)
     var frontier = reached
-    for (i <- 1 to iters) {
+    var i = 1
+    // EARLY EXIT on an empty frontier: BFS is semantically finished the
+    // round nothing new is reached — the remaining rounds of a fixed-count
+    // loop are pure job overhead (the graph's diameter from `source` is
+    // usually far under the caller's `iters` guard). `newly` is
+    // checkpointed either way, so the emptiness probe reads the cache the
+    // union consumes — no extra compute, one cheap action per round.
+    while (i <= iters && !frontier.isEmpty) {
       val proposals = und
         .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
         .select(col("dst").as("node")).distinct()
@@ -135,6 +155,7 @@ object Graph {
         .localCheckpoint(false)
       reached = reached.unionByName(newly).localCheckpoint(false)
       frontier = newly
+      i += 1
     }
     nodes.join(reached, Seq("node"), "left")
       .select(col("node"), coalesce(col("hop"), lit(Unreached)).as("hop"))
@@ -168,8 +189,28 @@ object Graph {
       .distinct().repartition(col("src")).localCheckpoint(false)
     // symmetrization puts every endpoint in src
     val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+    // EARLY EXIT at the label fixpoint: labels only ever DECREASE under
+    // min-propagation, so for integral ids an exact decimal label sum is
+    // unchanged iff NO label changed — once stable, every further round
+    // is a no-op and the output is already the `iters`-round answer
+    // (stable ⇒ identical for any larger round count). One cheap
+    // aggregate per round over the just-checkpointed frame, the same
+    // test Dedup.connectedComponents uses. Non-integral ids (string
+    // labels don't sum) run the fixed round count unchanged.
+    val integralIds = nodes.schema("node").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    def labelSum(lab: DataFrame): java.math.BigDecimal = {
+      val r = lab.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
     var label = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
+    var prevSum = if (integralIds) labelSum(label) else null
+    var iter = 0
+    var converged = false
+    while (iter < iters && !converged) {
       val neighborMin = und
         .join(label.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
@@ -180,6 +221,12 @@ object Graph {
         .select(col("node"),
           least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
         .localCheckpoint(false)
+      if (integralIds) {
+        val s = labelSum(label)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      }
+      iter += 1
     }
     label
   }

@@ -124,21 +124,44 @@ object Similarity {
     math.ceil(sampled / (p * p)).toLong
   }
 
+  /** The gate's tier-2 exact-pair estimate as DATA — what [[PairGate]]
+    * would compare against the cap, exposed so scale harnesses ship
+    * estimate-vs-actual calibration per rung (the estimator's accuracy is
+    * then measured on every battery, not only visible when a gate trips).
+    */
+  def estimateExactPairCount(embeddings: DataFrame, threshold: Double,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): Long =
+    PairGate.tier2Estimate(embeddings.sparkSession, PairGate.countMemoized(embeddings))(
+      estimateExactPairs(embeddings, threshold, idCol, vecCol))._2
+
   private def pairGateRemedy(threshold: Double): String =
     s"raise the cosine threshold (now $threshold) or switch to a " +
       "top-k-per-vector variant (topKBatch)"
 
+  /** `gated = false` skips the output-cardinality gate — ONLY for
+    * consumers that reduce the pair stream to a linear artifact without
+    * ever materializing it as a table (the spanning-forest keep path,
+    * [[graft.operators.Dedup.connectedComponentsScalable]]): there the
+    * quadratic is transient compute + disk-backed shuffle, inherent to
+    * exact-τ semantics, and the melt the gate guards against (returning
+    * an over-cap pair TABLE) cannot occur.
+    */
   def cosinePairsExact(embeddings: DataFrame, threshold: Double, blocks: Int = 0,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       gated: Boolean = true): DataFrame = {
     // output-cardinality gate (the quadratic-output melt guard) — also
     // yields the exact corpus count the grid sizing below reuses
-    // (-1 = gate disabled; the grid still needs n, count here)
-    val gateN = PairGate.check(embeddings, "cosinePairsExact", pairGateRemedy(threshold))(
-      estimateExactPairs(embeddings, threshold, idCol, vecCol))
-    val n = if (gateN >= 0) gateN else embeddings.count()
+    // (-1 = gate disabled; the memoized count serves repeat callers)
+    val gateN =
+      if (!gated) -1L
+      else PairGate.check(embeddings, "cosinePairsExact", s"tau=$threshold",
+        pairGateRemedy(threshold))(
+        estimateExactPairs(embeddings, threshold, idCol, vecCol))
     val b =
       if (blocks > 0) blocks
       else {
+        val n = if (gateN >= 0) gateN else PairGate.countMemoized(embeddings)
         // parallelism-derived grid: cell count b(b+1)/2 ≈ 2× default
         // parallelism (1-Bucket-Theta guidance) …
         val fromPar = math.max(4, math.ceil(math.sqrt(
@@ -896,10 +919,10 @@ object Similarity {
       "planes must be in [0, 63] (0 = auto); bands > 0")
     val spark = embeddings.sparkSession
     val gateOn = PairGate.cap(spark) > 0
-    // one count serves both consumers: the auto geometry (always needs
-    // n) and the gate (only when enabled) — explicit geometry with the
-    // gate disabled counts nothing
-    val n: Long = if (gateOn || planes == 0) embeddings.count() else -1L
+    // one memoized count serves both consumers: the auto geometry (always
+    // needs n) and the gate (only when enabled) — explicit geometry with
+    // the gate disabled counts nothing
+    val n: Long = if (gateOn || planes == 0) PairGate.countMemoized(embeddings) else -1L
     val (planesEff, bandsEff) =
       if (planes > 0) (planes, bands)
       else {
@@ -923,7 +946,8 @@ object Similarity {
     // not go quadratic unannounced.
     if (gateOn) {
       PairGate.checkCounted(spark, n, "lshCandidatePairsBucketed",
-        pairGateRemedy(threshold)) { p =>
+        s"tau=$threshold,planes=$planesEff,bands=$bandsEff,maxBucket=$maxBucketSize",
+        pairGateRemedy(threshold), memoKey = Some(PairGate.corpusKey(embeddings))) { p =>
         val sampled = lshCandidateImpl(
           embeddings.where(PairGate.samplePredicate(col(idCol), p)),
           threshold, planesEff, bandsEff, maxBucketSize, idCol, vecCol).count()
@@ -1023,7 +1047,8 @@ object Similarity {
   def semdedupPairs(embeddings: DataFrame, centroids: Array[Array[Double]],
                     threshold: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    PairGate.check(embeddings, "semdedupPairs", pairGateRemedy(threshold))(
+    PairGate.check(embeddings, "semdedupPairs", s"tau=$threshold",
+      pairGateRemedy(threshold))(
       estimateExactPairs(embeddings, threshold, idCol, vecCol))
     val lite = embeddings
       .select(col(idCol).as("id"),
@@ -1063,11 +1088,17 @@ object Similarity {
     * Σ cell² shape. Union-then-distinct is sound because every member
     * pair is already exact-verified.
     */
+  /** `gated = false`: see [[cosinePairsExact]] — reserved for pair-stream
+    * consumers with linear outputs (the scalable keep path).
+    */
   def semdedupPairsEnsemble(embeddings: DataFrame,
                             centsList: Seq[Array[Array[Double]]], threshold: Double,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    PairGate.check(embeddings, "semdedupPairsEnsemble", pairGateRemedy(threshold))(
-      estimateExactPairs(embeddings, threshold, idCol, vecCol))
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            gated: Boolean = true): DataFrame = {
+    if (gated)
+      PairGate.check(embeddings, "semdedupPairsEnsemble", s"tau=$threshold",
+        pairGateRemedy(threshold))(
+        estimateExactPairs(embeddings, threshold, idCol, vecCol))
     // ONE pass computes the norm, the int8 codes, and every clustering's
     // cell id; each member then pays only its screen join, and the
     // decimal-exact verify runs ONCE over the deduplicated union of
@@ -1116,6 +1147,17 @@ object Similarity {
     * bounded shape proven elsewhere in this file (codebook = model-sized
     * driver state, assignment map-side compiled, components
     * size-adaptive).
+    *
+    * COMPLETES past the pair cap: the keep DECISION needs the pair
+    * graph's transitive closure, never the pair table itself, so the
+    * exact-verified pair stream runs UNGATED straight into the
+    * spanning-forest fold ([[graft.operators.Dedup.connectedComponentsScalable]])
+    * — pairs are consumed pipelined at O(nodes) space per partition,
+    * every materialized artifact (forest, labels, keep set) is
+    * node-linear, and a corpus whose τ-pair table is 100× over
+    * `spark.graft.pairs.maxOutput` still yields its keep set. The pair
+    * TABLE faces (q_dedup_embedding, pair diagnostics) stay gated — there
+    * the over-cap table IS the output.
     */
   def semdedupKeep(embeddings: DataFrame, k: Int = 16, threshold: Double = 0.7,
                    iters: Int = 2, sampleFraction: Double = 0.25,
@@ -1129,9 +1171,10 @@ object Similarity {
       Seq(k, math.max(2, k / 2)).distinct
         .map(kk => kmeansCentroids(sample, kk, iters, idCol, vecCol))
     }
-    val pairs = semdedupPairsEnsemble(embeddings, centsList, threshold, idCol, vecCol)
+    val pairs = semdedupPairsEnsemble(embeddings, centsList, threshold, idCol, vecCol,
+      gated = false)
       .select("id_a", "id_b")
-    val losers = graft.operators.Dedup.connectedComponents(pairs)
+    val losers = graft.operators.Dedup.connectedComponentsScalable(pairs)
       .where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     embeddings.join(losers, Seq(idCol), "left_anti")

@@ -281,6 +281,38 @@ object EventsStream {
     }
   }
 
+  /** Streaming restatement into a [[graft.sources.v2.QuoteStoreCatalog]]
+    * table — the DSv2 write surface's streaming face, closing the loop
+    * between the feed (QuoteFeedProvider, read), the store (QuoteStore,
+    * batch write) and the stream: a correction feed keeps the day-
+    * partitioned store current without a batch driver.
+    *
+    * CONTRACT (Sinks.restateDays at micro-batch cadence): each incoming
+    * batch carries COMPLETE day snapshots — dynamic partition overwrite
+    * replaces exactly the days present in the batch and touches no other
+    * directory. That makes the sink REPLAY-IDEMPOTENT on the
+    * at-least-once foreachBatch: a crash between the store commit and the
+    * checkpoint commit re-delivers the same batch, which overwrites its
+    * own days with identical content and converges — the same
+    * exactly-once argument as [[cdcUpsertForeachBatch]], with the day
+    * directory as the convergence unit. (A batch carrying PARTIAL days
+    * would need the CDC merge face instead; that is what
+    * cdcUpsertForeachBatch is for.)
+    *
+    * `onBatch(batchId, daysTouched)` mirrors the CDC sink's observer —
+    * the day list is batch-sized by construction (a correction feed
+    * restates days, not rows), so the observing collect is model-sized.
+    */
+  def quoteStoreForeachBatch(quotes: DataFrame, table: String)(
+      onBatch: (Long, Int) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    quotes.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val days = batch.select(col("day")).distinct().collect()
+      if (days.nonEmpty) {
+        batch.toDF().writeTo(table).overwritePartitions()
+        onBatch(batchId, days.length)
+      }
+    }
+
   /** The curation pipeline via foreachBatch — the form that scales the
     * store join (see [[dedupAgainstStoreBatch]]) and re-reads the static
     * frames every micro-batch (fresh file listing, so store appends and

@@ -66,6 +66,52 @@ class DedupSpec extends SparkSpec {
     assert(star === prop)
   }
 
+  test("spanningForest preserves connectivity exactly: connectedComponentsScalable " +
+    "≡ connectedComponents on chains, self-loops, random graphs, any partitioning") {
+    val rnd = new scala.util.Random(23)
+    val pairs = (Seq.fill(400) {
+      val a = rnd.nextInt(500).toLong; val b = rnd.nextInt(500).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2) ++
+      (600L until 640L).map(i => (i, i + 1)) ++ // a chain spanning partitions
+      Seq((999L, 999L))). // a self-loop singleton
+      distinct.toDF("id_a", "id_b")
+    val direct = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaForest = Dedup.connectedComponentsScalable(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(direct === viaForest)
+    // the fold is partition-independent: a different partitioning of the
+    // same pair stream yields the same labels
+    val reparted = Dedup.connectedComponentsScalable(pairs.repartition(7))
+      .as[(Long, Long)].collect().toMap
+    assert(direct === reparted)
+    assert(viaForest.get(999L) === Some(999L))
+  }
+
+  test("spanningForest output is node-linear on a dense pair set; fail-loud " +
+    "on non-integral ids and on the per-partition node cap") {
+    // complete graph on 200 nodes: 19900 pairs fold to ≤ partitions × 200
+    // star edges — the keep path's materialization bound
+    val n = 200
+    val dense = (for (a <- 0 until n; b <- a + 1 until n)
+      yield (a.toLong, b.toLong)).toDF("id_a", "id_b").repartition(8)
+    val forest = Dedup.spanningForest(dense)
+    assert(forest.count() <= 8L * n)
+    val comps = Dedup.connectedComponents(forest).as[(Long, Long)].collect()
+    assert(comps.length === n && comps.forall(_._2 === 0L))
+    // ids that can't enter a primitive union-find refuse loudly
+    val e = intercept[IllegalArgumentException](
+      Dedup.spanningForest(Seq(("a", "b")).toDF("id_a", "id_b")))
+    assert(e.getMessage.contains("integral ids"), e.getMessage)
+    // the node cap trips inside the task (wrapped by Spark) with a remedy
+    val capped = intercept[Exception](
+      Dedup.spanningForest(dense.coalesce(1), maxNodesPerPartition = 50).count())
+    val chain = Iterator.iterate(capped: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("distinct nodes"), chain)
+  }
+
   test("deduplicateNear keeps one doc per near-dup cluster plus all singletons") {
     val docs = Seq(
       (1L, near1), (2L, near2), // near-dups of each other → keep 1

@@ -485,6 +485,37 @@ class OperatorsSpec extends SparkSpec {
     assert(full === Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
   }
 
+  test("BSP early exit: BFS stops at an empty frontier and components at the " +
+    "label fixpoint — a huge round budget costs the same jobs as the diameter") {
+    // MEASURED by Spark job count, not just timing: with the exits, the
+    // extra 90+ budgeted rounds must launch zero additional jobs
+    def jobsDuring(f: => Unit): Int = {
+      val t = spark.sparkContext.statusTracker
+      val before = t.getJobIdsForGroup(null).length
+      f
+      t.getJobIdsForGroup(null).length - before
+    }
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst") // diameter 5
+    def hops(iters: Int): Map[Long, Long] =
+      Graph.shortestHops(edges, source = 1L, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var small: Map[Long, Long] = null
+    var huge: Map[Long, Long] = null
+    val jSmall = jobsDuring { small = hops(7) }
+    val jHuge = jobsDuring { huge = hops(100) }
+    assert(small.values.max === 5L && huge === small)
+    // one extra round runs to OBSERVE the empty frontier; beyond that the
+    // 93-round budget difference must be free
+    assert(jHuge <= jSmall + 2, s"BFS iters=100 ran $jHuge jobs vs $jSmall at iters=7")
+    def comps(iters: Int): Map[Long, Long] =
+      Graph.connectedComponents(edges, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cSmall = jobsDuring { small = comps(8) }
+    val cHuge = jobsDuring { huge = comps(100) }
+    assert(small.values.toSet === Set(1L) && huge === small)
+    assert(cHuge <= cSmall + 2, s"components iters=100 ran $cHuge jobs vs $cSmall at iters=8")
+  }
+
   test("Analytics.giniBySegment: zero for equal orders, known value for a skewed pair") {
     val cust = Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_mktsegment")
     val ords = Seq(

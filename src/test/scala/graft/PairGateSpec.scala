@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, PairGate, Sampling, Similarity}
+import graft.operators.{Dedup, PairGate, PairGateRefused, Sampling, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,7 +44,9 @@ class PairGateSpec extends SparkSpec {
     "passes when the same corpus's output is bounded") {
     val dense = denseCorpus(300) // all-pairs bound 44850 > cap ⇒ tier 2
     withCap(1000) {
-      val e = intercept[IllegalArgumentException](
+      // the refusal is the DEDICATED type — harnesses classify by type,
+      // never by message substring
+      val e = intercept[PairGateRefused](
         Similarity.cosinePairsExact(dense, 0.4))
       assert(e.getMessage.contains(PairGate.CapKey), e.getMessage)
       assert(e.getMessage.contains("cosinePairsExact"), e.getMessage)
@@ -163,6 +165,103 @@ class PairGateSpec extends SparkSpec {
         .where(PairGate.samplePredicate(col("id"), p)).count()
       val want = PairGate.realizedFraction(p) * 1000000
       assert(math.abs(kept - want) / want < 0.1, s"p=$p kept=$kept want=$want")
+    }
+  }
+
+  test("escalating floor: a coarse pass below the detectability floor is " +
+    "confirmed at p_floor; a coarse refusal never pays the floor pass") {
+    // n = 1e6 at a 2-row target ⇒ pCoarse ≈ 2e-6 ≪ p_floor = √(10/1000) = 0.1:
+    // the huge-corpus blind spot — an estimator whose coarse sample sees
+    // nothing but whose floor-size sample sees over-cap mass must refuse
+    val calls = scala.collection.mutable.ArrayBuffer[Double]()
+    withCap(1000, estimateRows = 2) {
+      val e = intercept[PairGateRefused] {
+        PairGate.checkCounted(spark, 1000000L, "synthetic", "t=1", "remedy") { p =>
+          calls += p
+          if (p < 0.01) 0L else 50000L
+        }
+      }
+      assert(e.getMessage.contains("~50000"), e.getMessage)
+    }
+    assert(calls.size === 2 && calls(1) > calls(0), calls.mkString(","))
+    assert(math.abs(calls(1) - 0.1) < 1e-3, s"floor fraction ${calls(1)}")
+    // an over-cap coarse estimate refuses immediately — one estimator run
+    calls.clear()
+    withCap(1000, estimateRows = 2) {
+      intercept[PairGateRefused] {
+        PairGate.checkCounted(spark, 1000000L, "synthetic2", "t=1", "remedy") { p =>
+          calls += p; 999999L
+        }
+      }
+    }
+    assert(calls.size === 1, calls.mkString(","))
+  }
+
+  test("tier-2 verdicts memoize per process and are recorded — passing and " +
+    "refusing — for estimate-vs-actual calibration") {
+    PairGate.clearRecorded()
+    PairGate.clearMemo()
+    val dense = denseCorpus(310)
+    withCap(1000) {
+      intercept[PairGateRefused](Similarity.cosinePairsExact(dense, 0.4))
+      intercept[PairGateRefused](Similarity.cosinePairsExact(dense, 0.4))
+    }
+    val recs = PairGate.recorded.filter(_.who == "cosinePairsExact")
+    assert(recs.size === 2, recs.mkString(";"))
+    assert(!recs.head.memoHit && recs(1).memoHit, recs.mkString(";"))
+    assert(recs.forall(_.refused) && recs.head.estimate === recs(1).estimate)
+    // a PASSING tier-2 verdict is recorded too (bound 79800 > cap 5000,
+    // exact estimate 1800 ≤ cap): calibration data exists even when
+    // nothing trips
+    val clustered = spark.range(0, 400).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 39), d -> CAST(CASE WHEN d = pmod(id, 40) " +
+        "THEN 1.0 ELSE 0.0 END AS FLOAT))").as("embedding"))
+    withCap(5000, estimateRows = 400) {
+      assert(Similarity.cosinePairsExact(clustered, 0.4).count() === 1800L)
+    }
+    val pass = PairGate.recorded.filter(r => r.cap == 5000L)
+    assert(pass.nonEmpty && pass.forall(r => !r.refused && r.estimate === 1800L),
+      pass.mkString(";"))
+  }
+
+  test("keep-semantics COMPLETES under a cap the pair table refuses, with " +
+    "the exact keep set") {
+    // 40 clusters × 10 identical members over 400 vectors: pair table is
+    // 1800 rows — over a cap of 100 the TABLE path refuses, while the
+    // spanning-forest keep path pipelines the same verified pair stream
+    // into per-partition union-find and completes with the exact keep set
+    // (the 40 cluster minima, ids 0..39)
+    val clustered = spark.range(0, 400).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 39), d -> CAST(CASE WHEN d = pmod(id, 40) " +
+        "THEN 1.0 ELSE 0.0 END AS FLOAT))").as("embedding"))
+    val keepOf = (pairs: DataFrame) => clustered.join(
+      Dedup.connectedComponentsScalable(pairs.select("id_a", "id_b"))
+        .where(col("id") =!= col("component"))
+        .select(col("id").as("vec_id")),
+      Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    withCap(100, estimateRows = 400) {
+      intercept[PairGateRefused](Similarity.cosinePairsExact(clustered, 0.4))
+      val kept = keepOf(Similarity.cosinePairsExact(clustered, 0.4, gated = false))
+      assert(kept === (0L until 40L), kept.take(50).mkString(","))
+      // the composed SemDeDup keep face completes under the same cap
+      val cents = Array.tabulate(4, 40)((c, d) => if (d % 4 == c) 0.5 else 0.0)
+      val sem = Similarity.semdedupKeep(clustered, threshold = 0.4,
+        centroids = Some(Seq(cents)))
+      assert(sem.count() === 40L)
+    }
+    // …and the fold path's keep set ≡ the pair-TABLE path's keep set when
+    // the gate is off (the equality the scale rungs can't afford to check)
+    withCap(0) {
+      val viaTable = clustered.join(
+        Dedup.connectedComponents(
+          Similarity.cosinePairsExact(clustered, 0.4).select("id_a", "id_b"))
+          .where(col("id") =!= col("component"))
+          .select(col("id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      val viaFold = keepOf(Similarity.cosinePairsExact(clustered, 0.4))
+      assert(viaTable === viaFold)
     }
   }
 

@@ -74,6 +74,71 @@ class QueryDagSpec extends SparkSpec {
     assert(e.getMessage.contains("prior output"))
   }
 
+  test("runPersisted kill-and-restart: a run that dies mid-DAG resumes from " +
+    "completed stages — builds not re-invoked, output identical to a clean run") {
+    val builds = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    @volatile var failInClean = true
+    def mk(name: String, deps: Seq[String], mult: Int): Stage =
+      Stage(name, deps, (s, _, up) => {
+        builds(name) += 1
+        if (name == "clean" && failInClean) sys.error("simulated driver crash")
+        val base = deps.headOption.map(up).getOrElse(s.range(1, 4).toDF("v"))
+        base.select(($"v" * mult).as("v"))
+      })
+    val stages = Seq(mk("load", Nil, 1), mk("clean", Seq("load"), 10),
+      mk("report", Seq("clean"), 10), mk("audit", Seq("load"), 100))
+    val root = java.nio.file.Files.createTempDirectory("dag-restart").toString
+    // first attempt dies inside `clean` — after `audit` and `load`
+    // committed (topo order: audit < clean, load first)
+    intercept[RuntimeException](QueryDag.runPersisted(spark, sfDir, stages, root))
+    assert(QueryDag.stageCompleted(spark, root, "load"))
+    assert(QueryDag.stageCompleted(spark, root, "audit"))
+    assert(!QueryDag.stageCompleted(spark, root, "clean"))
+    assert(!QueryDag.stageCompleted(spark, root, "report"))
+    // "restart the driver": re-run the same run id with the fault cleared
+    failInClean = false
+    builds.clear()
+    val resumed = QueryDag.runPersisted(spark, sfDir, stages, root)
+    // completed stages were served from parquet — build NEVER re-invoked
+    assert(builds.toMap === Map("clean" -> 1, "report" -> 1), builds.toMap.toString)
+    assert(resumed("report").select("v").as[Long].collect().sorted ===
+      Array(100L, 200L, 300L))
+    assert(resumed("audit").select("v").as[Long].collect().sorted ===
+      Array(100L, 200L, 300L))
+    // outputs are parquet-backed: identical to a clean run in a fresh root
+    val clean = QueryDag.runPersisted(spark, sfDir, stages,
+      java.nio.file.Files.createTempDirectory("dag-clean").toString)
+    assert(resumed("report").collect().map(_.toSeq).toSet ===
+      clean("report").collect().map(_.toSeq).toSet)
+    // a SECOND resume over the finished run recomputes nothing at all
+    builds.clear()
+    QueryDag.runPersisted(spark, sfDir, stages, root)
+    assert(builds.isEmpty, builds.toMap.toString)
+  }
+
+  test("invalidate: persisted restatement drops exactly the affected stages' " +
+    "outputs, and the next run recomputes only those") {
+    val builds = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    def mk(name: String, deps: Seq[String], mult: Int): Stage =
+      Stage(name, deps, (s, _, up) => {
+        builds(name) += 1
+        val base = deps.headOption.map(up).getOrElse(s.range(1, 4).toDF("v"))
+        base.select(($"v" * mult).as("v"))
+      })
+    val stages = Seq(mk("load", Nil, 1), mk("clean", Seq("load"), 10),
+      mk("report", Seq("clean"), 10), mk("audit", Seq("load"), 100))
+    val root = java.nio.file.Files.createTempDirectory("dag-invalidate").toString
+    QueryDag.runPersisted(spark, sfDir, stages, root)
+    builds.clear()
+    QueryDag.invalidate(spark, root, stages, Set("clean"))
+    assert(!QueryDag.stageCompleted(spark, root, "clean"))
+    assert(!QueryDag.stageCompleted(spark, root, "report"))
+    assert(QueryDag.stageCompleted(spark, root, "load"))
+    assert(QueryDag.stageCompleted(spark, root, "audit"))
+    QueryDag.runPersisted(spark, sfDir, stages, root)
+    assert(builds.toMap === Map("clean" -> 1, "report" -> 1), builds.toMap.toString)
+  }
+
   test("q_dag_run reproduces q_pipeline_e2e row-for-row (same oracle)") {
     val dag = SparkEntry.queries("q_dag_run")(spark, sfDir)
       .collect().map(_.toSeq).toSet
