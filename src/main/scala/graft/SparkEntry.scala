@@ -2032,8 +2032,23 @@ object SparkEntry {
               Seq("doc_id"), "left_anti")
             .select(col("doc_id"), col("lang"), col("source"),
               col("n_tokens"), col("quality"))))
-      val runRoot = s"${Graft.localScratchDir}/graft-dag-" +
-        s"${s.sparkContext.applicationId}-${java.util.UUID.randomUUID()}"
+      // fresh run id per invocation (repeat bench passes measure the full
+      // run, not a warm resume); the PREVIOUS invocation's root is dead
+      // the moment a new one starts — queries are independent
+      // (dropQueryState contract) — so reap this app's stale roots here
+      // rather than letting a 400-query battery fill the scratch mount
+      val prefix = s"graft-dag-${s.sparkContext.applicationId}-"
+      val scratch = new java.io.File(Graft.localScratchDir)
+      Option(scratch.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+        .foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+            f.delete(); ()
+          }
+          rm(d)
+        }
+      val runRoot = s"${Graft.localScratchDir}/$prefix${java.util.UUID.randomUUID()}"
       QueryDag.runPersisted(s, dir, stages, runRoot)("curated")
     }),
 

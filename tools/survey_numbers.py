@@ -69,6 +69,10 @@ def scale_block():
             ed = d["embedding_diag"]
             extra += (f"; embedding_diag exact pairs {ed['base']['exact_pairs']:,} → "
                       f"{ed['scaled']['exact_pairs']:,}")
+            if "est_over_actual" in ed.get("scaled", {}):
+                extra += (f" (gate estimate/actual "
+                          f"{ed['base']['est_over_actual']} → "
+                          f"{ed['scaled']['est_over_actual']})")
         lines.append(
             f"- **Scale {label} ({fname})**: {len(qs)} keys, total "
             f"**{d['total_ratio']:.2f}× at {d['mult']}× rows**, "
