@@ -98,16 +98,22 @@ object SparkEntry {
     }
   }
 
-  /** SemDeDup ensemble centroids (k = 8 and 4, iters = 2) trained once per
-    * (process, dataset) on the deterministic 25% sample. q_semdedup keeps
-    * rows with them; q_pair_quality scores the SAME clustering's recall —
-    * retraining inside the diagnostic would score a different model than
-    * the one the dedup key ships.
+  /** SemDeDup ensemble centroids (two granularities k and k/2, iters = 2,
+    * k from `Similarity.autoCellCount` — √n-scaled so the in-cell screen
+    * stays ~linear across rungs; every corpus ≤ 2048 vectors floors to
+    * k = 8, so the bench/verify clusterings are the SAME (8, 4) ensemble
+    * as the fixed-k era) trained once per (process, dataset) on the
+    * deterministic 25% sample. q_semdedup keeps rows with them;
+    * q_pair_quality scores the SAME clustering's recall — retraining
+    * inside the diagnostic would score a different model than the one
+    * the dedup key ships.
     */
   private def sharedSemCents(s: SparkSession, dir: String): Seq[Array[Array[Double]]] =
     memo(s, s"semcents:$dir") {
-      val sample = Sampling.deterministicSample(Tables.embeddings(s, dir), "vec_id", 0.25)
-      Seq(8, 4).map(k => Similarity.kmeansCentroids(sample, k, 2))
+      val emb = Tables.embeddings(s, dir)
+      val k = Similarity.autoCellCount(graft.operators.PairGate.countMemoized(emb))
+      val sample = Sampling.deterministicSample(emb, "vec_id", 0.25)
+      Seq(k, math.max(2, k / 2)).map(g => Similarity.kmeansCentroids(sample, g, 2))
     }
 
   /** The SemDeDup ensemble's verified pair list (id_a, id_b) at τ = 0.4,

@@ -124,6 +124,24 @@ object Similarity {
     math.ceil(sampled / (p * p)).toLong
   }
 
+  /** Corpus-size-derived SemDeDup cell count — the knob that keeps the
+    * family's quadratic-within-cell step from going quadratic-in-corpus.
+    * With a FIXED k, Σ cell² ≈ n²/k grows quadratically in n (measured:
+    * the 8+4-cell ensemble spent 367 s at the 100× rung on the in-cell
+    * screen alone); the published SemDeDup runs scale the cluster count
+    * with the dataset for exactly this reason. k = √(n/32) balances the
+    * two costs that pull k in opposite directions — per-row assignment
+    * (n·k·d flops, pro-small-k) against the in-cell screen
+    * (Σ cell² ≈ n²/k pairs, pro-large-k) — the classic IVF √n rule with
+    * the constant pinned so the SHIPPED small-corpus clustering is
+    * unchanged: every n ≤ 2048 (the sf0.1 bench corpus is 2000 vectors)
+    * floors to k = 8, so 1×-scale keep sets, recall diagnostics and
+    * bench numbers are bit-identical to the fixed-k era, while the 100×
+    * rung gets k = 80 and a ~25× smaller screen.
+    */
+  def autoCellCount(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(n / 32.0)).toInt)
+
   /** The gate's tier-2 exact-pair estimate as DATA — what [[PairGate]]
     * would compare against the cap, exposed so scale harnesses ship
     * estimate-vs-actual calibration per rung (the estimator's accuracy is
@@ -1159,17 +1177,20 @@ object Similarity {
     * TABLE faces (q_dedup_embedding, pair diagnostics) stay gated — there
     * the over-cap table IS the output.
     */
-  def semdedupKeep(embeddings: DataFrame, k: Int = 16, threshold: Double = 0.7,
+  def semdedupKeep(embeddings: DataFrame, k: Int = 0, threshold: Double = 0.7,
                    iters: Int = 2, sampleFraction: Double = 0.25,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    centroids: Option[Seq[Array[Array[Double]]]] = None): DataFrame = {
     // `centroids` lets a pipeline that already trained the ensemble (e.g. a
     // quality diagnostic scoring the same clustering) pass it in — codebooks
-    // are model-sized driver state, trained once per corpus snapshot
+    // are model-sized driver state, trained once per corpus snapshot.
+    // k ≤ 0 (the default) derives the cell count from the corpus size
+    // ([[autoCellCount]]) so the in-cell screen stays ~linear in n.
     val centsList = centroids.getOrElse {
+      val kk = if (k > 0) k else autoCellCount(PairGate.countMemoized(embeddings))
       val sample = Sampling.deterministicSample(embeddings, idCol, sampleFraction)
-      Seq(k, math.max(2, k / 2)).distinct
-        .map(kk => kmeansCentroids(sample, kk, iters, idCol, vecCol))
+      Seq(kk, math.max(2, kk / 2)).distinct
+        .map(g => kmeansCentroids(sample, g, iters, idCol, vecCol))
     }
     val pairs = semdedupPairsEnsemble(embeddings, centsList, threshold, idCol, vecCol,
       gated = false)

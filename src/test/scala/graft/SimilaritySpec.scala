@@ -507,6 +507,35 @@ class SimilaritySpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("autoCellCount: √n-scaled with the small-corpus floor pinning the " +
+    "shipped clustering; semdedupKeep's auto path is sound and deterministic") {
+    // the floor — every corpus up to 2048 vectors keeps the bench-era
+    // k = 8, so 1×-scale keep sets and recall diagnostics are unchanged
+    assert(Similarity.autoCellCount(200) === 8)
+    assert(Similarity.autoCellCount(2000) === 8)
+    assert(Similarity.autoCellCount(2048) === 8)
+    // the √n regime: Σ cell² ≈ n²/k stays ~n·√32n instead of n²/8
+    assert(Similarity.autoCellCount(20000) === 25)
+    assert(Similarity.autoCellCount(200000) === 80)
+    assert(Similarity.autoCellCount(20000000) === 791)
+    // auto-k keep (k = 0 default): sound — every dropped vector has an
+    // exact cosine>τ partner — and deterministic across runs
+    val emb = Tables.embeddings(spark, sfDir)
+    val kept = Similarity.semdedupKeep(emb, threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val dropped = all.diff(kept)
+    assert(kept.nonEmpty)
+    if (dropped.nonEmpty) {
+      val hasNeighbor = Similarity.cosinePairsExact(emb, 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+        .flatMap(p => Seq(p._1, p._2)).toSet
+      assert(dropped.subsetOf(hasNeighbor))
+    }
+    assert(Similarity.semdedupKeep(emb, threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet === kept)
+  }
+
   test("persisted cent_idx-partitioned IVF-PQ index probe equals the inline probe") {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = Similarity.kmeansCentroids(
