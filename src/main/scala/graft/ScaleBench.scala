@@ -188,6 +188,7 @@ object ScaleBench {
     */
   private val dedupAnn = Seq(
     "q_dedup_exact", "q_dedup_keep", "q_dedup_minhash", "q_ngram_jaccard",
+    "q_bitext_mine",
     "q_dedup_simhash", "q_dedup_cluster", "q_dedup_near_keep",
     "q_dedup_incremental_near", "q_winnow_overlap", "q_semdedup",
     "q_containment", "q_dedup_containment_keep",
@@ -213,7 +214,8 @@ object ScaleBench {
     "q_split_assign", "q_stratified_sample", "q_corpus_mix",
     "q_mix_temperature", "q_frame_sample", "q_multimodal_features",
     "q_pmi", "q_kl_divergence", "q_percentile_rank", "q_readability",
-    "q_code_detect", "q_zipf_slope", "q_survivorship")
+    "q_code_detect", "q_zipf_slope", "q_survivorship",
+    "q_ngram_novelty", "q_dataset_card")
   /** Every key that reads events — the reference stock surface plus the
     * analytics/streaming-mirror families. Included so the time-series
     * windows (SMA/EWMA/drawdown), as-of joins, funnel/retention and the
@@ -253,7 +255,10 @@ object ScaleBench {
     "q_forecast_eval",
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
     "q_weighted_price", "q_market_basket", "q_salted_join",
-    "q_fk_integrity", "q_anti_join", "q_topk_per_key")
+    "q_fk_integrity", "q_anti_join", "q_topk_per_key",
+    "q4_order_priority", "q11_important_stock", "q14_promo_revenue",
+    "q17_small_qty_revenue", "q21_last_shippers", "q_triangles",
+    "q_degree_hist", "q_sortino", "q_var_es", "q_pairs_spread")
 
   /** Record-linkage keys (read the scaled part table). */
   private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup",

@@ -1006,6 +1006,92 @@ object SparkEntry {
             + lit(0.0)).as("sharpe"))
     }),
 
+    "q_sortino" -> ((s, dir) => {
+      // per-entity annualized Sortino ratio: q_sharpe's aggregate with the
+      // denominator swapped for DOWNSIDE deviation (√(Σ min(r,0)²/(n−1)))
+      // — same one-shuffle three-partials shape, penalizing only
+      // sub-zero-return days
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+        .select(col("user_id"), dailyReturn.as("r"))
+        .where(col("r").isNotNull)
+      b.groupBy(col("user_id")).agg(
+          exactSumD12(col("r")).as("s1"),
+          exactSumD12(when(col("r") < 0, col("r") * col("r")).otherwise(lit(0.0)))
+            .as("sd2"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("user_id"), col("n").cast("long").as("n_days"),
+          (round((col("s1") / col("n")) /
+            nullif(sqrt(col("sd2") / nullif(col("n") - lit(1.0), lit(0.0))), lit(0.0)) *
+            sqrt(lit(252.0)), 6) + lit(0.0)).as("sortino"))
+    }),
+
+    "q_var_es" -> ((s, dir) => {
+      // per-entity historical 95% Value-at-Risk + Expected Shortfall over
+      // daily returns, on EXACT discrete-rank semantics (k = ⌈n/20⌉ in
+      // pure integer arithmetic, ties broken by date) so both engines pick
+      // the identical tail — one window rank + one keyed aggregate; the
+      // window partitions per entity, so state is entity-bounded at any
+      // corpus width
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+        .select(col("user_id"), col("d"), dailyReturn.as("r"))
+        .where(col("r").isNotNull)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("r"), col("d"))
+      b.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("k", expr("(n + 19) div 20"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_days"),
+          (round(max(when(col("rn") === col("k"), col("r"))), 6) + lit(0.0))
+            .as("var95"),
+          (round(exactSumD12(when(col("rn") <= col("k"), col("r")).otherwise(lit(0.0)))
+            / max(col("k")), 6) + lit(0.0)).as("es95"))
+    }),
+
+    "q_pairs_spread" -> ((s, dir) => {
+      // pairs-trading spread: OLS hedge (close₁ ~ α + β·close₂ on
+      // date-aligned bars of entities 1 and 2) and the residual z-score
+      // per day — the cointegration-screen readout. Two one-row stat
+      // aggregates broadcast back over the aligned frame (the house
+      // scalar idiom); decimal-exact moment sums make α, β and every
+      // spread bit-identical cross-engine. The aligned frame is pair-
+      // sized (days of ONE pair), checkpointed once, read three times.
+      val b = bars(s, dir).select(col("user_id"), col("d"), col("close"))
+      val al = b.where(col("user_id") === 1)
+        .select(col("d"), col("close").as("c1"))
+        .join(b.where(col("user_id") === 2)
+          .select(col("d").as("d2"), col("close").as("c2")),
+          col("d") === col("d2"))
+        .select(col("d"), col("c1"), col("c2"))
+        .localCheckpoint(false)
+      val st = al.agg(
+        count(lit(1)).cast("double").as("n"),
+        exactSumD12(col("c1")).as("sy"),
+        exactSumD12(col("c2")).as("sx"),
+        exactSumD12(col("c2") * col("c1")).as("sxy"),
+        exactSumD12(col("c2") * col("c2")).as("sxx"))
+        .select(col("n"), col("sx"), col("sy"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))).as("beta"))
+        .select(col("beta"),
+          ((col("sy") - col("beta") * col("sx")) / col("n")).as("alpha"))
+      val sp = al.crossJoin(broadcast(st))
+        .select(col("d"),
+          (col("c1") - (col("alpha") + col("beta") * col("c2"))).as("spread"))
+        .localCheckpoint(false)
+      val ss = sp.agg(
+        count(lit(1)).cast("double").as("n2"),
+        exactSumD12(col("spread")).as("s1"),
+        exactSumD12(col("spread") * col("spread")).as("s2"))
+      sp.crossJoin(broadcast(ss))
+        .select(col("d"),
+          (round(col("spread"), 6) + lit(0.0)).as("spread"),
+          (round((col("spread") - col("s1") / col("n2")) /
+            nullif(sqrt((col("s2") - col("n2") * (col("s1") / col("n2")) * (col("s1") / col("n2"))) /
+              nullif(col("n2") - lit(1.0), lit(0.0))), lit(0.0)), 6) + lit(0.0)).as("z"))
+        .orderBy(col("d"))
+    }),
+
     "q_donchian" -> ((s, dir) => {
       // 20-bar Donchian channel + breakout flag — the rolling-extremes
       // band (turtle-trading entry signal) beside Bollinger's moment
@@ -1735,6 +1821,17 @@ object SparkEntry {
       // source's top-100 terms; vocab-sized throughout
       TextAnalysis.zipfSlope(Tables.documents(s, dir), topK = 100)),
 
+    "q_ngram_novelty" -> ((s, dir) =>
+      // per-doc fraction of word-8-grams unique to the doc (memorization/
+      // boilerplate inverse): gram-df aggregate + join-back, linear in
+      // total grams — no pair enumeration
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir), n = 8)),
+
+    "q_dataset_card" -> ((s, dir) =>
+      // per-(source, lang) release card: docs/chars/tokens, mean length,
+      // exact-dup rate — one keyed aggregate on the card's grain
+      TextAnalysis.datasetCard(Tables.documents(s, dir))),
+
     "q13_cust_orders" -> ((s, dir) =>
       // TPC-H Q13 shape: order-count histogram incl. the zero bucket —
       // aggregate-then-outer-join, never join-then-count over the fact
@@ -1757,6 +1854,49 @@ object SparkEntry {
       // NOT EXISTS as a left-anti join on the priority-pruned fact
       Analytics.idleRichCustomers(
         Tables.customer(s, dir), ordersNtz(s, dir), "1-URGENT")),
+
+    "q4_order_priority" -> ((s, dir) =>
+      // TPC-H Q4 shape: EXISTS as a LEFT SEMI join whose late-shipment
+      // date residual evaluates inside the hash probe — no distinct, no
+      // fact re-read; both sides NTZ so the +60d arithmetic is engine-flat
+      Analytics.latePriorityOrders(ordersNtz(s, dir), lineitemNtz(s, dir),
+        lagDays = 60)),
+
+    "q11_important_stock" -> ((s, dir) =>
+      // TPC-H Q11 shape: group-then-global-threshold — the scalar mean is
+      // a one-row broadcast over the GROUPED frame; fact shuffles once
+      Analytics.importantStock(Tables.lineitem(s, dir), meanMult = 1.2)),
+
+    "q14_promo_revenue" -> ((s, dir) =>
+      // TPC-H Q14 shape: conditional aggregation, one quarter-pruned fact
+      // pass joined to the broadcast part dimension
+      Analytics.promoRevenue(Tables.part(s, dir), Tables.lineitem(s, dir),
+        from = "1996-01-01", until = "1996-04-01")),
+
+    "q17_small_qty_revenue" -> ((s, dir) =>
+      // TPC-H Q17 shape: correlated avg-quantity subquery decorrelated to
+      // an aggregate broadcast back onto the fact
+      Analytics.smallQtyRevenue(Tables.part(s, dir), Tables.lineitem(s, dir),
+        avgFrac = 0.2)),
+
+    "q21_last_shippers" -> ((s, dir) =>
+      // TPC-H Q21 shape: the EXISTS/NOT-EXISTS correlated pair as one
+      // per-order aggregate + a last-date join-back + a sole-supplier check
+      Analytics.soleLastShippers(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir), k = 25)),
+
+    "q_triangles" -> ((s, dir) =>
+      // exact triangle count + clustering coefficient of the co-purchase
+      // graph via degree-ordered orientation: wedge join bounded by
+      // Σ outdeg² ≤ O(|E|^1.5) no matter the hubs
+      Graph.triangleStats(
+        Graph.coPurchaseEdges(Tables.orders(s, dir), Tables.lineitem(s, dir)))),
+
+    "q_degree_hist" -> ((s, dir) =>
+      // co-purchase degree distribution: the hub/isolate shape audit —
+      // two partial-aggregated keyed passes, output distinct-degree small
+      Graph.degreeHistogram(
+        Graph.coPurchaseEdges(Tables.orders(s, dir), Tables.lineitem(s, dir)))),
 
     "q_components" -> ((s, dir) => {
       // premium-purchase network: connected components of the
@@ -2154,6 +2294,15 @@ object SparkEntry {
     "q_ann_batch" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.topKBatch(emb, emb.orderBy(col("vec_id")).limit(2), 10)
+    }),
+
+    "q_bitext_mine" -> ((s, dir) => {
+      // margin-based bitext mining: even ids query the odd-id corpus;
+      // forward margin cos(top1)/mean(top4) > 1.25 keeps ~the top decile
+      // — broadcast-screen compute, zero shuffle of the corpus side
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bitextMine(emb.where(col("vec_id") % 2 === 1),
+        emb.where(col("vec_id") % 2 === 0), k = 4, minMargin = 1.25)
     }),
 
     "q_ann_mmr" -> ((s, dir) => {
@@ -2876,6 +3025,19 @@ object SparkEntry {
     * [[componentsOracleSql]]); the 999999 sentinel mirrors
     * Graph.Unreached so no NULL semantics are involved anywhere.
     */
+  /** Shared CTE prefix for the co-purchase graph keys: customers sharing
+    * a (part, ship-month) cell — Graph.coPurchaseEdges' mirror (canonical
+    * src<dst, distinct). Callers append further CTEs or a SELECT.
+    */
+  private val coPurchaseEdgesSql: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT DISTINCT l_partkey AS p, date_trunc('month', l_shipdate) AS m,
+      |    o_custkey AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT a.c AS src, b.c AS dst
+      |  FROM cells a JOIN cells b ON a.p = b.p AND a.m = b.m AND a.c < b.c)""".stripMargin
+
   private def bfsOracleSql(source: Long, iters: Int): String = {
     val head =
       s"""WITH h AS MATERIALIZED (
@@ -3750,6 +3912,77 @@ object SparkEntry {
         |        * sqrt(252.0), 6) + 0.0 AS sharpe
         |FROM agg""".stripMargin,
 
+    "q_sortino" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id,
+        |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY d), 0) - 1 AS r
+        |  FROM bars),
+        |agg AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(CASE WHEN r < 0 THEN r * r ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE) AS sd2,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM r WHERE r IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_days,
+        |  round((s1 / n) / nullif(sqrt(sd2 / nullif(n - 1.0, 0)), 0)
+        |        * sqrt(252.0), 6) + 0.0 AS sortino
+        |FROM agg""".stripMargin,
+
+    "q_var_es" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, d,
+        |    close / nullif(lag(close) OVER (PARTITION BY user_id ORDER BY d), 0) - 1 AS r
+        |  FROM bars),
+        |x AS (
+        |  SELECT user_id, r,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY r, d) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM r WHERE r IS NOT NULL)
+        |SELECT user_id, max(n) AS n_days,
+        |  round(max(CASE WHEN rn = (n + 19) // 20 THEN r END), 6) + 0.0 AS var95,
+        |  round(CAST(sum(CAST(CASE WHEN rn <= (n + 19) // 20 THEN r ELSE 0.0 END
+        |                      AS DECIMAL(28,12))) AS DOUBLE)
+        |        / max((n + 19) // 20), 6) + 0.0 AS es95
+        |FROM x GROUP BY user_id""".stripMargin,
+
+    "q_pairs_spread" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+        |  FROM events GROUP BY 1, 2),
+        |al AS MATERIALIZED (
+        |  SELECT a.d, a.close AS c1, b.close AS c2
+        |  FROM bars a JOIN bars b ON a.d = b.d
+        |  WHERE a.user_id = 1 AND b.user_id = 2),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(c1 AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(c2 AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(c2 * c1 AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(c2 * c2 AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM al),
+        |co AS (
+        |  SELECT (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) AS beta, n, sx, sy
+        |  FROM st),
+        |co2 AS (SELECT beta, (sy - beta * sx) / n AS alpha FROM co),
+        |sp AS MATERIALIZED (
+        |  SELECT d, c1 - (alpha + beta * c2) AS spread FROM al, co2),
+        |ss AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n2,
+        |    CAST(sum(CAST(spread AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(spread * spread AS DECIMAL(28,12))) AS DOUBLE) AS s2
+        |  FROM sp)
+        |SELECT d, round(spread, 6) + 0.0 AS spread,
+        |  round((spread - s1 / n2) /
+        |        nullif(sqrt((s2 - n2 * (s1 / n2) * (s1 / n2)) / nullif(n2 - 1.0, 0)), 0),
+        |    6) + 0.0 AS z
+        |FROM sp, ss ORDER BY d""".stripMargin,
+
     "q_donchian" ->
       """WITH bars AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, max(value) AS high,
@@ -4148,6 +4381,33 @@ object SparkEntry {
         |  CAST(k AS BIGINT) AS months_later, count(*) AS n_customers
         |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_ngram_novelty" ->
+      // same 8-gram construction as q_decontaminate (slices clamp on short
+      // docs), made per-doc DISTINCT to mirror the compiled kernel's set
+      // semantics
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 6, 2)),
+        |                          i -> array_to_string(t[i:i+7], ' '))) AS g
+        |    FROM toks)),
+        |df AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |        / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM grams JOIN df USING (g) GROUP BY doc_id""".stripMargin,
+
+    "q_dataset_card" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |        / CAST(count(*) AS DOUBLE), 6) AS mean_tokens,
+        |  round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_bfs_hops" -> bfsOracleSql(source = 2L, iters = 6),
 
     "q_gini" ->
@@ -4228,6 +4488,86 @@ object SparkEntry {
         |    FROM customer WHERE c_acctbal > 0)
         |  AND c_custkey NOT IN (
         |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS stock_value
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(CAST(stock_value AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+        |        AS mean_value FROM v)
+        |SELECT l_partkey, stock_value FROM v, t
+        |WHERE stock_value > 1.2 * mean_value
+        |ORDER BY stock_value DESC, l_partkey""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(100 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+        |    / nullif(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 0),
+        |    6) AS promo_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH a AS MATERIALIZED (
+        |  SELECT l_partkey AS aq_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0, 6)
+        |    AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN a ON l_partkey = aq_partkey
+        |  JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity < 0.2 * avg_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_last_shippers" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT l_orderkey AS po_orderkey, max(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 2),
+        |lastl AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN per ON l_orderkey = po_orderkey AND l_shipdate = last_ship),
+        |sole AS (SELECT l_orderkey, max(l_suppkey) AS suppkey
+        |         FROM lastl GROUP BY 1 HAVING count(*) = 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM sole JOIN supplier ON suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+
+    "q_triangles" ->
+      s"""$coPurchaseEdgesSql,
+        |deg AS MATERIALIZED (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t GROUP BY 1),
+        |w AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+        |          JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  w.n_wedges, tri.n_triangles,
+        |  round(3.0 * tri.n_triangles / nullif(CAST(w.n_wedges AS DOUBLE), 0), 6)
+        |    AS global_cc
+        |FROM tri, w""".stripMargin,
+
+    "q_degree_hist" ->
+      s"""$coPurchaseEdgesSql
+        |SELECT deg, count(*) AS n_nodes FROM (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t GROUP BY 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_components" -> componentsOracleSql(10),
@@ -4927,6 +5267,29 @@ object SparkEntry {
          |WHERE d.doc_id NOT IN (
          |  SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id) t
          |  WHERE id <> comp)""".stripMargin,
+
+    "q_bitext_mine" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, $normSql AS qn
+         |           FROM embeddings WHERE vec_id % 2 = 0),
+         |n AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |      WHERE vec_id % 2 = 1),
+         |c AS (SELECT q.qid, n.vec_id,
+         |    round((SELECT CAST(sum(CAST(CAST(n.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE) AS DECIMAL(20,12))) AS DOUBLE) FROM range(1,65) t(i))
+         |      / nullif(n.nrm * q.qn, 0), 6) AS cosine
+         |  FROM n, q),
+         |r AS (SELECT qid, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM c),
+         |t AS (SELECT qid,
+         |    max(CASE WHEN rn = 1 THEN cosine END) AS cos1,
+         |    max(CASE WHEN rn = 1 THEN vec_id END) AS match_id,
+         |    CAST(sum(CAST(cosine AS DECIMAL(28,12))) AS DOUBLE) AS sumc,
+         |    count(*) AS nc
+         |  FROM r WHERE rn <= 4 GROUP BY qid)
+         |SELECT qid, match_id, cos1 + 0.0 AS cosine,
+         |  round(cos1 / nullif(sumc / nc, 0), 6) + 0.0 AS margin
+         |FROM t WHERE round(cos1 / nullif(sumc / nc, 0), 6) + 0.0 > 1.25
+         |ORDER BY qid""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, $normSql AS qn

@@ -379,4 +379,120 @@ object Analytics {
       .agg(count(lit(1)).as("numcust"), exactSum(col("c_acctbal")).as("totacctbal"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** Late-shipment priority check (TPC-H Q4 shape): orders with at least
+    * one lineitem shipped more than `lagDays` after the order date,
+    * counted per priority — `EXISTS` as a LEFT SEMI join whose non-equi
+    * residual (the date condition) evaluates inside the hash probe, so
+    * the fact scans once, dedup-by-existence costs no distinct, and the
+    * final rollup is priority-cardinality small. Both date columns must
+    * arrive in the same timestamp family (the callers pass NTZ).
+    */
+  def latePriorityOrders(orders: DataFrame, lineitem: DataFrame,
+                         lagDays: Int): DataFrame =
+    orders
+      .join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lagDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Important stock concentration (TPC-H Q11 shape): per-part revenue
+    * value, kept where it clears `meanMult` × the average part's value —
+    * the group-then-global-threshold plan. The threshold is a one-row
+    * aggregate OVER THE GROUPED frame (never the fact) broadcast back as
+    * a scalar, so the fact shuffles exactly once, on l_partkey.
+    */
+  def importantStock(lineitem: DataFrame, meanMult: Double): DataFrame = {
+    val value = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("stock_value"))
+    val thresh = value
+      .agg((exactSum(col("stock_value")) / count(lit(1))).as("mean_value"))
+    value
+      .crossJoin(broadcast(thresh))
+      .where(col("stock_value") > lit(meanMult) * col("mean_value"))
+      .select(col("l_partkey"), col("stock_value"))
+      .orderBy(col("stock_value").desc, col("l_partkey"))
+  }
+
+  /** Promotion revenue share (TPC-H Q14 shape): conditional aggregation
+    * over one quarter of the fact joined to the broadcast part dimension
+    * — both the numerator (PROMO lines) and denominator come from the
+    * same single pass; the shipdate range prunes at the parquet scan.
+    */
+  def promoRevenue(part: DataFrame, lineitem: DataFrame,
+                   from: String, until: String): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100) *
+          exactSum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+          nullif(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))), lit(0.0)),
+          6).as("promo_pct"),
+        count(lit(1)).as("n_lines"))
+
+  /** Small-quantity revenue by brand (TPC-H Q17 shape): the correlated
+    * `l_quantity < 0.2 * avg(quantity per part)` subquery decorrelated
+    * into an aggregate-then-join — per-part averages are part-cardinality
+    * small, so they BROADCAST back onto the fact instead of shuffling it;
+    * the brand dimension broadcasts likewise. One fact shuffle total (the
+    * per-part aggregate); the final rollup is brand-small.
+    */
+  def smallQtyRevenue(part: DataFrame, lineitem: DataFrame,
+                      avgFrac: Double): DataFrame = {
+    val avgQty = lineitem
+      .groupBy(col("l_partkey").as("aq_partkey"))
+      .agg((exactSum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    lineitem
+      .join(broadcast(avgQty), col("l_partkey") === col("aq_partkey"))
+      .where(col("l_quantity") < lit(avgFrac) * col("avg_qty"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(exactSum(col("l_extendedprice")) / lit(7.0), 6).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Suppliers who alone shipped last on shared orders (TPC-H Q21 shape):
+    * the double EXISTS / NOT EXISTS correlated pair decorrelated into one
+    * per-order aggregate (last ship date + distinct supplier count), a
+    * filtered join back to the fact for the lines ON that last date, and
+    * a sole-supplier check — three passes over orderkey-partitioned data
+    * instead of two correlated subqueries per row. Output: the `k`
+    * most-blamed suppliers.
+    */
+  def soleLastShippers(supplier: DataFrame, lineitem: DataFrame,
+                       k: Int): DataFrame = {
+    val perOrder = lineitem
+      .groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .where(col("n_supp") >= 2)
+    val lastLines = lineitem
+      .join(perOrder,
+        col("l_orderkey") === col("po_orderkey") &&
+          col("l_shipdate") === col("last_ship"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+    val sole = lastLines
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_last"), max(col("l_suppkey")).as("suppkey"))
+      .where(col("n_last") === 1)
+    sole
+      .groupBy(col("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
 }

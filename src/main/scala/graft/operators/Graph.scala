@@ -230,4 +230,119 @@ object Graph {
     }
     label
   }
+
+  /** Customer co-purchase edge list: customers who bought the same part
+    * in the same ship month share an edge. The blocking cell is
+    * (part, month) — NATURALLY bounded fan-out (a cell holds the handful
+    * of buyers of one part in one month, never "everyone active that
+    * month"), so the within-cell pair join is Σ C(cell,2) with small
+    * cells: the same bounded-block discipline as the near-dup candidate
+    * generators, here falling out of the domain model for free. Both
+    * shuffles key on small-group columns ((part,month), then the edge
+    * pair for distinct); no cell grows with corpus REPLICATION, only
+    * with genuine per-part-per-month activity.
+    */
+  def coPurchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cells = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("p"),
+        date_trunc("month", col("l_shipdate")).as("m"),
+        col("o_custkey").as("c"))
+      .distinct()
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.p") === col("b.p") && col("a.m") === col("b.m") &&
+          col("a.c") < col("b.c"))
+      .select(col("a.c").as("src"), col("b.c").as("dst"))
+      .distinct()
+  }
+
+  /** Exact triangle count + global clustering coefficient over an
+    * undirected edge list, by DEGREE-ORDERED ORIENTATION (the standard
+    * distributed formulation): orient every edge from its
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges as
+    * pairs of out-neighbors of a common source, and close each wedge
+    * against the oriented edge list. The orientation is the whole scale
+    * story — out-degree is bounded by O(√|E|) REGARDLESS of hubs (a hub's
+    * edges orient away from its low-degree neighbors), so the wedge join
+    * is Σ outdeg² ≤ O(|E|^1.5) worst-case instead of the unoriented
+    * Σ deg² which a single hub drives quadratic. Every triangle yields
+    * exactly one wedge (at its order-minimal vertex), so the closing
+    * join's cardinality IS the triangle count — no ÷3/÷6 correction and
+    * no double counting to dedup.
+    *
+    * One row out: nodes, edges, wedges (unoriented, Σ C(deg,2)),
+    * triangles, and global clustering coefficient 3·T/W — all exact
+    * integer arithmetic until the one output division.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    // canonical lo<hi + distinct; checkpointed — read three times (degrees,
+    // wedge self-join, closing probe), recomputing the upstream join per
+    // read would triple the dominant cost
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("src"),
+        greatest(col(srcCol), col(dstCol)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(false)
+    val deg = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    // degrees are node-cardinality small next to the edge list — broadcast
+    // onto both endpoints rather than shuffling edges twice
+    val withDeg = e
+      .join(broadcast(deg.select(col("node").as("src"), col("deg").as("ds"))), Seq("src"))
+      .join(broadcast(deg.select(col("node").as("dst"), col("deg").as("dd"))), Seq("dst"))
+    val lt = col("ds") < col("dd") ||
+      (col("ds") === col("dd") && col("src") < col("dst"))
+    val oriented = withDeg
+      .select(when(lt, col("src")).otherwise(col("dst")).as("u"),
+        when(lt, col("dst")).otherwise(col("src")).as("v"),
+        when(lt, col("dd")).otherwise(col("ds")).as("dv"))
+      .localCheckpoint(false)
+    // wedge = ordered pair of out-neighbors of a common u; the closing
+    // edge, when present, is oriented exactly (v-side order-min → max)
+    val cands = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          (col("x.dv") < col("y.dv") ||
+            (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.v").as("u"), col("y.v").as("v"))
+    val triF = cands
+      .join(oriented.select(col("u"), col("v")), Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodesF = deg.agg(count(lit(1)).as("n_nodes"))
+    val edgesF = e.agg(count(lit(1)).as("n_edges"))
+    // wedge total in decimal: Σ deg·(deg−1)/2 overflows a long sum long
+    // before the frames above become a problem
+    val wedgeF = deg.agg(
+      sum((col("deg") * (col("deg") - 1) / 2).cast("decimal(38,0)"))
+        .cast("long").as("n_wedges"))
+    nodesF.crossJoin(broadcast(edgesF))
+      .crossJoin(broadcast(wedgeF))
+      .crossJoin(broadcast(triF))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") /
+          nullif(col("n_wedges").cast("double"), lit(0.0)), 6)
+          .as("global_cc"))
+  }
+
+  /** Degree distribution of an undirected edge list: (degree → node
+    * count), the first-look shape audit of any graph (hubs, isolates,
+    * power-law tail). Two keyed aggregates, both partial-aggregated;
+    * output is distinct-degree small.
+    */
+  def degreeHistogram(edges: DataFrame, srcCol: String = "src",
+                      dstCol: String = "dst"): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("src"),
+        greatest(col(srcCol), col(dstCol)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("deg"))
+  }
 }

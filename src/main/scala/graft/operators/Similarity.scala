@@ -254,6 +254,38 @@ object Similarity {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     topKBatchImpl(embeddings, queries, k, idCol, vecCol, labelFilter = None)
 
+  /** Margin-based bitext candidate mining (the CCMatrix/LASER forward
+    * margin): for every query vector, its best corpus match scored by
+    * cos(top-1) ÷ mean(cos of top-`k`) — the margin discounts "hubness"
+    * (queries whose WHOLE neighborhood is close score near 1 and drop;
+    * a genuine translation pair towers over its runner-ups). Built on
+    * [[topKBatch]]'s broadcast-screen path: the corpus streams ONCE past
+    * the broadcast query batch with the codegen'd double screen and a
+    * bounded top-k heap per query — quadratic COMPUTE by definition of
+    * exact mining, but zero shuffle of the big side, linear candidate
+    * state, linear output (one row per query clearing `minMargin`).
+    * The scale path swaps the screen for an IVF probe; the margin/keep
+    * algebra here is unchanged by that swap.
+    */
+  def bitextMine(corpus: DataFrame, queries: DataFrame, k: Int = 4,
+                 minMargin: Double = 1.0, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val top = topKBatch(corpus, queries, k, idCol, vecCol)
+    top
+      .groupBy(col("qid"))
+      // best = (max cosine, then smallest id) — negate the id inside the
+      // struct max so the tie-break matches the top-k ordering
+      .agg(max(struct(col("cosine"), (-col(idCol)).as("nid"))).as("best"),
+        sum(col("cosine").cast("decimal(28,12)")).cast("double").as("sumc"),
+        count(lit(1)).as("nc"))
+      .select(col("qid"), (-col("best.nid")).as("match_id"),
+        (col("best.cosine") + lit(0.0)).as("cosine"),
+        (round(col("best.cosine") / nullif(col("sumc") / col("nc"), lit(0.0)), 6)
+          + lit(0.0)).as("margin"))
+      .where(col("margin") > minMargin)
+      .orderBy(col("qid"))
+  }
+
   /** Shared two-phase batched top-k: codegen'd double screen over the
     * broadcast query batch, bounded-heap candidates, decimal-exact cosine
     * on survivors. The screen rank uses the SAME (rounded score, id)

@@ -639,4 +639,46 @@ object TextAnalysis {
         sum(col("c_s")).as("n_tokens"),
         round(sum(col("__term").cast("decimal(28,12)")).cast("double"), 6).as("kl"))
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * word n-grams appearing in NO other document — the memorization /
+    * boilerplate inverse ("how much of this doc is its own"). Same
+    * compiled gram generator as decontamination (graft.plans.WordNgrams,
+    * per-doc distinct by construction), one document-frequency aggregate
+    * keyed on the gram, one join back, one per-doc rollup — everything
+    * linear in total grams; no pair enumeration anywhere.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 8, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .withColumn("__toks", Dedup.tokens(textCol))
+      .select(col(idCol), explode(Dedup.ngramsOfTokens("__toks", n)).as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+      .select(col(idCol), col("n_grams"), col("n_unique"),
+        round(col("n_unique") / col("n_grams").cast("double"), 6).as("novelty"))
+  }
+
+  /** Per-(source, lang) dataset card: the one-pass summary a corpus
+    * release ships — document and token volumes, mean document length,
+    * and the exact-duplicate rate (1 − distinct md5 / docs). One keyed
+    * aggregate carrying four partials plus a distinct-hash count; the
+    * shuffle keys on the card's own grain.
+    */
+  def datasetCard(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(tokenCount(textCol)).as("total_tokens"),
+        countDistinct(md5(col(textCol))).as("n_distinct"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+        col("total_tokens"),
+        round(col("total_tokens") / col("n_docs").cast("double"), 6).as("mean_tokens"),
+        round(lit(1.0) - col("n_distinct") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+      .orderBy(col("source"), col("lang"))
 }
