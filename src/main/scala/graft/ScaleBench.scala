@@ -215,7 +215,7 @@ object ScaleBench {
     "q_mix_temperature", "q_frame_sample", "q_multimodal_features",
     "q_pmi", "q_kl_divergence", "q_percentile_rank", "q_readability",
     "q_code_detect", "q_zipf_slope", "q_survivorship",
-    "q_ngram_novelty", "q_dataset_card")
+    "q_ngram_novelty", "q_dataset_card", "q_card_stream")
   /** Every key that reads events — the reference stock surface plus the
     * analytics/streaming-mirror families. Included so the time-series
     * windows (SMA/EWMA/drawdown), as-of joins, funnel/retention and the
@@ -258,7 +258,8 @@ object ScaleBench {
     "q_fk_integrity", "q_anti_join", "q_topk_per_key",
     "q4_order_priority", "q11_important_stock", "q14_promo_revenue",
     "q17_small_qty_revenue", "q21_last_shippers", "q_triangles",
-    "q_degree_hist", "q_sortino", "q_var_es", "q_pairs_spread")
+    "q_degree_hist", "q_sortino", "q_var_es", "q_pairs_spread",
+    "q7_nation_trade", "q19_disjunctive", "q20_dominant_suppliers")
 
   /** Record-linkage keys (read the scaled part table). */
   private val linkage = Seq("q_fuzzy_match", "q_fuzzy_dedup",

@@ -461,6 +461,89 @@ object Analytics {
       .orderBy(col("p_brand"))
   }
 
+  /** Bilateral trade volume (TPC-H Q7 shape): revenue shipped between two
+    * nations by year. Both dimension chains pre-filter to the two nations
+    * BEFORE touching a fact — the pruned customer/supplier frames
+    * broadcast — and the cross-pair disjunction (exclude A→A, B→B) runs
+    * after both joins on the already-tiny survivor set. The fact shuffles
+    * only for its own joins; the (nation, nation, year) rollup is
+    * constant-size.
+    */
+  def nationTradeVolume(nation: DataFrame, customer: DataFrame,
+                        supplier: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, nationA: String,
+                        nationB: String): DataFrame = {
+    val n = nation.where(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = broadcast(customer
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    val supp = broadcast(supplier
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .where((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): three (brand, size
+    * range, quantity range) clauses OR'd together over the fact⋈part
+    * broadcast join — the plan-shape test that a multi-clause disjunction
+    * survives as ONE scan + one hash probe (the part-side brand/size
+    * disjunction is even pushable below the join); one aggregate row out.
+    */
+  def disjunctiveRevenue(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(16, 30) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#33" && col("p_size").between(31, 50) &&
+          col("l_quantity").between(20, 30)))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Dominant part suppliers (TPC-H Q20 shape): suppliers covering more
+    * than `share` of a PROMO part's total shipped quantity, ranked by how
+    * many parts they dominate — the nested-aggregate + semi-join chain:
+    * per-(part, supplier) quantities roll up once on partkey, the
+    * per-part total re-aggregates FROM that frame (never the fact), the
+    * share filter joins the two on partkey, and the PROMO restriction is
+    * a broadcast LEFT SEMI against the part dimension.
+    */
+  def dominantSuppliers(supplier: DataFrame, part: DataFrame,
+                        lineitem: DataFrame, share: Double,
+                        minParts: Long): DataFrame = {
+    val perPS = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(exactSum(col("l_quantity")).as("sq"))
+    val perP = perPS
+      .groupBy(col("l_partkey").as("tp_partkey"))
+      .agg(exactSum(col("sq")).as("tq"))
+    perPS
+      .join(perP, col("l_partkey") === col("tp_partkey"))
+      .where(col("sq") > lit(share) * col("tq"))
+      .join(broadcast(part.where(col("p_type") === "PROMO").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"))
+      .where(col("n_parts") >= minParts)
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_parts"))
+      .orderBy(col("n_parts").desc, col("s_name"))
+  }
+
   /** Suppliers who alone shipped last on shared orders (TPC-H Q21 shape):
     * the double EXISTS / NOT EXISTS correlated pair decorrelated into one
     * per-order aggregate (last ship date + distinct supplier count), a

@@ -313,6 +313,89 @@ object EventsStream {
       }
     }
 
+  /** One micro-batch of streaming dataset-card maintenance — the release
+    * card (q_dataset_card's grain) kept current with EXACTLY-ONCE
+    * semantics on the at-least-once foreachBatch delivery, from two
+    * replay-convergent stores:
+    *  - additive stats (docs / chars / tokens per (source, lang)) land as
+    *    per-batch DELTA partitions keyed by batchId via dynamic
+    *    partition overwrite — a replayed batch overwrites ITS OWN
+    *    partition with identical content and converges (the
+    *    [[cdcUpsertForeachBatch]] argument with batchId as the unit);
+    *  - the exact-dup hash store appends only hashes ABSENT from the
+    *    store: the batch's distinct hashes broadcast INTO a store
+    *    semi-join (store SCAN-only, never shuffled — the
+    *    [[dedupAgainstStoreBatch]] discipline) and the surviving
+    *    duplicates broadcast back for the anti-join, so a replay
+    *    re-drops whatever the crashed attempt already appended.
+    * The card itself is DERIVED ([[readCard]]), never stored — no
+    * read-modify-write race exists for it.
+    */
+  def cardMergeBatch(batch: DataFrame, storeDir: String, batchId: Long,
+                     textCol: String = "text"): Unit = {
+    val s = batch.sparkSession
+    val b = batch.persist() // read twice: stats pass + hash pass
+    try {
+      if (!b.isEmpty) {
+        b.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(graft.operators.TextAnalysis.tokenCount(textCol)).as("total_tokens"))
+          .withColumn("__batch", lit(batchId))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(s"$storeDir/deltas")
+        val hashes = b
+          .select(col("source"), col("lang"), md5(col(textCol)).as("h"))
+          .distinct()
+        val hashDir = s"$storeDir/hashes"
+        val p = new org.apache.hadoop.fs.Path(hashDir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+            val store = s.read.parquet(hashDir)
+            val dups = store.join(broadcast(hashes), Seq("source", "lang", "h"),
+              "left_semi")
+            hashes.join(broadcast(dups), Seq("source", "lang", "h"), "left_anti")
+          } else hashes
+        fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(hashDir)
+      }
+    } finally { b.unpersist(); () }
+  }
+
+  /** [[cardMergeBatch]] as a foreachBatch sink — the streaming face. */
+  def cardForeachBatch(docs: DataFrame, storeDir: String,
+                       textCol: String = "text")(
+      onBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      cardMergeBatch(batch.toDF(), storeDir, batchId, textCol)
+      onBatch(batchId)
+    }
+
+  /** Derive the current dataset card from the two card stores — identical
+    * columns and rounding to the batch [[graft.operators.TextAnalysis
+    * .datasetCard]], so one oracle checks both faces. Deltas aggregate to
+    * the card grain; the dup rate reads the hash store's per-grain
+    * distinct counts (exact — the store IS the distinct set).
+    */
+  def readCard(s: org.apache.spark.sql.SparkSession, storeDir: String): DataFrame = {
+    val stats = s.read.parquet(s"$storeDir/deltas")
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_chars")).as("total_chars"),
+        sum(col("total_tokens")).as("total_tokens"))
+    val dist = s.read.parquet(s"$storeDir/hashes")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_distinct"))
+    stats.join(dist, Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+        col("total_tokens"),
+        round(col("total_tokens") / col("n_docs").cast("double"), 6).as("mean_tokens"),
+        round(lit(1.0) - col("n_distinct") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** The curation pipeline via foreachBatch — the form that scales the
     * store join (see [[dedupAgainstStoreBatch]]) and re-reads the static
     * frames every micro-batch (fresh file listing, so store appends and

@@ -14,6 +14,8 @@ case class StreamLangDoc(doc_id: Long, ts: Timestamp, lang: String)
 case class Qt(ticker: String, day: java.sql.Date, open: Double, high: Double,
               low: Double, close: Double, volume: Long)
 case class StreamVec(vec_id: Long, embedding: Array[Float])
+case class CardDoc(doc_id: Long, text: String, lang: String, source: String,
+                   n_chars: Long)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -1201,6 +1203,65 @@ class StreamingSpec extends SparkSpec {
     val q3 = start()
     try q3.processAllAvailable() finally q3.stop()
     assert(batches.size === 2)
+  }
+
+  test("cardForeachBatch kill-and-restart: card converges to the batch card, " +
+    "replay absorbed by delta overwrite + hash anti-join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_card_stream").toString
+    val (ckpt, store) = (s"$dir/ckpt", s"$dir/card")
+    val input = MemoryStream[CardDoc]
+    var seen = Vector.empty[Long]
+    def start() = EventsStream.cardForeachBatch(input.toDS().toDF(), store) {
+      id => seen :+= id
+    }.option("checkpointLocation", ckpt).start()
+    def doc(id: Long, text: String, lang: String, src: String) =
+      CardDoc(id, text, lang, src, text.length.toLong)
+
+    // wave 1: two cells, one exact dup inside the batch
+    val q1 = start()
+    try {
+      input.addData(
+        doc(1, "a b c", "en", "s1"),
+        doc(2, "a b c", "en", "s1"),
+        doc(3, "x y", "fr", "s1"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // wave 2 lands while the query is DOWN: a cross-BATCH dup of doc 1
+    // (must count as a doc but not as a new distinct hash) plus a new cell
+    input.addData(
+      doc(4, "a b c", "en", "s1"),
+      doc(5, "k l m n", "en", "s2"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = EventsStream.readCard(spark, store)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSet
+    // expected == the BATCH datasetCard over the union of both waves
+    val all = Seq(
+      doc(1, "a b c", "en", "s1"), doc(2, "a b c", "en", "s1"),
+      doc(3, "x y", "fr", "s1"), doc(4, "a b c", "en", "s1"),
+      doc(5, "k l m n", "en", "s2")).toDF()
+    val expected = graft.operators.TextAnalysis.datasetCard(all)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got === expected)
+    // s1/en holds docs 1,2,4 — one distinct text across three docs
+    assert(got.exists { case (s, l, n, _, _, _, d) =>
+      s == "s1" && l == "en" && n == 3 && math.abs(d - 2.0 / 3) < 1e-6
+    })
+
+    // REPLAY a committed batch straight through the merge body (the
+    // at-least-once path a crash between store write and checkpoint
+    // commit produces): delta partition 0 overwrites itself, the hash
+    // anti-join re-drops everything — the card must not move
+    EventsStream.cardMergeBatch(
+      Seq(doc(1, "a b c", "en", "s1"), doc(2, "a b c", "en", "s1"),
+        doc(3, "x y", "fr", "s1")).toDF(), store, 0L)
+    val replayed = EventsStream.readCard(spark, store)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSet
+    assert(replayed === expected)
+    assert(seen.size === 2)
   }
 
   test("cdcUpsertForeachBatch drops a bucket its last tombstone empties") {
