@@ -151,9 +151,17 @@ object Analytics {
     * total is a one-row broadcast.
     */
   def marketBasket(lineitem: DataFrame, minPairs: Long): DataFrame = {
+    // the deduped basket table feeds FOUR consumers (both self-join
+    // sides, item supports, the basket total) — checkpoint it so the
+    // fact scan + dedup run once, not once per consumer; repartition on
+    // the basket key BEFORE distinct so the dedup rides the same
+    // hash(ok) exchange that co-locates the self-join (one fact-sized
+    // shuffle total, and the self-join + the order-count distinct add
+    // none: hash(ok) satisfies both)
     val li = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .repartition(col("ok")).dropDuplicates()
+      .localCheckpoint(true)
     val pairs = li.select(col("ok"), col("pk").as("pa"))
       .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
       .where(col("pa") < col("pb"))

@@ -86,9 +86,22 @@ object Classifier {
     val labelsS = cappedLabels(labels, nAll, maxTrain, idCol)
     val spark = feats.sparkSession
     import spark.implicits._
+    // size the cached train table's partition count from the CAPPED label
+    // count, not the session shuffle default: each GD iteration launches
+    // one task per partition, so a ≤ 50k-row table spread over 32 shuffle
+    // partitions pays iters × 32 task launches to scan a few thousand
+    // rows each (measured: the scheduling overhead, not the fold, is the
+    // iteration cost at bench scale). ~16k docs per task keeps tasks
+    // milliseconds-cheap; the cap bounds this at 4 partitions no matter
+    // the corpus, and training stays bit-identical under any partitioning
+    // (fixed-point commutative gradient — ClassifierSpec pins it).
+    val nTrain = math.min(nAll, maxTrain.toLong)
+    val parts = math.max(1, math.min(((nTrain + 16383) / 16384).toInt,
+      spark.sparkContext.defaultParallelism))
     val docFeats = docFeatureArrays(feats, labelsS, dim, idCol)
       .select(col("y"), expr("transform(f, s -> struct(s.bucket AS _1, s.x AS _2))").as("f"))
       .as[(Double, Array[(Long, Double)])]
+      .repartition(parts)
     val cached = if (persist) docFeats.persist() else docFeats
     try {
       val n = cached.count().toDouble

@@ -58,9 +58,13 @@ object Graph {
     // iteration's edge⋈rank join co-locates on the big side and only the
     // |nodes|-sized rank frame moves — the 100 TB-critical property (the
     // edge list is shuffled once per query, not once per iteration).
+    // repartition BEFORE distinct: hash(src) clusters every (src, dst)
+    // duplicate into one partition, so the dedup aggregate runs on the
+    // repartition's exchange instead of adding its own hash(src, dst)
+    // exchange first — one |E|-sized shuffle in the setup, not two.
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src")).localCheckpoint(false)
+      .repartition(col("src")).dropDuplicates().localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(false)
@@ -131,9 +135,12 @@ object Graph {
   def shortestHops(edges: DataFrame, source: Long, iters: Int = 6,
                    srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val half = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // repartition before distinct (see pagerank): the symmetrized list is
+    // deduped on the same hash(src) exchange that lays it out for the
+    // per-round frontier joins — one 2|E|-sized shuffle, not two
     val und = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).localCheckpoint(false)
+      .repartition(col("src")).dropDuplicates().localCheckpoint(false)
     val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
     var reached = nodes.where(col("node") === source)
       .select(col("node"), lit(0L).as("hop")).localCheckpoint(false)
@@ -184,9 +191,13 @@ object Graph {
   def connectedComponents(edges: DataFrame, iters: Int = 5,
                           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val half = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // repartition before distinct (see pagerank): dedup rides the layout
+    // exchange — one 2|E|-sized shuffle in the setup, not two; the node
+    // derivation below then needs NO exchange at all (hash(src) already
+    // clusters src)
     val und = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).localCheckpoint(false)
+      .repartition(col("src")).dropDuplicates().localCheckpoint(false)
     // symmetrization puts every endpoint in src
     val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
     // EARLY EXIT at the label fixpoint: labels only ever DECREASE under
@@ -243,12 +254,16 @@ object Graph {
     * with genuine per-part-per-month activity.
     */
   def coPurchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // repartition on the blocking cell BEFORE distinct: the dedup rides
+    // the hash(p, m) exchange that also co-locates both sides of the
+    // within-cell self-join below — one fact-sized shuffle, not two, and
+    // the join itself adds none
     val cells = lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_partkey").as("p"),
         date_trunc("month", col("l_shipdate")).as("m"),
         col("o_custkey").as("c"))
-      .distinct()
+      .repartition(col("p"), col("m")).dropDuplicates()
     cells.as("a")
       .join(cells.as("b"),
         col("a.p") === col("b.p") && col("a.m") === col("b.m") &&

@@ -21,6 +21,18 @@ object Similarity {
   def normExact(c: String): Column =
     sqrt(dotExact(c, c))
 
+  /** Spread a small scan across the session's parallelism: a corpus that
+    * fits in one file arrives as ONE scan split, and every per-row kernel
+    * downstream (screen dots, decimal refines) serializes on one core. At
+    * cluster scale the scan already carries ≥ shuffle.partitions splits
+    * and this is a no-op — the gate keeps it from ever adding an exchange
+    * to a well-partitioned table.
+    */
+  private def spreadSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** All pairs (a < b) with cosine > threshold — brute force, for corpora
     * small enough to broadcast one side (the verification baseline).
     *
@@ -224,16 +236,22 @@ object Similarity {
         * col("sa") * col("sb") + errBound)
         / nullif(col("na") * col("nb"), lit(0.0)) > threshold - 1e-9)
       .select(least(col("ia"), col("ib")).as("id_a"), greatest(col("ia"), col("ib")).as("id_b"))
-    // exact decimal cosine ONLY for survivors: vectors join back by id, and
-    // the decimal norms are computed inside the post-join projection so the
-    // interpreted-decimal work is per-survivor, not per-corpus-row
-    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // exact decimal cosine ONLY for survivors: vectors join back by id.
+    // The decimal NORM rides the per-ID vecs projection (one decimal dot
+    // per corpus row — the same linear class as the quantize pass above),
+    // not the per-pair projection: in the dedup regime survivors ≫ ids,
+    // so norm-per-pair would re-derive each id's norm once per partner
+    // (measured: the τ=0.4 truth set's dominant cost was exactly this
+    // recompute). Same doubles, same multiply order — bit-identical
+    // cosine.
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normExact(vecCol).as("nd"))
     screened
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nd").as("na_d")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nd").as("nb_d")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(dotExact("va", "vb")
-          / nullif(sqrt(dotExact("va", "va")) * sqrt(dotExact("vb", "vb")), lit(0.0)), 6)
+          / nullif(col("na_d") * col("nb_d"), lit(0.0)), 6)
           .as("cosine"))
       .where(col("cosine") > threshold)
   }
@@ -309,18 +327,40 @@ object Similarity {
     val eCols = Seq(col(idCol), col(vecCol).as("v"),
       sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm")) ++
       labelFilter.map(col)
-    val screened = embeddings
+    // per-row kernels below parallelize over the corpus side's partitions
+    // — spread a single-split scan (see spreadSmallScan; no-op at scale)
+    val e = spreadSmallScan(embeddings)
+    // the screen emits (qid, id, score) ONLY — at a 1000-query batch the
+    // candidate heap and its exchange would otherwise carry two embedding
+    // arrays on every one of the per-task |queries|·(4k+16) candidate
+    // rows it ships (~25× the bytes of the id+score row, and the factor
+    // multiplies by map-task count at scale). Survivors join their
+    // vectors back below (the cosinePairsExact idiom), so the
+    // decimal-exact work AND the array movement are per-candidate,
+    // bounded by |queries|·(4k+16), never per-screened-pair.
+    val screened = e
       .select(eCols: _*)
       .crossJoin(q)
       .where(labelFilter.fold(col(idCol) =!= col("qid"))(l => col(l) =!= col("__ql")))
-      .select(col("qid"), col(idCol), col("v"), col("qv"),
+      .select(col("qid"), col(idCol),
         (graft.plans.Exprs.dot(col("v"), col("qv"))
           / nullif(col("nrm") * col("qn"), lit(0.0))).as("__dcos"))
     val candidates = graft.plans.GroupTopK.topKPerKey(
       screened, Seq("qid"), Seq(round(col("__dcos"), 6).desc, col(idCol).asc), 4 * k + 16)
-    val refined = candidates.select(col("qid"), col(idCol),
+    // candidate ids broadcast back over the corpus: one more corpus scan
+    // (linear, column-pruned to id + vector) instead of shuffling arrays
+    // through the top-k — the big side still never shuffles. Decimal
+    // norms are computed on the per-ID projections (corpus rows, query
+    // rows) rather than per candidate row: same doubles, same divide
+    // order, strictly fewer interpreted-decimal evaluations.
+    val withVecs = e
+      .select(col(idCol), col(vecCol).as("v"), normExact(vecCol).as("__nd"))
+      .join(broadcast(candidates.select(col("qid"), col(idCol))), Seq(idCol))
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        normExact(vecCol).as("__qnd"))), Seq("qid"))
+    val refined = withVecs.select(col("qid"), col(idCol),
       round(dotExact("v", "qv")
-        / nullif(sqrt(dotExact("v", "v")) * sqrt(dotExact("qv", "qv")), lit(0.0)), 6)
+        / nullif(col("__nd") * col("__qnd"), lit(0.0)), 6)
         .as("cosine"))
     graft.plans.GroupTopK.topKPerKey(
       refined, Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k)
@@ -1118,13 +1158,17 @@ object Similarity {
         * col("sa") * col("sb") + errBound)
         / nullif(col("na") * col("nb"), lit(0.0)) > threshold - 1e-9)
       .select(col("ia").as("id_a"), col("ib").as("id_b"))
-    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // per-ID decimal norms (see cosinePairsExact): survivors ≫ ids in the
+    // dedup regime, so norm-per-pair re-derives each id's norm once per
+    // partner; same doubles, same multiply order — bit-identical cosine
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normExact(vecCol).as("nd"))
     screened
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nd").as("na_d")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nd").as("nb_d")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(dotExact("va", "vb")
-          / nullif(sqrt(dotExact("va", "va")) * sqrt(dotExact("vb", "vb")), lit(0.0)), 6)
+          / nullif(col("na_d") * col("nb_d"), lit(0.0)), 6)
           .as("cosine"))
       .where(col("cosine") > threshold)
   }
@@ -1178,13 +1222,16 @@ object Similarity {
           / nullif(col("na") * col("nb"), lit(0.0)) > threshold - 1e-9)
         .select(col("ia").as("id_a"), col("ib").as("id_b"))
     }.reduce(_.unionByName(_)).dropDuplicates("id_a", "id_b")
-    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // per-ID decimal norms (see cosinePairsExact) — bit-identical cosine,
+    // strictly fewer interpreted-decimal evaluations
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      normExact(vecCol).as("nd"))
     screened
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nd").as("na_d")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nd").as("nb_d")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(dotExact("va", "vb")
-          / nullif(sqrt(dotExact("va", "va")) * sqrt(dotExact("vb", "vb")), lit(0.0)), 6)
+          / nullif(col("na_d") * col("nb_d"), lit(0.0)), 6)
           .as("cosine"))
       .where(col("cosine") > threshold)
   }
