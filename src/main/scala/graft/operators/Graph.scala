@@ -29,6 +29,26 @@ object Graph {
 
   private def term(c: Column): Column = round(c, 12).cast("decimal(28,12)")
 
+  /** Broadcast hint for the node-sized frames of the BSP loops, gated on
+    * the measured node count. The loops' per-round frames (rank, labels,
+    * frontier, degree) are all |V|-bounded, but they are localCheckpoint
+    * outputs — LogicalRDDs whose size statistics the planner does NOT
+    * have — so left alone every round plans a shuffle join of BOTH sides
+    * (measured: the per-iteration joins, not the one-time edge build,
+    * dominate q_pagerank/q_bfs_hops at sf0.1). The node count is already
+    * a known scalar in every loop; below `spark.graft.graph.broadcastNodes`
+    * (default 10⁶ ≈ tens of MB framed) the hint pins the node-sized side
+    * as the broadcast build and the edge list never moves. Above the
+    * threshold (web-scale graphs) the hint is withheld and the loops keep
+    * the co-partitioned shuffle shape — the broadcast budget, not the
+    * rung, decides.
+    */
+  private def hintSmall(df: DataFrame, n: Long): DataFrame = {
+    val cap = df.sparkSession.conf
+      .get("spark.graft.graph.broadcastNodes", "1000000").toLong
+    if (n <= cap) broadcast(df) else df
+  }
+
   /** `iters` synchronous PageRank iterations with damping `d` over a
     * directed edge list (srcCol, dstCol). Nodes are the union of both
     * endpoints; rank initializes uniform at 1/N; dangling mass (nodes with
@@ -82,10 +102,15 @@ object Graph {
       // instead of paying its own aggregate + rank⋈deg join per
       // iteration. Per-row terms are unchanged (round-12 decimal), so the
       // rank vector stays bit-identical to the two-aggregate form.
+      // node-sized sides carry the broadcast hint when |V| fits the
+      // budget (see hintSmall): the edge list then never moves and the
+      // shuffle per iteration shrinks to the partial-aggregated
+      // contribution sums. Expressions are unchanged — the rank vector
+      // stays bit-identical either way.
       val srcRank = rank.withColumnRenamed("node", "src")
-        .join(deg, Seq("src"), "left")
+        .join(hintSmall(deg, n), Seq("src"), "left")
       val agg = e
-        .join(srcRank.where(col("__deg").isNotNull), Seq("src"))
+        .join(hintSmall(srcRank.where(col("__deg").isNotNull), n), Seq("src"))
         .select(col("dst").as("node"), term(col("rank") / col("__deg")).as("__c"))
         .unionByName(srcRank.where(col("__deg").isNull)
           .select(lit(null).cast(nodeType).as("node"), term(col("rank")).as("__c")))
@@ -97,7 +122,7 @@ object Graph {
       val dangling = broadcast(agg.where(col("node").isNull)
         .agg(coalesce(sum(col("__in")), lit(0.0)).as("__dm")))
       rank = nodes
-        .join(agg.where(col("node").isNotNull), Seq("node"), "left")
+        .join(hintSmall(agg.where(col("node").isNotNull), n), Seq("node"), "left")
         .crossJoin(dangling)
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
@@ -142,6 +167,9 @@ object Graph {
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src")).dropDuplicates().localCheckpoint(false)
     val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+    // |V| gates the broadcast hints below (frontier and reached are both
+    // ≤ |V|); the count reads the checkpoint the loop touches anyway
+    val n = nodes.count()
     var reached = nodes.where(col("node") === source)
       .select(col("node"), lit(0L).as("hop")).localCheckpoint(false)
     var frontier = reached
@@ -152,12 +180,15 @@ object Graph {
     // usually far under the caller's `iters` guard). `newly` is
     // checkpointed either way, so the emptiness probe reads the cache the
     // union consumes — no extra compute, one cheap action per round.
+    // frontier/reached carry the broadcast hint when |V| fits the budget
+    // (see hintSmall): the semi- and anti-joins then build from the
+    // node-sized side and the symmetrized edge list never re-shuffles.
     while (i <= iters && !frontier.isEmpty) {
       val proposals = und
-        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(hintSmall(frontier.select(col("node").as("src")), n), Seq("src"), "left_semi")
         .select(col("dst").as("node")).distinct()
       val newly = proposals
-        .join(reached, Seq("node"), "left_anti")
+        .join(hintSmall(reached, n), Seq("node"), "left_anti")
         .select(col("node"), lit(i.toLong).as("hop"))
         .localCheckpoint(false)
       reached = reached.unionByName(newly).localCheckpoint(false)
@@ -217,18 +248,24 @@ object Graph {
       val r = lab.agg(sum(col("label").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
+    // |V| gates the broadcast hints below (label and neighbor-min frames
+    // are both |V|-sized); the count reads the checkpointed node frame
+    val n = nodes.count()
     var label = nodes.withColumn("label", col("node"))
     var prevSum = if (integralIds) labelSum(label) else null
     var iter = 0
     var converged = false
+    // label frames carry the broadcast hint when |V| fits the budget (see
+    // hintSmall): the per-round edge⋈label join then builds from the
+    // node-sized side and the symmetrized edge list never re-shuffles
     while (iter < iters && !converged) {
       val neighborMin = und
-        .join(label.withColumnRenamed("node", "src"), Seq("src"))
+        .join(hintSmall(label.withColumnRenamed("node", "src"), n), Seq("src"))
         .select(col("dst").as("node"), col("label"))
         .groupBy("node")
         .agg(min(col("label")).as("__nmin"))
       label = label
-        .join(neighborMin, Seq("node"), "left")
+        .join(hintSmall(neighborMin, n), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
         .localCheckpoint(false)
