@@ -90,9 +90,15 @@ object Graph {
       .distinct().localCheckpoint(false)
     val n = nodes.count() // scalar metadata, not data
     val nodeType = nodes.schema("node").dataType
+    // out-degree joins into the rank STATE once: each iteration's state
+    // row is (node, rank, __deg), so the loop never re-joins deg — one
+    // fewer join and one fewer broadcast build per iteration, and the
+    // per-row terms are untouched (deg carried vs re-joined is the same
+    // value), so the rank vector stays bit-identical.
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-      .localCheckpoint(false)
     var rank = nodes.withColumn("rank", lit(1.0 / n))
+      .join(hintSmall(deg.withColumnRenamed("src", "node"), n), Seq("node"), "left")
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       // ONE aggregate per iteration: per-edge contribution rows keyed by
       // their destination UNION the dangling nodes' rank rows keyed by
@@ -108,9 +114,9 @@ object Graph {
       // contribution sums. Expressions are unchanged — the rank vector
       // stays bit-identical either way.
       val srcRank = rank.withColumnRenamed("node", "src")
-        .join(hintSmall(deg, n), Seq("src"), "left")
       val agg = e
-        .join(hintSmall(srcRank.where(col("__deg").isNotNull), n), Seq("src"))
+        .join(hintSmall(srcRank.where(col("__deg").isNotNull)
+          .select(col("src"), col("rank"), col("__deg")), n), Seq("src"))
         .select(col("dst").as("node"), term(col("rank") / col("__deg")).as("__c"))
         .unionByName(srcRank.where(col("__deg").isNull)
           .select(lit(null).cast(nodeType).as("node"), term(col("rank")).as("__c")))
@@ -121,16 +127,17 @@ object Graph {
       // an empty graph) the coalesced re-aggregate still yields one row
       val dangling = broadcast(agg.where(col("node").isNull)
         .agg(coalesce(sum(col("__in")), lit(0.0)).as("__dm")))
-      rank = nodes
+      rank = rank.select(col("node"), col("__deg"))
         .join(hintSmall(agg.where(col("node").isNotNull), n), Seq("node"), "left")
         .crossJoin(dangling)
         .select(col("node"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("__in"), lit(0.0)) + col("__dm") / lit(n.toDouble)))
-            .as("rank"))
+            .as("rank"),
+          col("__deg"))
         .localCheckpoint(false)
     }
-    rank
+    rank.select(col("node"), col("rank"))
   }
 
   /** Hop value standing in for "unreached" in [[shortestHops]] — a plain
