@@ -77,6 +77,28 @@ object Graft {
         else System.getProperty("java.io.tmpdir")
       }
 
+  /** Materialize an intermediate a query re-reads: RELIABLE checkpoint
+    * when a checkpoint location is configured (cluster runs — the frame
+    * survives executor loss, which executor-local blocks do not), local
+    * checkpoint otherwise (single-JVM sessions, where executor loss IS
+    * process death). The location comes from the SparkContext checkpoint
+    * dir if set, else the `spark.graft.checkpointDir` conf (wired to the
+    * context on first use). `eager = false` pipelines materialization
+    * into the first job that touches the frame instead of paying a
+    * barrier job per frame — the right default inside iterative loops and
+    * shared-subtree caches; `eager = true` when the caller immediately
+    * needs an action over the frame anyway (e.g. a count that gates the
+    * algorithm).
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame, eager: Boolean): org.apache.spark.sql.DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      df.sparkSession.conf.getOption("spark.graft.checkpointDir")
+        .filter(_.nonEmpty).foreach(sc.setCheckpointDir)
+    if (sc.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+  }
+
   def enable(spark: SparkSession): Unit = {
     GraftFunctions.register(spark)
     if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy)) {

@@ -219,6 +219,21 @@ object SparkEntry {
       (path, cents, drift)
     }
 
+  /** The full-corpus PQ codebooks (m = 8, ksub = 16, iters = 2) behind the
+    * in-memory ADC keys: q_pq_topk ships them and q_ann_recall's
+    * pq_adc/pq_adc_rerank methods score them. Trained once per (process,
+    * dataset) — the k-means iterations are the dominant cost of either
+    * key, and retraining inside the diagnostic would DECOUPLE the scored
+    * books from the shipped ones (the recall metric exists to describe
+    * the index q_pq_topk serves; the training is deterministic, so the
+    * memo changes no value anywhere — it removes a redundant identical
+    * train).
+    */
+  private def sharedPqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    memo(s, s"pqbooks:$dir") {
+      Similarity.pqCodebooks(Tables.embeddings(s, dir), m = 8, ksub = 16, iters = 2)
+    }
+
   private def sharedIvfPqIndex(s: SparkSession, dir: String)
       : (String, Array[Array[Double]], Array[Array[Array[Double]]]) =
     memo(s, s"ivfpqidx:$dir") {
@@ -2436,7 +2451,7 @@ object SparkEntry {
       // to m-byte codes, probe with table lookups only — the memory-resident
       // ANN scan shape. Approximate (rows-only), like IVF/LSH.
       val emb = Tables.embeddings(s, dir)
-      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+      val books = sharedPqBooks(s, dir)
       Similarity.pqTopK(Similarity.pqEncoded(emb, books), books,
         emb.orderBy(col("vec_id")).limit(1), 10)
     }),
@@ -2490,7 +2505,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q = emb.orderBy(col("vec_id").desc).limit(1)
       val brute = Similarity.topK(emb, q, 10).select(col("vec_id"), lit(1).as("hit"))
-      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+      val books = sharedPqBooks(s, dir)
       val encoded = Similarity.pqEncoded(emb, books)
       // the incrementally-maintained index scores beside the one-shot
       // methods: probing through a frozen-centroid APPEND must not cost

@@ -161,14 +161,14 @@ object Analytics {
     val li = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .repartition(col("ok")).dropDuplicates()
-      .localCheckpoint(true)
-    val pairs = li.select(col("ok"), col("pk").as("pa"))
-      .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+    val liM = graft.Graft.materialize(li, eager = false)
+    val pairs = liM.select(col("ok"), col("pk").as("pa"))
+      .join(liM.select(col("ok"), col("pk").as("pb")), Seq("ok"))
       .where(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minPairs)
-    val items = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val tot = li.agg(countDistinct(col("ok")).cast("double").as("n_orders"))
+    val items = liM.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val tot = liM.agg(countDistinct(col("ok")).cast("double").as("n_orders"))
     pairs
       .join(items.select(col("pk").as("pa"), col("n_item").as("n_a")), Seq("pa"))
       .join(items.select(col("pk").as("pb"), col("n_item").as("n_b")), Seq("pb"))
@@ -532,14 +532,23 @@ object Analytics {
   def dominantSuppliers(supplier: DataFrame, part: DataFrame,
                         lineitem: DataFrame, share: Double,
                         minParts: Long): DataFrame = {
+    // ONE lineitem scan and ONE fact-sized exchange: the fact is laid out
+    // by partkey once (repartition), the (part, supplier) roll-up rides
+    // it (hash(partkey) clusters every (partkey, suppkey) group), and the
+    // per-part total comes from a window over the SAME layout — the
+    // nested-aggregate + self-join form re-scanned and re-shuffled the
+    // fact for the per-part branch. The window's decimal sum is the same
+    // expression as exactSum (order-independent), so tq is bit-identical
+    // to the aggregate it replaces.
     val perPS = lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(exactSum(col("l_quantity")).as("sq"))
-    val perP = perPS
-      .groupBy(col("l_partkey").as("tp_partkey"))
-      .agg(exactSum(col("sq")).as("tq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
     perPS
-      .join(perP, col("l_partkey") === col("tp_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("sq"),
+        sum(col("sq").cast("decimal(28,6)")).over(w).cast("double").as("tq"))
       .where(col("sq") > lit(share) * col("tq"))
       .join(broadcast(part.where(col("p_type") === "PROMO").select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"), "left_semi")
@@ -562,18 +571,28 @@ object Analytics {
     */
   def soleLastShippers(supplier: DataFrame, lineitem: DataFrame,
                        k: Int): DataFrame = {
-    val perOrder = lineitem
-      .groupBy(col("l_orderkey").as("po_orderkey"))
-      .agg(max(col("l_shipdate")).as("last_ship"),
-        countDistinct(col("l_suppkey")).as("n_supp"))
-      .where(col("n_supp") >= 2)
-    val lastLines = lineitem
-      .join(perOrder,
-        col("l_orderkey") === col("po_orderkey") &&
-          col("l_shipdate") === col("last_ship"))
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .distinct()
-    val sole = lastLines
+    // ONE lineitem scan and ONE fact-sized exchange: the fact is laid out
+    // by orderkey once (repartition), the (order, supplier) last-ship-date
+    // roll-up rides that exchange (hash(orderkey) clusters every
+    // (orderkey, suppkey) group), and the "last ship date of the order" /
+    // "distinct suppliers on the order" values come from a window over
+    // the SAME hash(orderkey) layout — no join back to the fact, which
+    // previously re-scanned and re-shuffled lineitem to find the lines on
+    // the last date. A supplier shipped on the order's last date iff its
+    // per-(order, supplier) max ship date IS the order max, so the
+    // (order, supplier) grain — orders×suppliers-sized, not line-sized —
+    // carries everything the sole-supplier check needs.
+    val perOS = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("maxd"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    val sole = perOS
+      .select(col("l_orderkey"), col("l_suppkey"), col("maxd"),
+        max(col("maxd")).over(w).as("last_ship"),
+        count(lit(1)).over(w).as("n_supp"))
+      .where(col("n_supp") >= 2 && col("maxd") === col("last_ship"))
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_last"), max(col("l_suppkey")).as("suppkey"))
       .where(col("n_last") === 1)

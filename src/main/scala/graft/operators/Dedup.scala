@@ -14,12 +14,23 @@ object Dedup {
 
   /** Eager materialization for iterative graph frontiers: reliable
     * checkpoints when a checkpoint dir is configured (cluster runs — state
-    * survives executor loss mid-iteration), executor-local pinning
-    * otherwise (single-JVM / session-lived graphs).
+    * survives executor loss mid-iteration; see [[graft.Graft.materialize]]
+    * and `spark.graft.checkpointDir`), executor-local pinning otherwise
+    * (single-JVM / session-lived graphs).
     */
   private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-    else df.localCheckpoint(true)
+    graft.Graft.materialize(df, eager = true)
+
+  /** LAZY materialization for shared subtrees consumed several times
+    * within one query (signature/gram tables): no barrier job — the frame
+    * computes inside the first job that touches it and later consumers
+    * read the cache. The compiled tokenize/shingle/minhash kernels are the
+    * dominant per-row cost of every near-dup path, so a subtree consumed
+    * k times otherwise pays the kernel k times (measured: q_dedup_minhash
+    * re-ran the signature pipeline 5x, q_dedup_incremental_near 13x).
+    */
+  private def materializeLazy(df: DataFrame): DataFrame =
+    graft.Graft.materialize(df, eager = false)
 
   /** Exact dedup: hash-groupBy on md5(text), keep the smallest id. One
     * shuffle on the 128-bit digest — uniform keys, no skew.
@@ -140,29 +151,36 @@ object Dedup {
     // also reach the intra pass: banding a w-hash signature with defaults
     // for a different w slices past the array end (empty-slice constant
     // buckets) or silently ignores slots
-    val batchSigs = minhashSignatures(batch, textCol, idCol, numHashes)
+    // ONE tokenize+3-gram pass over the batch feeds EVERYTHING: the
+    // signatures derive from the gram table (minhashSignatures computes
+    // the identical word-3-gram array before hashing) and the intra pass
+    // receives BOTH, so the batch text is tokenized once, shingled once,
+    // hashed once. All three frames are multiply consumed (batch sigs:
+    // intra candidates + survivor semi-join + banded screen +
+    // exact-fingerprint screen; store sigs: banded screen + agreement
+    // join + exact-fingerprint screen) and lazily materialized — no
+    // barrier jobs, each computes inside its first consumer. The store
+    // side is the caller's frame: at scale it is a PERSISTED signature
+    // store (a parquet read), where the cache is one linear scan pinned
+    // instead of three.
+    val target = batch.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val spread =
+      if (batch.rdd.getNumPartitions >= target) batch else batch.repartition(target)
+    val batchGrams = materializeLazy(spread
+      .select(col(idCol).as("gid"), tokens(textCol).as("__toks"))
+      .select(col("gid"), ngramsOfTokens("__toks", 3).as("grams")))
+    val batchSigs = materializeLazy(batchGrams.select(col("gid").as("id"),
+      minhashSignature("grams", numHashes).as("__sig")))
+    val storeCached = materializeLazy(storeSigs)
     val intra = deduplicateNear(batch, threshold, textCol, idCol,
       sigs = Some(batchSigs), oversizedStar = oversizedStar,
-      maxBucketSize = maxBucketSize, numHashes = numHashes, bands = bands)
-    val intraSigs = batchSigs
-      .join(intra.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      maxBucketSize = maxBucketSize, numHashes = numHashes, bands = bands,
+      gramTable = Some(batchGrams))
+    val intraSigs = materializeLazy(batchSigs
+      .join(intra.select(col(idCol).as("id")), Seq("id"), "left_semi"))
     def banded(sigs: DataFrame, side: String) = sigs
       .select(col("id").as(side), explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
       .select(col(side), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    def capped(bands: DataFrame): DataFrame = bands
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n")).where(col("__n") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    // one representative (min id) per OVERSIZED bucket — the star-pairing
-    // counterpart of lshCandidatePairs' oversizedStar for the bipartite
-    // store join: a boilerplate bucket contributes its hub instead of
-    // disappearing, so its contribution to the candidate join is O(other
-    // side), never bucket².
-    def repr(bands: DataFrame, side: String): DataFrame = bands
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"), min(col(side)).as(side))
-      .where(col("__n") > maxBucketSize)
-      .select(col(side), col("band"), col("bucket"))
     // the maxBucketSize guard caps BOTH sides of the candidate join: a
     // boilerplate bucket shared by millions of historical docs — or by most
     // of a batch whose pages share a template — would turn it quadratic;
@@ -178,18 +196,41 @@ object Dedup {
     // against history while the intra-batch pass — which sees the same
     // oversizedStar flag — collapses the rest of the template family
     // transitively. Bound unchanged: O(bucket), never bucket².
-    val storeBands = banded(storeSigs, "sid")
+    val storeBands = banded(storeCached, "sid")
     val batchBands = banded(intraSigs, "bid")
-    def screened(bands: DataFrame, side: String): DataFrame = {
-      val small = bands.join(capped(bands), Seq("band", "bucket"), "left_semi")
-      if (oversizedStar) small.unionByName(repr(bands, side)) else small
+    // ONE aggregate sizes BOTH sides' buckets (count + min id per side)
+    // instead of a per-side groupBy each — and it keeps only buckets BOTH
+    // sides touch, which is all the bipartite join can use, so the
+    // cap/hub semi-joins below probe a crossing-sized table (bounded by
+    // the smaller side's bucket count), not a per-side census. The min id
+    // doubles as the oversizedStar hub (the star-pairing counterpart of
+    // lshCandidatePairs' oversizedStar): an over-cap bucket contributes
+    // its hub instead of disappearing, so its contribution to the
+    // candidate join is O(other side), never bucket².
+    val stats = materializeLazy(
+      batchBands.select(col("band"), col("bucket"), col("bid").as("__id"), lit(1).as("__b"))
+        .unionByName(storeBands.select(col("band"), col("bucket"),
+          col("sid").as("__id"), lit(0).as("__b")))
+        .groupBy(col("band"), col("bucket"))
+        .agg(sum(col("__b")).as("__nb"), sum(lit(1) - col("__b")).as("__ns"),
+          min(when(col("__b") === 1, col("__id"))).as("__bmin"),
+          min(when(col("__b") === 0, col("__id"))).as("__smin"))
+        .where(col("__nb") >= 1 && col("__ns") >= 1))
+    def screened(bands: DataFrame, side: String, n: String, mn: String): DataFrame = {
+      val small = bands.join(
+        stats.where(col(n) <= maxBucketSize).select(col("band"), col("bucket")),
+        Seq("band", "bucket"), "left_semi")
+      if (oversizedStar)
+        small.unionByName(stats.where(col(n) > maxBucketSize)
+          .select(col(mn).as(side), col("band"), col("bucket")))
+      else small
     }
-    val cands = screened(batchBands, "bid")
-      .join(screened(storeBands, "sid"), Seq("band", "bucket"))
+    val cands = screened(batchBands, "bid", "__nb", "__bmin")
+      .join(screened(storeBands, "sid", "__ns", "__smin"), Seq("band", "bucket"))
       .select(col("bid"), col("sid")).distinct()
     val seen = cands
       .join(intraSigs.select(col("id").as("bid"), col("__sig").as("__sig_a")), "bid")
-      .join(storeSigs.select(col("id").as("sid"), col("__sig").as("__sig_b")), "sid")
+      .join(storeCached.select(col("id").as("sid"), col("__sig").as("__sig_b")), "sid")
       .where(graft.plans.Exprs.sigAgreement(col("__sig_a"), col("__sig_b"))
         .cast("double") / lit(numHashes) >= threshold)
       .select(col("bid").as(idCol)).distinct()
@@ -205,7 +246,7 @@ object Dedup {
       xxhash64(col("__sig")).as("__f1"),
       xxhash64(lit(17L), col("__sig")).as("__f2"))
     val exactSeen = sigFp(intraSigs)
-      .join(sigFp(storeSigs).select(col("__f1"), col("__f2")),
+      .join(sigFp(storeCached).select(col("__f1"), col("__f2")),
         Seq("__f1", "__f2"), "left_semi")
       .select(col("id").as(idCol))
     intra.join(seen.unionByName(exactSeen), Seq(idCol), "left_anti")
@@ -298,10 +339,14 @@ object Dedup {
     val banded = sigs
       .select(col("id"), xxhash64(col("__sig")).as("__fh"),
         explode(lshBands("__sig", bands, rowsPerBand)).as("bb"))
-    val buckets = banded
+    // the bucket table feeds BOTH the within-cap pair explosion and the
+    // over-cap family collapse (which reads it twice more) — lazily
+    // materialized so the band explode + collect_list shuffle run once,
+    // not once per consumer; bounded at 16 (id, hash) structs per doc
+    val buckets = materializeLazy(banded
       .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .agg(collect_list(struct(col("id"), col("__fh"))).as("ms"))
-      .where(size(col("ms")) > 1)
+      .where(size(col("ms")) > 1))
     val small = buckets.where(size(col("ms")) <= maxBucketSize)
       .select(transform(col("ms"), m => m.getField("id")).as("ids"))
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -340,7 +385,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = minhashSignatures(docs, textCol, idCol, numHashes)
+    // signatures feed the banded candidate stage AND both est_jaccard
+    // join-backs — materialized lazily so the shingle+minhash kernel runs
+    // once per corpus row, not three times (one full signature pipeline
+    // per consumer in the unmaterialized plan)
+    val sigs = materializeLazy(minhashSignatures(docs, textCol, idCol, numHashes))
     val pairs = lshCandidatePairs(sigs, numHashes, bands, maxBucketSize)
     pairs
       .join(sigs.select(col("id").as("id_a"), col("__sig").as("__sig_a")), "id_a")
@@ -372,12 +421,31 @@ object Dedup {
       oversizedStar: Boolean = false,
       maxBucketSize: Int = 10000,
       numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("gid"), tokens(textCol).as("__toks"))
-      .select(col("gid"), ngramsOfTokens("__toks", 3).as("grams"))
+      bands: Int = 16,
+      gramTable: Option[DataFrame] = None): DataFrame = {
+    // ONE tokenize+3-gram pass for the whole query: the gram table feeds
+    // BOTH pair sides, and — when no candidate/signature source is given —
+    // the MinHash candidate stage derives its signatures FROM these same
+    // grams (minhashSignatures computes the identical word-3-gram array
+    // before hashing), so the corpus-sized compiled kernels run once
+    // instead of once per consumer. Lazy checkpoint: no barrier job, the
+    // first consumer materializes it. The spread gate (see
+    // minhashSignatures) keeps a single-split corpus from serializing the
+    // kernel on one core; at scale the scan has splits and it's a no-op.
+    // A caller that already holds the (gid, grams) table (the incremental
+    // pipeline, which also derives its signatures from it) passes it in
+    // via `gramTable` and the pass is skipped entirely.
+    val grams = gramTable.getOrElse {
+      val target = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val spread =
+        if (docs.rdd.getNumPartitions >= target) docs else docs.repartition(target)
+      materializeLazy(spread
+        .select(col(idCol).as("gid"), tokens(textCol).as("__toks"))
+        .select(col("gid"), ngramsOfTokens("__toks", 3).as("grams")))
+    }
     val cands = candidates.getOrElse(
-      lshCandidatePairs(sigs.getOrElse(minhashSignatures(docs, textCol, idCol, numHashes)),
+      lshCandidatePairs(sigs.getOrElse(
+        grams.select(col("gid").as("id"), minhashSignature("grams", numHashes).as("__sig"))),
         numHashes = numHashes, bands = bands,
         maxBucketSize = maxBucketSize, oversizedStar = oversizedStar)
         .select("id_a", "id_b"))
@@ -438,8 +506,11 @@ object Dedup {
     }
     // the pair list is consumed every iteration (and its lineage is usually
     // an expensive candidate pipeline — shingle/minhash/LSH or a pair join)
-    // — materialize it once before anything else
-    val pairsM = materialize(pairs.select(col("id_a"), col("id_b")))
+    // — materialize it once before anything else. LAZY: the size gate's
+    // count() below materializes it inside its own job, so the candidate
+    // pipeline runs once either way and the eager-checkpoint barrier job
+    // is saved (one fewer sequential driver round-trip per call).
+    val pairsM = materializeLazy(pairs.select(col("id_a"), col("id_b")))
     val idType = pairsM.schema("id_a").dataType
     val integralIds = idType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
@@ -500,22 +571,28 @@ object Dedup {
     // Round 1 needs no label join at all: labels start as ids, so
     // label(v) = min(v, min(neighbors)) is a direct aggregate over the
     // self-looped edge list.
-    var labels = materialize(jump(
+    // LAZY round frames: labelSum's aggregate is the action that
+    // materializes each round's checkpoint — one job per round instead of
+    // an eager-checkpoint job plus the aggregate. The superseded frontier
+    // is unpersisted only AFTER labelSum has forced the new round's blocks
+    // into existence (a lazy checkpoint that loses its input's blocks
+    // before materializing cannot recompute — lineage is truncated).
+    var labels = materializeLazy(jump(
       edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("component"))))
     var prevSum = labelSum(labels)
     var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = materialize(jump(edges
+      val next = materializeLazy(jump(edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "__l"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("__l")).as("component"))))
-      // next is materialized (eager checkpoint) — the superseded frontier's
-      // blocks can go. Dataset.unpersist is a silent no-op for
-      // checkpoint-backed frames; release through the RDD handle
+      val s = labelSum(next) // materializes `next`
+      // next's blocks exist now — the superseded frontier's can go.
+      // Dataset.unpersist is a silent no-op for checkpoint-backed frames;
+      // release through the RDD handle
       GraftBridge.unpersistCheckpointed(labels)
       labels = next
-      val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
@@ -764,10 +841,11 @@ object Dedup {
                       sigs: Option[DataFrame] = None,
                       oversizedStar: Boolean = false,
                       maxBucketSize: Int = 10000,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                      numHashes: Int = 64, bands: Int = 16,
+                      gramTable: Option[DataFrame] = None): DataFrame = {
     val pairs = ngramJaccard(docs, threshold, textCol, idCol, sigs = sigs,
       oversizedStar = oversizedStar, maxBucketSize = maxBucketSize,
-      numHashes = numHashes, bands = bands)
+      numHashes = numHashes, bands = bands, gramTable = gramTable)
       .select("id_a", "id_b")
     val losers = connectedComponents(pairs)
       .where(col("id") =!= col("component"))

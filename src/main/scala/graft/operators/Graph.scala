@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Lazy materialization for the frames the BSP loops re-read: reliable
+    * checkpoints when a checkpoint location is configured
+    * (`spark.graft.checkpointDir` / SparkContext checkpoint dir — cluster
+    * runs, where executor loss must not lose loop state), executor-local
+    * blocks otherwise (single-JVM sessions). See [[graft.Graft.materialize]].
+    */
+  private implicit class MatOps(df: DataFrame) {
+    def graftMaterialize: DataFrame = graft.Graft.materialize(df, eager = false)
+  }
+
   private def term(c: Column): Column = round(c, 12).cast("decimal(28,12)")
 
   /** Broadcast hint for the node-sized frames of the BSP loops, gated on
@@ -84,10 +94,10 @@ object Graph {
     // exchange first — one |E|-sized shuffle in the setup, not two.
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(col("src")).dropDuplicates().localCheckpoint(false)
+      .repartition(col("src")).dropDuplicates().graftMaterialize
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(false)
+      .distinct().graftMaterialize
     val n = nodes.count() // scalar metadata, not data
     val nodeType = nodes.schema("node").dataType
     // out-degree joins into the rank STATE once: each iteration's state
@@ -98,7 +108,7 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     var rank = nodes.withColumn("rank", lit(1.0 / n))
       .join(hintSmall(deg.withColumnRenamed("src", "node"), n), Seq("node"), "left")
-      .localCheckpoint(false)
+      .graftMaterialize
     for (_ <- 1 to iters) {
       // ONE aggregate per iteration: per-edge contribution rows keyed by
       // their destination UNION the dangling nodes' rank rows keyed by
@@ -122,7 +132,7 @@ object Graph {
           .select(lit(null).cast(nodeType).as("node"), term(col("rank")).as("__c")))
         .groupBy("node")
         .agg(sum(col("__c")).cast("double").as("__in"))
-        .localCheckpoint(false)
+        .graftMaterialize
       // the NULL group IS the dangling mass; absent (no dangling nodes or
       // an empty graph) the coalesced re-aggregate still yields one row
       val dangling = broadcast(agg.where(col("node").isNull)
@@ -135,7 +145,7 @@ object Graph {
             (coalesce(col("__in"), lit(0.0)) + col("__dm") / lit(n.toDouble)))
             .as("rank"),
           col("__deg"))
-        .localCheckpoint(false)
+        .graftMaterialize
     }
     rank.select(col("node"), col("rank"))
   }
@@ -172,13 +182,13 @@ object Graph {
     // per-round frontier joins — one 2|E|-sized shuffle, not two
     val und = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).dropDuplicates().localCheckpoint(false)
-    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+      .repartition(col("src")).dropDuplicates().graftMaterialize
+    val nodes = und.select(col("src").as("node")).distinct().graftMaterialize
     // |V| gates the broadcast hints below (frontier and reached are both
     // ≤ |V|); the count reads the checkpoint the loop touches anyway
     val n = nodes.count()
     var reached = nodes.where(col("node") === source)
-      .select(col("node"), lit(0L).as("hop")).localCheckpoint(false)
+      .select(col("node"), lit(0L).as("hop")).graftMaterialize
     var frontier = reached
     var i = 1
     // EARLY EXIT on an empty frontier: BFS is semantically finished the
@@ -197,8 +207,8 @@ object Graph {
       val newly = proposals
         .join(hintSmall(reached, n), Seq("node"), "left_anti")
         .select(col("node"), lit(i.toLong).as("hop"))
-        .localCheckpoint(false)
-      reached = reached.unionByName(newly).localCheckpoint(false)
+        .graftMaterialize
+      reached = reached.unionByName(newly).graftMaterialize
       frontier = newly
       i += 1
     }
@@ -235,9 +245,9 @@ object Graph {
     // clusters src)
     val und = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).dropDuplicates().localCheckpoint(false)
+      .repartition(col("src")).dropDuplicates().graftMaterialize
     // symmetrization puts every endpoint in src
-    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint(false)
+    val nodes = und.select(col("src").as("node")).distinct().graftMaterialize
     // EARLY EXIT at the label fixpoint: labels only ever DECREASE under
     // min-propagation, so for integral ids an exact decimal label sum is
     // unchanged iff NO label changed — once stable, every further round
@@ -275,7 +285,7 @@ object Graph {
         .join(hintSmall(neighborMin, n), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("__nmin"), col("label"))).as("label"))
-        .localCheckpoint(false)
+        .graftMaterialize
       if (integralIds) {
         val s = labelSum(label)
         converged = s.compareTo(prevSum) == 0
@@ -343,11 +353,11 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("src"),
         greatest(col(srcCol), col(dstCol)).as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(false)
+      .distinct().graftMaterialize
     val deg = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
+      .graftMaterialize
     // degrees are node-cardinality small next to the edge list — broadcast
     // onto both endpoints rather than shuffling edges twice
     val withDeg = e
@@ -359,7 +369,7 @@ object Graph {
       .select(when(lt, col("src")).otherwise(col("dst")).as("u"),
         when(lt, col("dst")).otherwise(col("src")).as("v"),
         when(lt, col("dd")).otherwise(col("ds")).as("dv"))
-      .localCheckpoint(false)
+      .graftMaterialize
     // wedge = ordered pair of out-neighbors of a common u; the closing
     // edge, when present, is oriented exactly (v-side order-min → max)
     val cands = oriented.as("x")

@@ -320,50 +320,88 @@ object Similarity {
   private def topKBatchImpl(embeddings: DataFrame, queries: DataFrame, k: Int,
                             idCol: String, vecCol: String,
                             labelFilter: Option[String]): DataFrame = {
+    val spark = embeddings.sparkSession
+    // The query batch is broadcast-bounded by contract (the screen ships
+    // it to every task). Collect it ONCE to a local relation: the screen
+    // projection and the decimal refine both consume it (as a lazy frame
+    // its lineage — often a scan + TakeOrdered — re-ran once per
+    // consumer), and the batch SIZE, which picks the refine shape below,
+    // comes for free instead of costing a third evaluation.
+    val qNeeded = Seq(col(idCol), col(vecCol)) ++ labelFilter.map(col)
+    val qProj = queries.select(qNeeded: _*)
+    val qRows = qProj.collect()
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qProj.schema)
     val qCols = Seq(col(idCol).as("qid"), col(vecCol).as("qv"),
       sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("qn")) ++
       labelFilter.map(l => col(l).as("__ql"))
-    val q = broadcast(queries.select(qCols: _*))
-    val eCols = Seq(col(idCol), col(vecCol).as("v"),
-      sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm")) ++
-      labelFilter.map(col)
+    val q = broadcast(qLocal.select(qCols: _*))
     // per-row kernels below parallelize over the corpus side's partitions
     // — spread a single-split scan (see spreadSmallScan; no-op at scale)
     val e = spreadSmallScan(embeddings)
-    // the screen emits (qid, id, score) ONLY — at a 1000-query batch the
-    // candidate heap and its exchange would otherwise carry two embedding
-    // arrays on every one of the per-task |queries|·(4k+16) candidate
-    // rows it ships (~25× the bytes of the id+score row, and the factor
-    // multiplies by map-task count at scale). Survivors join their
-    // vectors back below (the cosinePairsExact idiom), so the
-    // decimal-exact work AND the array movement are per-candidate,
-    // bounded by |queries|·(4k+16), never per-screened-pair.
-    val screened = e
-      .select(eCols: _*)
-      .crossJoin(q)
-      .where(labelFilter.fold(col(idCol) =!= col("qid"))(l => col(l) =!= col("__ql")))
-      .select(col("qid"), col(idCol),
-        (graft.plans.Exprs.dot(col("v"), col("qv"))
-          / nullif(col("nrm") * col("qn"), lit(0.0))).as("__dcos"))
-    val candidates = graft.plans.GroupTopK.topKPerKey(
-      screened, Seq("qid"), Seq(round(col("__dcos"), 6).desc, col(idCol).asc), 4 * k + 16)
-    // candidate ids broadcast back over the corpus: one more corpus scan
-    // (linear, column-pruned to id + vector) instead of shuffling arrays
-    // through the top-k — the big side still never shuffles. Decimal
-    // norms are computed on the per-ID projections (corpus rows, query
-    // rows) rather than per candidate row: same doubles, same divide
-    // order, strictly fewer interpreted-decimal evaluations.
-    val withVecs = e
-      .select(col(idCol), col(vecCol).as("v"), normExact(vecCol).as("__nd"))
-      .join(broadcast(candidates.select(col("qid"), col(idCol))), Seq(idCol))
-      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        normExact(vecCol).as("__qnd"))), Seq("qid"))
-    val refined = withVecs.select(col("qid"), col(idCol),
-      round(dotExact("v", "qv")
-        / nullif(col("__nd") * col("__qnd"), lit(0.0)), 6)
-        .as("cosine"))
-    graft.plans.GroupTopK.topKPerKey(
-      refined, Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k)
+    // Two refine shapes, gated on batch size (both produce bit-identical
+    // output — same expressions, same ordering):
+    //   - LARGE batches (≥ spark.graft.topk.joinBackMinQueries): the
+    //     screen emits (qid, id, score) ONLY — the candidate heap and its
+    //     exchange would otherwise carry two embedding arrays on every
+    //     one of the per-task |queries|·(4k+16) candidate rows it ships
+    //     (~25× the bytes of the id+score row, and the factor multiplies
+    //     by map-task count at scale). Survivors broadcast their (qid,
+    //     id) back over a second linear, column-pruned corpus scan for
+    //     vectors (the cosinePairsExact idiom), with decimal norms per ID
+    //     rather than per candidate row.
+    //   - SMALL batches: the candidate volume |queries|·(4k+16) is tiny,
+    //     so the arrays ride the bounded heap and the refine runs
+    //     directly on the candidates — the join-back's second corpus scan
+    //     plus two broadcast joins would cost more than the few array
+    //     rows they save (measured: q_ann_batch ×0.74, q_hard_negatives
+    //     ×0.65 under the unconditional join-back at sf0.1).
+    val joinBackMin =
+      spark.conf.get("spark.graft.topk.joinBackMinQueries", "64").toInt
+    if (qRows.length >= joinBackMin) {
+      val eCols = Seq(col(idCol), col(vecCol).as("v"),
+        sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm")) ++
+        labelFilter.map(col)
+      val screened = e
+        .select(eCols: _*)
+        .crossJoin(q)
+        .where(labelFilter.fold(col(idCol) =!= col("qid"))(l => col(l) =!= col("__ql")))
+        .select(col("qid"), col(idCol),
+          (graft.plans.Exprs.dot(col("v"), col("qv"))
+            / nullif(col("nrm") * col("qn"), lit(0.0))).as("__dcos"))
+      val candidates = graft.plans.GroupTopK.topKPerKey(
+        screened, Seq("qid"), Seq(round(col("__dcos"), 6).desc, col(idCol).asc), 4 * k + 16)
+      val withVecs = e
+        .select(col(idCol), col(vecCol).as("v"), normExact(vecCol).as("__nd"))
+        .join(broadcast(candidates.select(col("qid"), col(idCol))), Seq(idCol))
+        .join(broadcast(qLocal.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+          normExact(vecCol).as("__qnd"))), Seq("qid"))
+      val refined = withVecs.select(col("qid"), col(idCol),
+        round(dotExact("v", "qv")
+          / nullif(col("__nd") * col("__qnd"), lit(0.0)), 6)
+          .as("cosine"))
+      graft.plans.GroupTopK.topKPerKey(
+        refined, Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k)
+    } else {
+      val eCols = Seq(col(idCol), col(vecCol).as("v"),
+        sqrt(graft.plans.Exprs.dot(col(vecCol), col(vecCol))).as("nrm")) ++
+        labelFilter.map(col)
+      val screened = e
+        .select(eCols: _*)
+        .crossJoin(q)
+        .where(labelFilter.fold(col(idCol) =!= col("qid"))(l => col(l) =!= col("__ql")))
+        .select(col("qid"), col(idCol), col("v"), col("qv"),
+          (graft.plans.Exprs.dot(col("v"), col("qv"))
+            / nullif(col("nrm") * col("qn"), lit(0.0))).as("__dcos"))
+      val candidates = graft.plans.GroupTopK.topKPerKey(
+        screened, Seq("qid"), Seq(round(col("__dcos"), 6).desc, col(idCol).asc), 4 * k + 16)
+      val refined = candidates.select(col("qid"), col(idCol),
+        round(dotExact("v", "qv")
+          / nullif(sqrt(dotExact("v", "v")) * sqrt(dotExact("qv", "qv")), lit(0.0)), 6)
+          .as("cosine"))
+      graft.plans.GroupTopK.topKPerKey(
+        refined, Seq("qid"), Seq(col("cosine").desc, col(idCol).asc), k)
+    }
   }
 
   /** Hard-negative mining for contrastive training data: for each query
