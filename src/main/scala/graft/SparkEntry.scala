@@ -2552,7 +2552,11 @@ object SparkEntry {
       // is dominated by per-survivor decimal recompute, so a low threshold
       // that passes ~5% of all pairs turns the truth query quadratic-ish in
       // OUTPUT (measured 33 s vs 1.4 s at sf0.1 for τ 0.2 vs 0.4)
-      def mat(df: DataFrame): DataFrame = df.localCheckpoint(true)
+      // LAZY checkpoints: each pair list materializes inside the first
+      // count that touches it instead of paying a separate barrier job —
+      // three fewer sequential jobs in a query that is a chain of
+      // driver-side counts
+      def mat(df: DataFrame): DataFrame = df.localCheckpoint(false)
       // the truth set and the SemDeDup centroids are the per-process shared
       // artifacts — scoring retrained models would measure a DIFFERENT
       // clustering than the one q_semdedup ships
@@ -2716,13 +2720,23 @@ object SparkEntry {
       // no scale division, both engines convert exactly below 2⁵³, and
       // the raw division of identical operands — plus quantileCont's
       // DuckDB-exact interpolation — is bit-identical
-      val stats = gaps.groupBy(col("event_type")).agg(
+      // the cadence stats are collected ONCE (per-type output, driver-sized
+      // by contract) and double as the radix bisection's per-group counts —
+      // quantileCont then skips its own counting pass over the gaps cache
+      // (one fewer job; the values are exactly groupCounts' `count(gap is
+      // not null)` because the frame is already gap-non-null-filtered)
+      val statAgg = gaps.groupBy(col("event_type")).agg(
         count(lit(1)).as("n_gaps"),
         (sum(col("gap").cast("decimal(38,0)")).cast("double") /
           count(lit(1))).as("mean_gap_us"),
         max(col("gap")).as("max_gap_us"))
-      val med = Quantiles.quantileCont(gaps, "event_type", "gap",
-        Seq(0.5 -> "p50_gap_us"))
+      val statRows = statAgg.collect()
+      val stats = s.createDataFrame(
+        java.util.Arrays.asList(statRows: _*), statAgg.schema)
+      val ns = statRows.map(r =>
+        (if (r.isNullAt(0)) Quantiles.NullKey else r.getString(0)) -> r.getLong(1)).toMap
+      val med = Quantiles.quantileContWithCounts(gaps, "event_type", "gap",
+        Seq(0.5 -> "p50_gap_us"), ns)
       stats.join(broadcast(med), Seq("event_type"))
         .select(col("event_type"), col("n_gaps"), col("mean_gap_us"),
           col("max_gap_us"), col("p50_gap_us"))

@@ -1142,8 +1142,10 @@ object Dedup {
                        idCol: String = "doc_id"): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf) — a df-1 gram cannot pair")
     // gram sets are consumed three times (postings + both pair sides) and
-    // their lineage re-tokenizes the corpus — materialize once
-    val g = materialize(docs
+    // their lineage re-tokenizes the corpus — materialize once. LAZY: the
+    // postings explode is the first consumer and pays the tokenize pass
+    // inside its own job; no separate barrier job.
+    val g = materializeLazy(docs
       .select(col(idCol).as("gid"), tokens(textCol).as("__toks"))
       .select(col("gid"), ngramsOfTokens("__toks", n).as("gs")))
     val post = g.select(col("gid"), explode(col("gs")).as("g"))

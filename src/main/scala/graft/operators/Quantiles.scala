@@ -451,6 +451,21 @@ object Quantiles {
                    qs: Seq[(Double, String)]): DataFrame =
     quantileContCounted(df, keyCol, valueCol, qs, groupCounts(df, keyCol, valueCol))
 
+  /** [[quantileCont]] with caller-supplied per-group NON-NULL-value counts
+    * (raw key space: the key cast to string, [[NullKey]] for the null
+    * group). A caller whose surrounding query already aggregates per-group
+    * counts (q_time_between's cadence stats, any profile pass) hands them
+    * in and the bisection skips its own counting job — one fewer pass over
+    * the input. Counts MUST equal `count(valueCol is not null)` per group;
+    * they define the rank targets, so a wrong count silently shifts the
+    * quantile (the same contract groupCounts fulfills internally).
+    */
+  def quantileContWithCounts(df: DataFrame, keyCol: String, valueCol: String,
+                             qs: Seq[(Double, String)],
+                             counts: Map[String, Long]): DataFrame =
+    quantileContCounted(df, keyCol, valueCol, qs,
+      counts.map { case (k, n) => encRaw(k) -> n })
+
   /** [[quantileCont]] with the per-group counts supplied (encoded key
     * space) — lets a caller that already paid the counts pass (or whose
     * counts are shared across rounds, like [[robustStats]]) skip it.

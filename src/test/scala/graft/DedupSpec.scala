@@ -401,12 +401,18 @@ class DedupSpec extends SparkSpec {
         e.collect { case m: graft.plans.MinHashSignature => m }.size).sum
     }.sum
     assert(nMinhash === 0, s"plan re-computes $nMinhash MinHash signatures")
-    // control: without threading, the plan DOES contain the signature pass
-    val jSelf = Dedup.ngramJaccard(docs, 0.0)
-    val nSelf = jSelf.queryExecution.optimizedPlan.collect { case p =>
-      p.expressions.map(e =>
-        e.collect { case m: graft.plans.MinHashSignature => m }.size).sum
-    }.sum
+    // control: the counting method can see MinHashSignature expressions
+    // where they DO appear in a plan (so the zero above is not a counting
+    // artifact). The self-computed ngramJaccard path no longer works as
+    // the control: it derives signatures from the lazily checkpointed
+    // gram table, so its MinHash expression lives behind a LogicalRDD —
+    // by design (ONE tokenize+shingle pass per query), invisible to
+    // optimizedPlan. The raw signature builder still shows it.
+    val nSelf = Dedup.minhashSignatures(docs)
+      .queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(e =>
+          e.collect { case m: graft.plans.MinHashSignature => m }.size).sum
+      }.sum
     assert(nSelf > 0)
   }
 
