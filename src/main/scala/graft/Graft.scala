@@ -23,25 +23,41 @@ object Graft {
     * query runs). Blocking=false: eviction proceeds asynchronously, the
     * next query's timing is unaffected.
     */
+  /** Process-lived checkpoint-backed frames (the SparkEntry memo layer's
+    * pair tables) register their RDD ids here so the between-queries
+    * reaper below can evict everything else without re-paying the shared
+    * builds the memos exist to amortize.
+    */
+  private val pinnedRddIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Register a memoized checkpoint-backed frame as process-lived. */
+  def pinForProcess(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    org.apache.spark.sql.GraftBridge.checkpointRddIds(df).foreach(pinnedRddIds.add(_))
+    df
+  }
+
   def dropQueryState(spark: org.apache.spark.sql.SparkSession,
                      thresholdBytes: Long = 4L << 30): Unit = {
-    // purge only past a storage-memory threshold: an unconditional drop
-    // would also evict the deliberately memoized cross-query frames
-    // (SparkEntry.shared — the SemDeDup pair/centroid builds three keys
-    // share) and re-pay their dominant build per query. Below the
-    // threshold the leak is harmless; above it the whole block manager is
-    // flushed INCLUDING the memo map (its checkpoint blocks just
-    // vanished — handing out a stale frame would throw
-    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), and memos rebuild lazily.
-    // TWO gauges: memory blocks against `thresholdBytes` (the heap-OOM
-    // guard), disk blocks against 4× it — localCheckpoints persist at
-    // MEMORY_AND_DISK, so under memory pressure stale blocks evict to
-    // disk, where a memory-only gauge would sit below threshold while
-    // dead checkpoint data accumulated unboundedly on this host's slow
-    // disk. Disk gets the larger budget because it doesn't threaten the
-    // heap: counting it into the 4 GiB memory threshold made the purge
-    // trip on nearly every bench query and re-pay the shared model
-    // builds the memo exists to amortize.
+    // A finished query's checkpoint blocks are garbage the moment its
+    // action returns, but the block manager pins them until an explicit
+    // unpersist — and letting them accumulate between queries both leaks
+    // toward OOM (observed on the 100× battery) and pressures every
+    // later query's execution memory. Evict them unconditionally,
+    // EXCEPT the registered process-lived memo frames (pinForProcess):
+    // evicting those would re-pay the shared model/pair builds once per
+    // query, which is the cost the memo layer exists to amortize.
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedRddIds.contains(id)) rdd.unpersist(blocking = false)
+    }
+    // Full flush only past a storage threshold: above it even the memos
+    // go (the heap-OOM guard wins), and the memo MAP is cleared in the
+    // same breath — its checkpoint blocks just vanished, and handing out
+    // a stale frame would throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; memos
+    // rebuild lazily. TWO gauges: memory blocks against `thresholdBytes`,
+    // disk blocks against 4× it — localCheckpoints persist at
+    // MEMORY_AND_DISK, so under memory pressure blocks evict to disk,
+    // where a memory-only gauge would sit below threshold while
+    // checkpoint data accumulated unboundedly on this host's slow disk.
     val info = spark.sparkContext.getRDDStorageInfo
     val usedMem = info.map(_.memSize).sum
     val usedDisk = info.map(_.diskSize).sum
@@ -50,6 +66,7 @@ object Graft {
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       SparkEntry.clearShared()
+      pinnedRddIds.clear()
     }
   }
 

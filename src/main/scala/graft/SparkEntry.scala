@@ -125,9 +125,9 @@ object SparkEntry {
     */
   private def sharedSemPairs(s: SparkSession, dir: String): DataFrame =
     memo(s, s"sempairs04:$dir") {
-      Similarity.semdedupPairsEnsemble(
+      Graft.pinForProcess(Similarity.semdedupPairsEnsemble(
         Tables.embeddings(s, dir), sharedSemCents(s, dir), 0.4)
-        .select("id_a", "id_b").localCheckpoint(true)
+        .select("id_a", "id_b").localCheckpoint(true))
     }
 
   /** The exact cosine-pair truth set at τ = 0.4 (id_a, id_b), materialized
@@ -140,8 +140,8 @@ object SparkEntry {
     */
   private def sharedExactPairs(s: SparkSession, dir: String): DataFrame =
     memo(s, s"exact04:$dir") {
-      Similarity.cosinePairsExact(Tables.embeddings(s, dir), 0.40)
-        .select("id_a", "id_b").localCheckpoint(true)
+      Graft.pinForProcess(Similarity.cosinePairsExact(Tables.embeddings(s, dir), 0.40)
+        .select("id_a", "id_b").localCheckpoint(true))
     }
 
   // Persisted ANN indexes live under the session-scoped scratch root: the

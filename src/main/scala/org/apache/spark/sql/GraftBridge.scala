@@ -43,6 +43,15 @@ object GraftBridge {
       case _ =>
     }
 
+  /** RDD ids behind a (local)checkpoint-backed DataFrame — lets the
+    * between-queries state reaper distinguish a process-lived memoized
+    * frame's blocks from a finished query's garbage.
+    */
+  def checkpointRddIds(df: DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+
   /** Reset the context's checkpoint directory (SparkContext exposes set but
     * no unset). Lets a spec exercise the reliable-checkpoint mode of
     * graft.Graft.materialize and then restore local-checkpoint behavior
